@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+Mirrors the reference's configurable ranking surface (``Parms.cpp:3594-4167``:
+hash-group weights, density/diversity/termfreq ranges) plus our BM25 surface
+(north rule: k1/b in config, defaults k1=1.2 b=0.75) and the build-time
+partitioning/skew knobs (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .functions.posdb import DEFAULT_HASHGROUP_WEIGHTS
+
+
+@dataclass(frozen=True)
+class EngineConf:
+    # BM25 scorer (north rule)
+    k1: float = 1.2
+    b: float = 0.75
+    # scorer mode: "bm25" | "reference" (SURVEY.md §4.6)
+    scorer: str = "bm25"
+
+    # reference-scorer weights (Parms.cpp:4067-4167 defaults)
+    hashgroup_weights: tuple = DEFAULT_HASHGROUP_WEIGHTS
+    density_weight_min: float = 0.35  # Parms.cpp:3638-3665
+    density_weight_max: float = 1.0
+    diversity_weight_min: float = 1.0
+    diversity_weight_max: float = 1.0
+    # termFreqWeight scale_linear parms (Parms.cpp:3600-3627,
+    # Msg3a.cpp:1003-1008): min 0.0 max 0.5 -> weights 1.0 .. 0.5
+    termfreq_min: float = 0.0
+    termfreq_max: float = 0.5
+    termfreq_weight_min: float = 1.0  # weight at min
+    termfreq_weight_max: float = 0.5  # weight at max
+
+    # build partitioning / skew (SURVEY.md §4.4; north rule salted-key
+    # splitting for stopword-heavy postings)
+    n_buckets: int = 64          # termId hash buckets (partition pruning unit)
+    n_salts: int = 16            # sub-lists for hot terms
+    salt_df_threshold: int = 100_000  # df above which a term gets salted
+    max_positions_per_doc: int = 255  # tf cap per (term,doc) blob entry
+
+    # query
+    default_top_k: int = 10
+
+    def bucket_of(self, term_id: int) -> int:
+        return term_id % self.n_buckets
+
+
+DEFAULT_CONF = EngineConf()

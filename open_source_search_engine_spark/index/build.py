@@ -1,0 +1,469 @@
+"""Index build job: webtext -> parsed checkpoint -> docs + segments +
+term_stats + build_metrics.
+
+Spark-first dataflow (SURVEY.md §3.2 "Spark lifecycle"):
+
+  stage A (narrow, one Python pass, Arrow-batched):
+      webtext --mapInPandas(parse_docs)--> parsed
+      parsed is checkpointed to parquet: one row per doc with doc metadata
+      plus parallel posting arrays (term_ids/poss/ctxs). This is the
+      analog of the reference's metalist (XmlDoc.cpp:12290 getMetaList) —
+      extraction runs exactly once per crawled page.
+
+  stage B (pure Catalyst, JVM-side):
+      docs       = parsed.select(doc columns)
+      postings   = parsed.select(explode(zip(arrays)))        # no Python
+      term_stats = postings.groupBy(term_id).agg(df, cf)
+      hot terms (df > conf.salt_df_threshold) get salt = doc_id % n_salts
+      (broadcast join — the salted-key skew splitting of the north rule;
+      reference analog: HighFrequencyTermShortcuts.h:9-38)
+
+  stage C (the only wide boundary):
+      postings.repartition(bucket, term_id, salt)
+              .applyInPandas(encode per (term_id,salt) -> blob)
+      written as segments/gen=G/bucket=B/*.parquet — bucket dirs give
+      partition pruning at query time; per-bucket _manifest.json records
+      lineage + build metrics (docs/sec, postings/sec, bytes) and makes
+      the build resumable bucket-by-bucket (north rule).
+
+The reference's sorted-file + RdbMap layout maps to: parquet row-group
+stats on term_id within each bucket dir (SURVEY.md §1.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONF, EngineConf
+from ..functions import gbhash
+from ..functions.codec import encode_postings
+from ..functions.extractor import (
+    extract_headings,
+    extract_meta,
+    extract_title,
+    extract_text,
+)
+from ..functions.gbhash import (
+    TERMID_MASK,
+    fielded_term_id,
+    hash64_lower_utf8,
+    prefix_hash,
+    probable_doc_id,
+)
+from ..functions.posdb import (
+    HASHGROUP_BODY,
+    HASHGROUP_HEADING,
+    HASHGROUP_INMETATAG,
+    HASHGROUP_INURL,
+    HASHGROUP_TITLE,
+    MAXDENSITYRANK,
+    MAXDIVERSITYRANK,
+    MAXWORDSPAMRANK,
+    SYN_CONJUGATE,
+    SYN_ORIGINAL,
+    pack_ctx,
+    site_rank_from_inlinks,
+)
+from ..functions.tokenizer import (
+    ALNUM,
+    density_ranks,
+    diversity_ranks,
+    frag_vec,
+    phrase_bits,
+    phrase_ids,
+    sentence_ids,
+    tokenize,
+    word_pos_vec,
+)
+
+PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("site_id", T.LongType()),
+        T.StructField("site_rank", T.IntegerType()),
+        T.StructField("lang_id", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("term_ids", T.ArrayType(T.LongType())),
+        T.StructField("poss", T.ArrayType(T.IntegerType())),
+        T.StructField("ctxs", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+# langId mapping subset (GbLanguage / Lang.cpp); unknown -> 0
+LANG_IDS = {"xx": 0, "en": 1, "fr": 2, "es": 3, "ru": 4, "tr": 5, "ja": 6,
+            "zh": 7, "ko": 8, "de": 9, "nl": 10, "it": 11, "fi": 12,
+            "sv": 13, "no": 14, "pt": 15, "vi": 16, "ar": 17, "he": 18,
+            "id": 19, "el": 20, "th": 21, "hi": 22, "bn": 23, "pl": 24,
+            "da": 27}
+
+PFX_TITLE = prefix_hash("title")
+PFX_URL = prefix_hash("url")
+PFX_SITE = prefix_hash("site")
+PFX_LANG = prefix_hash("gblang")
+_POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
+
+
+def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
+                      start_dist: int = 0, prefix: int | None = None,
+                      with_bigrams: bool = True, spam_rank: int = MAXWORDSPAMRANK):
+    """hashString/hashWords3 analog for one hash group
+    (XmlDoc_Indexing.cpp:1817-2250): emits unfielded (or prefixed) word
+    terms, possessive-stripped variants (2110-2153), and bigram terms
+    (2164-2191, diversity=MAX, syn flag set)."""
+    t = tokens
+    sent = sentence_ids(t)
+    body = hash_group in (HASHGROUP_BODY, HASHGROUP_HEADING)
+    fv = frag_vec(t) if hash_group == HASHGROUP_BODY else None
+    wpos = word_pos_vec(t, start_dist, fv, sent)
+    dens = density_ranks(t, hash_group, sent)
+    bits = phrase_bits(t)
+    pids = phrase_ids(t, bits) if with_bigrams else [0] * len(t)
+    divs = diversity_ranks(t, pids)
+    nw = len(t)
+    for k in range(nw):
+        if t.kinds[k] != ALNUM:
+            continue
+        if fv is not None and fv[k] == 0:
+            continue  # repeated fragment: not indexed (XmlDoc.cpp:20574)
+        wid = t.wids[k]
+        p = wpos[k]
+        d = dens[k]
+        dv = divs[k]
+        tid = (wid & TERMID_MASK) if prefix is None else fielded_term_id(wid, prefix)
+        out_terms.append(tid)
+        out_pos.append(p)
+        out_ctx.append(pack_ctx(hash_group, d, dv, spam_rank, SYN_ORIGINAL))
+        w = t.words[k]
+        # possessive: "dave's" also indexes "dave" with syn flag
+        # (XmlDoc_Indexing.cpp:2110-2153)
+        if w.endswith("'s") or w.endswith("'S"):
+            wid2 = hash64_lower_utf8(w[:-2])
+            tid2 = (wid2 & TERMID_MASK) if prefix is None else fielded_term_id(wid2, prefix)
+            out_terms.append(tid2)
+            out_pos.append(p)
+            out_ctx.append(pack_ctx(hash_group, d, dv, spam_rank, SYN_CONJUGATE))
+        # bigram term (diversity=MAX, syn=1; XmlDoc_Indexing.cpp:2164-2191)
+        if pids[k]:
+            bid = (pids[k] & TERMID_MASK) if prefix is None else fielded_term_id(pids[k], prefix)
+            out_terms.append(bid)
+            out_pos.append(p)
+            out_ctx.append(pack_ctx(hash_group, d, MAXDIVERSITYRANK, spam_rank, SYN_CONJUGATE))
+    return wpos[-1] + 1 if nw else start_dist
+
+
+def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
+              doc_id: int | None = None, site_inlinks: int | None = None) -> dict:
+    """Full per-doc term generation (hashAll orchestration,
+    XmlDoc_Indexing.cpp:226-470): title, body, headings, metatags, url,
+    plus fielded probe terms (title:, url:, site:, gblang:)."""
+    if text is None:
+        text = extract_text(html)
+    title = extract_title(html)
+    headings = extract_headings(html)
+    meta_kw = extract_meta(html, "keywords")
+    meta_desc = extract_meta(html, "description")
+    if doc_id is None:
+        doc_id = probable_doc_id(url)
+    host = url.split("://", 1)[-1].split("/", 1)[0]
+    site_id = hash64_lower_utf8(host) & TERMID_MASK
+    # deterministic synthetic inlink count when no link graph is given
+    if site_inlinks is None:
+        site_inlinks = gbhash.hash8(host.encode()) % 200
+    srank = site_rank_from_inlinks(site_inlinks)
+    lang_id = LANG_IDS.get((lang or "xx").lower(), 0)
+
+    terms: list[int] = []
+    poss: list[int] = []
+    ctxs: list[int] = []
+
+    body_tokens = tokenize(text or "")
+    n_tokens = sum(1 for k in body_tokens.kinds if k == ALNUM)
+    hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs)
+
+    if title:
+        tt = tokenize(title)
+        hash_string_group(tt, HASHGROUP_TITLE, terms, poss, ctxs)
+        hash_string_group(tt, HASHGROUP_TITLE, terms, poss, ctxs,
+                          prefix=PFX_TITLE)
+    for h in headings:
+        hash_string_group(tokenize(h), HASHGROUP_HEADING, terms, poss, ctxs)
+    for m in (meta_kw, meta_desc):
+        if m:
+            hash_string_group(tokenize(m), HASHGROUP_INMETATAG, terms, poss,
+                              ctxs, with_bigrams=False)
+    # url terms (hashUrl, XmlDoc_Indexing.cpp:940): tokenized url words in
+    # HASHGROUP_INURL + exact-url and site fielded probe terms
+    hash_string_group(tokenize(url), HASHGROUP_INURL, terms, poss, ctxs,
+                      with_bigrams=False, prefix=PFX_URL)
+    terms.append(fielded_term_id(hash64_lower_utf8(url), PFX_URL))
+    poss.append(0)
+    ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK, MAXDIVERSITYRANK,
+                         MAXWORDSPAMRANK, SYN_ORIGINAL))
+    terms.append(fielded_term_id(hash64_lower_utf8(host), PFX_SITE))
+    poss.append(0)
+    ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK, MAXDIVERSITYRANK,
+                         MAXWORDSPAMRANK, SYN_ORIGINAL))
+    # language probe term (hashLanguage, XmlDoc_Indexing.cpp:1577)
+    terms.append(fielded_term_id(hash64_lower_utf8(lang or "xx"), PFX_LANG))
+    poss.append(0)
+    ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
+                         MAXDIVERSITYRANK, MAXWORDSPAMRANK, SYN_ORIGINAL))
+
+    return {
+        "doc_id": doc_id,
+        "url": url,
+        "site_id": site_id,
+        "site_rank": srank,
+        "lang_id": lang_id,
+        "title": title,
+        "n_tokens": n_tokens,
+        "term_ids": terms,
+        "poss": poss,
+        "ctxs": ctxs,
+    }
+
+
+def parse_docs_udf(iterator):
+    """mapInPandas body: webtext rows -> PARSED_SCHEMA rows."""
+    for pdf in iterator:
+        recs = []
+        has_docid = "doc_id" in pdf.columns
+        for i in range(len(pdf)):
+            row = pdf.iloc[i]
+            rec = parse_doc(
+                row["url"],
+                bytes(row["html"]) if row["html"] is not None else b"",
+                row.get("text"),
+                row.get("lang"),
+                doc_id=int(row["doc_id"]) if has_docid else None,
+            )
+            rec["warc_ts"] = row.get("warc_ts")
+            recs.append(rec)
+        if recs:
+            yield pd.DataFrame(recs)[[f.name for f in PARSED_SCHEMA.fields]]
+
+
+class IndexPaths:
+    def __init__(self, index_dir: str):
+        self.root = index_dir
+        self.parsed = os.path.join(index_dir, "parsed")
+        self.docs = os.path.join(index_dir, "docs")
+        self.term_stats = os.path.join(index_dir, "term_stats")
+        self.segments = os.path.join(index_dir, "segments")
+        self.manifests = os.path.join(index_dir, "_manifests")
+        self.meta = os.path.join(index_dir, "_index_meta.json")
+
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("term_id", T.LongType()),
+        T.StructField("salt", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("max_tf", T.LongType()),
+        T.StructField("postings", T.BinaryType()),
+    ]
+)
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas: all postings of one (term_id, salt) -> one blob row.
+    Analog of RdbDump + posdb key compression (RdbDump.cpp,
+    Posdb.h:228-233)."""
+    term_id = int(pdf["term_id"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    bucket = int(pdf["bucket"].iloc[0])
+    pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+    doc_ids = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    poss = pdf["pos"].to_numpy(np.int64).astype(np.uint64)
+    ctxs = pdf["ctx"].to_numpy(np.int64).astype(np.uint64)
+    dls = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
+    rank = pdf["rank"].to_numpy(np.int64).astype(np.uint64)
+    uniq, starts, counts = np.unique(doc_ids, return_index=True, return_counts=True)
+    blob = encode_postings(
+        uniq,
+        counts.astype(np.uint64),
+        dls[starts],
+        poss,
+        ctxs,
+        rank[starts],
+    )
+    return pd.DataFrame(
+        [
+            {
+                "bucket": bucket,
+                "term_id": term_id,
+                "salt": salt,
+                "df": int(len(uniq)),
+                "cf": int(len(doc_ids)),
+                "max_tf": int(counts.max()),
+                "postings": blob,
+            }
+        ]
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    webtext: DataFrame,
+    index_dir: str,
+    conf: EngineConf = DEFAULT_CONF,
+    gen: int = 0,
+    buckets: list[int] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full build. Returns build metrics. Resumable: completed buckets
+    (recorded in _manifests/bucket_*.json) are skipped when resume=True."""
+    paths = IndexPaths(index_dir)
+    os.makedirs(paths.manifests, exist_ok=True)
+    t0 = time.time()
+
+    # ---- stage A: parse (checkpoint) ----
+    if not resume or not _parquet_exists(paths.parsed):
+        parsed = webtext.mapInPandas(parse_docs_udf, schema=PARSED_SCHEMA)
+        parsed.write.mode("overwrite").parquet(paths.parsed)
+    parsed = spark.read.parquet(paths.parsed)
+    t_parse = time.time()
+
+    # ---- stage B: docs + term stats (Catalyst only) ----
+    doc_cols = ["doc_id", "url", "site_id", "site_rank", "lang_id", "title",
+                "n_tokens", "warc_ts"]
+    if not resume or not _parquet_exists(paths.docs):
+        parsed.select(*doc_cols).write.mode("overwrite").parquet(paths.docs)
+
+    postings = (
+        parsed.select(
+            "doc_id",
+            F.col("n_tokens").alias("dl"),
+            (F.col("site_rank").cast("long") * 64 + F.col("lang_id")).alias("rank"),
+            F.explode(F.arrays_zip(
+                F.col("term_ids").alias("term_id"),
+                F.col("poss").alias("pos"),
+                F.col("ctxs").alias("ctx"),
+            )).alias("z"),
+        )
+        .select(
+            "doc_id", "dl", "rank",
+            F.col("z.term_id").alias("term_id"),
+            F.col("z.pos").alias("pos"),
+            F.col("z.ctx").alias("ctx"),
+        )
+    )
+
+    if not resume or not _parquet_exists(paths.term_stats):
+        (
+            postings.groupBy("term_id")
+            .agg(
+                F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("cf"),
+            )
+            .write.mode("overwrite")
+            .parquet(paths.term_stats)
+        )
+    term_stats = spark.read.parquet(paths.term_stats)
+    n_docs = spark.read.parquet(paths.docs).count()
+    t_stats = time.time()
+
+    # ---- stage C: salted segment encode (the one wide shuffle) ----
+    hot = (
+        term_stats.where(F.col("df") > conf.salt_df_threshold)
+        .select("term_id", F.lit(True).alias("is_hot"))
+    )
+    n_salts = F.lit(conf.n_salts)
+    with_salt = (
+        postings.join(F.broadcast(hot), "term_id", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("is_hot").isNotNull(),
+                   F.pmod(F.col("doc_id"), n_salts).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(conf.n_buckets)).cast("int"))
+        .drop("is_hot")
+    )
+
+    all_buckets = buckets if buckets is not None else list(range(conf.n_buckets))
+    todo = [b for b in all_buckets
+            if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
+    if todo:
+        sel = with_salt.where(F.col("bucket").isin(todo))
+        seg = (
+            sel.groupBy("bucket", "term_id", "salt")
+            .applyInPandas(_encode_group, schema=SEGMENT_SCHEMA)
+        )
+        out = os.path.join(paths.segments, f"gen={gen}")
+        (
+            seg.repartition("bucket")
+            .sortWithinPartitions("term_id", "salt")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(out)
+        )
+        # per-bucket manifest: lineage + metrics (north rule)
+        seg_stats = (
+            spark.read.parquet(out)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("cf").alias("n_postings"),
+                F.sum(F.length("postings")).alias("bytes_out"),
+            )
+            .collect()
+        )
+        elapsed = time.time() - t_stats
+        for r in seg_stats:
+            if r["bucket"] not in todo:
+                continue
+            with open(_manifest_path(paths, gen, r["bucket"]), "w") as f:
+                json.dump(
+                    {
+                        "bucket": r["bucket"],
+                        "gen": gen,
+                        "n_terms": r["n_terms"],
+                        "n_postings": int(r["n_postings"]),
+                        "bytes_out": int(r["bytes_out"]),
+                        "secs_stage_c": elapsed,
+                        "input": paths.parsed,
+                        "status": "complete",
+                    },
+                    f,
+                )
+    t_seg = time.time()
+
+    meta = {
+        "n_docs": int(n_docs),
+        "n_terms": int(term_stats.count()),
+        "conf": {"n_buckets": conf.n_buckets, "n_salts": conf.n_salts,
+                 "salt_df_threshold": conf.salt_df_threshold},
+        "gens": [gen],
+        "secs": {"parse": t_parse - t0, "stats": t_stats - t_parse,
+                 "segments": t_seg - t_stats, "total": t_seg - t0},
+        "docs_per_sec": n_docs / max(t_seg - t0, 1e-9),
+    }
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as f:
+            old = json.load(f)
+        meta["gens"] = sorted(set(old.get("gens", [])) | {gen})
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _manifest_path(paths: IndexPaths, gen: int, bucket: int) -> str:
+    return os.path.join(paths.manifests, f"gen{gen}_bucket{bucket:04d}.json")
+
+
+def _parquet_exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))

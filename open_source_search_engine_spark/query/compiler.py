@@ -1,0 +1,283 @@
+"""Query compiler: query string -> term groups (Query.cpp:365 setQTerms).
+
+Supported surface (SURVEY.md §2.4):
+- default AND of term groups (PosdbTable.cpp:2110-2196)
+- ``-term`` negative (BF_NEGATIVE, PosdbTable.cpp:32, delDocIdVotes 5086)
+- ``+term`` required sign (Query.h:187)
+- ``"quoted phrase"`` adjacency (Query.h:215, PosdbTable.cpp:832-870)
+- ``field:value`` fielded terms via prefix-hash termIds
+  (Query.cpp:3117 getFieldCode; XmlDoc_Indexing.cpp:1943)
+- boolean ``AND OR NOT ( )`` expressions (Query.cpp:1310-1938)
+- query bigrams: adjacent query words also match the bigram termId
+  ('the one' -> terms ['the one','the','one'], Query.cpp:505-596;
+  test/system/test_search_terms.py:4-9)
+
+The same tokenizer/hash as indexing guarantees termId identity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..functions.gbhash import (
+    TERMID_MASK,
+    fielded_term_id,
+    hash64_lower_utf8,
+    prefix_hash,
+)
+from ..functions.tokenizer import ALNUM, phrase_ids, tokenize, word_pos_vec
+
+FIELD_PREFIXES = {
+    "title": "title",
+    "url": "url",
+    "site": "site",
+    "lang": "gblang",
+    "gblang": "gblang",
+}
+
+
+@dataclass
+class TermGroup:
+    """One query term group: the term plus its bigram/variant termIds
+    (PosdbTable.cpp:1497 setQueryTermInfo)."""
+
+    word: str
+    term_ids: list[int]  # alternatives (term, its bigram with next word)
+    required: bool = True
+    negative: bool = False
+    quoted: bool = False
+    qpos: int = 0  # query word position (for phrase adjacency)
+    field: str | None = None
+    is_bigram: bool = False
+
+
+@dataclass
+class CompiledQuery:
+    raw: str
+    groups: list[TermGroup] = field(default_factory=list)
+    boolean_expr: object | None = None  # tree for boolean queries
+    quoted_runs: list[list[int]] = field(default_factory=list)  # group idx runs
+
+    @property
+    def positive_groups(self) -> list[TermGroup]:
+        return [g for g in self.groups if not g.negative]
+
+    @property
+    def negative_groups(self) -> list[TermGroup]:
+        return [g for g in self.groups if g.negative]
+
+    def all_term_ids(self) -> list[int]:
+        out: list[int] = []
+        for g in self.groups:
+            out.extend(g.term_ids)
+        return sorted(set(out))
+
+
+def _body_term_id(word: str) -> int:
+    return hash64_lower_utf8(word) & TERMID_MASK
+
+
+def _field_tid(fieldname: str, value: str) -> int:
+    pfx = prefix_hash(FIELD_PREFIXES[fieldname])
+    return fielded_term_id(hash64_lower_utf8(value), pfx)
+
+
+_BOOL_OPS = {"AND", "OR", "NOT"}
+
+
+def compile_query(q: str) -> CompiledQuery:
+    cq = CompiledQuery(raw=q)
+    # boolean query? (uppercase operators, Query.cpp:1310)
+    if any(f" {op} " in f" {q} " for op in _BOOL_OPS) or "(" in q:
+        return _compile_boolean(q, cq)
+
+    # split into units respecting quotes
+    units = _split_units(q)
+    qpos = 0
+    for unit in units:
+        sign = ""
+        u = unit
+        if u and u[0] in "+-":
+            sign, u = u[0], u[1:]
+        if not u:
+            continue
+        if u.startswith('"') and u.endswith('"') and len(u) > 1:
+            words = [w for w in _words_of(u.strip('"'))]
+            run = []
+            # phrase words carry their in-phrase position deltas
+            toks = tokenize(u.strip('"'))
+            wpos = word_pos_vec(toks)
+            alnum_pos = [wpos[k] for k in range(len(toks))
+                         if toks.kinds[k] == ALNUM]
+            for wi, w in enumerate(words):
+                g = TermGroup(
+                    word=w,
+                    term_ids=[_body_term_id(w)],
+                    required=True,
+                    negative=(sign == "-"),
+                    quoted=True,
+                    qpos=alnum_pos[wi] if wi < len(alnum_pos) else wi * 2,
+                )
+                run.append(len(cq.groups))
+                cq.groups.append(g)
+            if not sign == "-" and len(run) > 1:
+                cq.quoted_runs.append(run)
+            qpos += 2 * len(words)
+            continue
+        if ":" in u:
+            fieldname, _, value = u.partition(":")
+            if fieldname.lower() in FIELD_PREFIXES:
+                cq.groups.append(
+                    TermGroup(
+                        word=u,
+                        term_ids=[_field_tid(fieldname.lower(), value)],
+                        required=(sign != "-"),
+                        negative=(sign == "-"),
+                        qpos=qpos,
+                        field=fieldname.lower(),
+                    )
+                )
+                qpos += 2
+                continue
+        for w in _words_of(u):
+            cq.groups.append(
+                TermGroup(
+                    word=w,
+                    term_ids=[_body_term_id(w)],
+                    required=(sign != "-"),
+                    negative=(sign == "-"),
+                    qpos=qpos,
+                )
+            )
+            qpos += 2
+
+    _add_query_bigrams(cq)
+    return cq
+
+
+def _add_query_bigrams(cq: CompiledQuery) -> None:
+    """Adjacent unquoted unfielded positive words also match their bigram
+    termId (Query.cpp:505-596, 961-1110): 'the one' docs indexed the
+    bigram term satisfy both groups."""
+    toks = tokenize(" ".join(
+        g.word for g in cq.groups
+        if not g.negative and not g.quoted and g.field is None))
+    pids = phrase_ids(toks)
+    alnum_ix = [k for k in range(len(toks)) if toks.kinds[k] == ALNUM]
+    eligible = [g for g in cq.groups
+                if not g.negative and not g.quoted and g.field is None]
+    for gi, g in enumerate(eligible):
+        if gi >= len(alnum_ix):
+            break
+        pid = pids[alnum_ix[gi]]
+        if pid and gi + 1 < len(eligible):
+            bid = pid & TERMID_MASK
+            g.term_ids.append(bid)
+            eligible[gi + 1].term_ids.append(bid)
+
+
+# ---------------------------------------------------------------------------
+# boolean expressions (Query.cpp:1310-1938; evaluated over per-term
+# membership flags, PosdbTable.cpp:5549 makeDocIdVoteBufForBoolQuery)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BoolNode:
+    op: str  # "AND" | "OR" | "NOT" | "TERM"
+    children: list = field(default_factory=list)
+    group_index: int = -1
+
+
+def _compile_boolean(q: str, cq: CompiledQuery) -> CompiledQuery:
+    tokens = _bool_lex(q)
+    pos = [0]
+
+    def parse_or():
+        node = parse_and()
+        while pos[0] < len(tokens) and tokens[pos[0]] == "OR":
+            pos[0] += 1
+            rhs = parse_and()
+            node = BoolNode("OR", [node, rhs])
+        return node
+
+    def parse_and():
+        node = parse_not()
+        while pos[0] < len(tokens) and tokens[pos[0]] not in (")", "OR"):
+            if tokens[pos[0]] == "AND":
+                pos[0] += 1
+            rhs = parse_not()
+            node = BoolNode("AND", [node, rhs])
+        return node
+
+    def parse_not():
+        if pos[0] < len(tokens) and tokens[pos[0]] == "NOT":
+            pos[0] += 1
+            return BoolNode("NOT", [parse_not()])
+        return parse_atom()
+
+    def parse_atom():
+        tok = tokens[pos[0]]
+        if tok == "(":
+            pos[0] += 1
+            node = parse_or()
+            if pos[0] < len(tokens) and tokens[pos[0]] == ")":
+                pos[0] += 1
+            return node
+        pos[0] += 1
+        if ":" in tok:
+            f, _, v = tok.partition(":")
+            if f.lower() in FIELD_PREFIXES:
+                tid = [_field_tid(f.lower(), v)]
+                cq.groups.append(TermGroup(word=tok, term_ids=tid,
+                                           required=False, field=f.lower()))
+                return BoolNode("TERM", group_index=len(cq.groups) - 1)
+        cq.groups.append(
+            TermGroup(word=tok, term_ids=[_body_term_id(tok)], required=False)
+        )
+        return BoolNode("TERM", group_index=len(cq.groups) - 1)
+
+    cq.boolean_expr = parse_or()
+    return cq
+
+
+def _bool_lex(q: str) -> list[str]:
+    out: list[str] = []
+    buf = []
+    for c in q:
+        if c in "() ":
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            if c != " ":
+                out.append(c)
+        else:
+            buf.append(c)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def _split_units(q: str) -> list[str]:
+    """Split on spaces, keeping quoted spans together."""
+    out: list[str] = []
+    buf: list[str] = []
+    in_q = False
+    for c in q:
+        if c == '"':
+            in_q = not in_q
+            buf.append(c)
+        elif c == " " and not in_q:
+            if buf:
+                out.append("".join(buf))
+                buf = []
+        else:
+            buf.append(c)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
+def _words_of(s: str) -> list[str]:
+    t = tokenize(s)
+    return [t.words[k] for k in range(len(t)) if t.kinds[k] == ALNUM]

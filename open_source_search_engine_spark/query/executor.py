@@ -1,0 +1,344 @@
+"""Query executor: compiled query -> distributed top-k over the segments.
+
+Execution plan (SURVEY.md §3.1 "Spark lifecycle", §4):
+1. segment fetch: parquet scan of segments/gen=* pruned to the buckets of
+   the query termIds (directory pruning) with an ``IN`` pushdown on
+   term_id (Msg2::getLists analog — reads only matching posting rows).
+2. rarest-first candidate pruning (PosdbTable.cpp:1497,5374): the group
+   with the smallest df is decoded first; when its doc set is small it is
+   broadcast and other groups' blobs skip non-candidate blocks before
+   decoding positions (block-max/doc-skip analog of
+   ``prefilterMaxPossibleScoreByDistance``/WAND, PosdbTable.cpp:4494).
+3. decode: Arrow-batched mapInPandas, numpy varint decode (codec.py);
+   headers only for BM25, positions only when the query has quoted runs
+   or the reference scorer is active.
+4. scoring: BM25(k1,b) (north rule) or reference mode (SURVEY.md §4.6)
+   — per-doc aggregation is pure Catalyst (groupBy doc_id), the final
+   top-k a global ORDER BY (score DESC, doc_id) LIMIT k
+   (TopTree.cpp analog; tie-break per TopTree insert order).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONF, EngineConf
+from ..functions.codec import decode_headers, decode_postings
+from ..index.build import IndexPaths
+from .compiler import BoolNode, CompiledQuery, compile_query
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+_DECODED_POS_SCHEMA = T.StructType(
+    _DECODED_SCHEMA.fields + [T.StructField("positions", T.ArrayType(T.IntegerType()))]
+)
+
+
+class IndexReader:
+    """Read-side handle on an index directory (Msg0/Msg2/Msg5 analog —
+    in Spark the 'merged view' is simply the latest segments snapshot)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 conf: EngineConf = DEFAULT_CONF):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.conf = conf
+        with open(self.paths.meta) as f:
+            self.meta = json.load(f)
+        self.n_docs = self.meta["n_docs"]
+        self._avgdl = None
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            row = (
+                self.spark.read.parquet(self.paths.docs)
+                .agg(F.avg("n_tokens")).collect()[0]
+            )
+            self._avgdl = float(row[0] or 1.0)
+        return self._avgdl
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.term_stats)
+
+    def df_of(self, term_ids: list[int]) -> dict[int, int]:
+        """Exact df lookup (Posdb::getTermFreq analog, but exact —
+        SURVEY.md §2.3 'strictly better, still deterministic')."""
+        rows = (
+            self.term_stats()
+            .where(F.col("term_id").isin([int(t) for t in term_ids]))
+            .select("term_id", "df")
+            .collect()
+        )
+        found = {r["term_id"]: r["df"] for r in rows}
+        return {t: found.get(t, 0) for t in term_ids}
+
+    def segments_for(self, term_ids: list[int]) -> DataFrame:
+        """Bucket-pruned, termId-pushed-down segment scan."""
+        tids = [int(t) for t in term_ids]
+        buckets = sorted({t % self.conf.n_buckets for t in tids})
+        gens = self.meta.get("gens", [0])
+        paths = [
+            os.path.join(self.paths.segments, f"gen={g}", f"bucket={b}")
+            for g in gens
+            for b in buckets
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return self.spark.createDataFrame([], schema=_seg_schema_nobucket())
+        df = self.spark.read.parquet(*paths)
+        return df.where(F.col("term_id").isin(tids))
+
+    def postings(self, term_ids: list[int], with_positions: bool = False,
+                 candidate_docs: np.ndarray | None = None) -> DataFrame:
+        """Decode posting blobs to rows. candidate_docs (sorted uint64)
+        enables doc-skip pruning inside the decode UDF."""
+        seg = self.segments_for(term_ids)
+        bc = (
+            self.spark.sparkContext.broadcast(
+                candidate_docs.astype(np.uint64))
+            if candidate_docs is not None
+            else None
+        )
+        schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
+
+        def decode(iterator):
+            for pdf in iterator:
+                out = []
+                for term_id, blob in zip(pdf["term_id"], pdf["postings"]):
+                    b = bytes(blob)
+                    if with_positions:
+                        d = decode_postings(b)
+                    else:
+                        d = decode_headers(b)
+                    docs = d["doc_ids"]
+                    mask = None
+                    if bc is not None:
+                        mask = np.isin(docs, bc.value, assume_unique=False)
+                        if not mask.any():
+                            continue
+                    rec = {
+                        "term_id": np.full(len(docs), term_id, dtype=np.int64),
+                        "doc_id": docs.astype(np.int64),
+                        "tf": d["tfs"].astype(np.int32),
+                        "dl": d["doclens"].astype(np.int32),
+                        "rank": d["ranks"].astype(np.int32)
+                        if "ranks" in d
+                        else np.zeros(len(docs), dtype=np.int32),
+                    }
+                    frame = pd.DataFrame(rec)
+                    if with_positions:
+                        tfs = d["tfs"].astype(np.int64)
+                        ends = np.cumsum(tfs)
+                        starts = ends - tfs
+                        pos = d["positions"].astype(np.int32)
+                        frame["positions"] = [
+                            pos[s:e].tolist() for s, e in zip(starts, ends)
+                        ]
+                    if mask is not None:
+                        frame = frame[mask]
+                    out.append(frame)
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return seg.mapInPandas(decode, schema=schema)
+
+
+def _seg_schema_nobucket():
+    from ..index.build import SEGMENT_SCHEMA
+
+    return T.StructType([f for f in SEGMENT_SCHEMA.fields if f.name != "bucket"])
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    """BM25 idf with the +1 smoothing (Robertson-Sparck-Jones)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    conf: EngineConf = DEFAULT_CONF,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """Top-k BM25 search. Returns (doc_id, score) ordered by
+    (score DESC, doc_id ASC), score float64 rounded at 1e-9 stability."""
+    rd = reader or IndexReader(spark, index_dir, conf)
+    cq = compile_query(query)
+    if cq.boolean_expr is not None:
+        return _search_boolean(spark, rd, cq, k, conf)
+    return _search_default(spark, rd, cq, k, conf)
+
+
+def _group_primary_tids(cq: CompiledQuery) -> list[int]:
+    return [g.term_ids[0] for g in cq.groups]
+
+
+def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
+                    conf: EngineConf) -> DataFrame:
+    pos_groups = [g for g in cq.positive_groups]
+    neg_groups = cq.negative_groups
+    if not pos_groups:
+        return spark.createDataFrame(
+            [], "doc_id long, score double")
+    need_positions = bool(cq.quoted_runs)
+    tids = [g.term_ids[0] for g in pos_groups]
+    dfs = rd.df_of(tids)
+
+    # rarest-first candidate pruning (PosdbTable.cpp:5374):
+    rarest_tid = min(tids, key=lambda t: dfs[t])
+    candidates = None
+    if len(tids) > 1 and 0 < dfs[rarest_tid] <= 200_000:
+        cand_rows = (
+            rd.postings([rarest_tid])
+            .select("doc_id").distinct().collect()
+        )
+        candidates = np.sort(
+            np.array([r["doc_id"] for r in cand_rows], dtype=np.uint64))
+        if len(candidates) == 0:
+            return spark.createDataFrame([], "doc_id long, score double")
+
+    posts = rd.postings(tids, with_positions=need_positions,
+                        candidate_docs=candidates)
+
+    # BM25 per (term, doc); idf broadcast as a literal map
+    n = rd.n_docs
+    avgdl = rd.avgdl
+    idf_map = {t: bm25_idf(n, dfs[t]) for t in tids}
+    idf_expr = F.create_map(
+        *[x for t in tids for x in (F.lit(int(t)), F.lit(idf_map[t]))]
+    )
+    k1, b = conf.k1, conf.b
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    score_expr = (
+        idf_expr[F.col("term_id")]
+        * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl)))
+    )
+    scored = posts.withColumn("tscore", score_expr)
+
+    if need_positions:
+        scored = _apply_phrase_filter(scored, cq)
+
+    n_req = len(set(tids))
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tscore").alias("score"),
+            F.countDistinct("term_id").alias("n_matched"),
+        )
+        .where(F.col("n_matched") == F.lit(n_req))
+        .drop("n_matched")
+    )
+
+    # negative terms: LEFT ANTI JOIN (PosdbTable.cpp:5086 delDocIdVotes)
+    if neg_groups:
+        neg_tids = [g.term_ids[0] for g in neg_groups]
+        neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
+        agg = agg.join(neg_docs, "doc_id", "left_anti")
+
+    return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _apply_phrase_filter(scored: DataFrame, cq: CompiledQuery) -> DataFrame:
+    """Quoted-phrase adjacency: for each quoted run, keep docs where the
+    terms occur at the exact query position deltas
+    (PosdbTable.cpp:832-870 quoted-term qdist check)."""
+    runs = []
+    for run in cq.quoted_runs:
+        runs.append([(cq.groups[i].term_ids[0], cq.groups[i].qpos) for i in run])
+
+    # explode positions + self-join on doc_id with position arithmetic:
+    ex = scored.select(
+        "doc_id", "term_id", F.explode("positions").alias("p"),
+    )
+    keep = None
+    for run in runs:
+        base_tid, base_q = run[0]
+        cur = (
+            ex.where(F.col("term_id") == int(base_tid))
+            .select("doc_id", F.col("p").alias("p0"))
+        )
+        for tid, q in run[1:]:
+            nxt = ex.where(F.col("term_id") == int(tid)).select(
+                "doc_id", (F.col("p") - F.lit(int(q - base_q))).alias("p0")
+            )
+            cur = cur.join(nxt, ["doc_id", "p0"], "inner")
+        docs_ok = cur.select("doc_id").distinct()
+        keep = docs_ok if keep is None else keep.join(docs_ok, "doc_id", "inner")
+    if keep is not None:
+        scored = scored.join(keep, "doc_id", "left_semi")
+    return scored.drop("positions")
+
+
+def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
+                    conf: EngineConf) -> DataFrame:
+    """Boolean query path: evaluate the expression tree over per-term doc
+    membership (PosdbTable.cpp:5549 makeDocIdVoteBufForBoolQuery), score
+    matched docs by BM25 over the positive terms present."""
+    tids = sorted({t for g in cq.groups for t in g.term_ids})
+    posts = rd.postings(tids)
+    n = rd.n_docs
+    avgdl = rd.avgdl
+    dfs = rd.df_of(tids)
+    idf_expr = F.create_map(
+        *[x for t in tids for x in (F.lit(int(t)), F.lit(bm25_idf(n, dfs[t])))]
+    )
+    k1, b = conf.k1, conf.b
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    scored = posts.withColumn(
+        "tscore",
+        idf_expr[F.col("term_id")] * (tf * (k1 + 1.0))
+        / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))),
+    )
+    # pivot membership per group
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("tscore").alias("score"),
+        F.collect_set("term_id").alias("terms"),
+    )
+
+    def expr_col(node: BoolNode):
+        if node.op == "TERM":
+            g = cq.groups[node.group_index]
+            conds = [F.array_contains(F.col("terms"), int(t)) for t in g.term_ids]
+            c = conds[0]
+            for other in conds[1:]:
+                c = c | other
+            return c
+        if node.op == "NOT":
+            return ~expr_col(node.children[0])
+        sub = [expr_col(ch) for ch in node.children]
+        out = sub[0]
+        for s in sub[1:]:
+            out = (out & s) if node.op == "AND" else (out | s)
+        return out
+
+    matched = per_doc.where(expr_col(cq.boolean_expr))
+    return (
+        matched.select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

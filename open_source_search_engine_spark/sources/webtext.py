@@ -1,0 +1,206 @@
+"""Webtext input table: Common-Crawl-style pages
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+(shape mandated by BASELINE.json ``input_hint``).
+
+Two deterministic sources:
+
+- ``synthesize_rows(n)``: a seeded template-grammar corpus covering every
+  branch of the extraction+indexing pipeline (FIXTURES.md §1): titles,
+  headings, lists, repeated nav menus, script/style/select invisible
+  content, meta tags, entity and token edge cases, Zipf'd vocabulary with
+  stopword skew, minority languages.
+- ``webtext_from_documents(spark, sf_dir)``: wraps the driver-provided
+  ``documents.parquet`` texts into the same HTML template so benches and
+  correctness runs use driver data (TESTDATA.md), html rendered with a
+  vectorized pandas UDF (no per-row Python at the Spark layer).
+
+In production this table is an Iceberg table fed by WARC ingest
+(SURVEY.md §1.5); the ``html``/``text`` invariant (text ==
+extract_text(html), byte-identical) is enforced by tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.extractor import extract_text
+
+EPOCH = _dt.datetime(2024, 1, 1)  # fixed epoch, no wall clock (FIXTURES.md)
+
+_VOCAB_CORE = [
+    "fox", "dog", "crawl", "index", "search", "engine", "ranking",
+    "spark", "shuffle", "partition", "posting", "merge", "segment",
+    "query", "score", "proximity", "density", "diversity", "term",
+    "document", "web", "page", "link", "anchor", "title", "heading",
+]
+_STOPS = ["the", "of", "and", "to", "a", "in", "is", "it", "on", "for"]
+_EDGE_TOKENS = [
+    "C++", "c#", "1,000,000", "3.14", "dave's", "e-mail", "the one",
+    "café", "øl", "Smølferne", "naïve",
+]
+_LANGS = ["en", "en", "en", "en", "en", "en", "da", "de", "xx"]
+
+MENU_HTML = (
+    '<div class="nav"><ul><li><a href="/home">home menu item link</a></li>'
+    "<li><a href=\"/about\">about menu item link</a></li>"
+    "<li><a href=\"/contact\">contact menu item link</a></li></ul></div>"
+)
+
+
+def _rand(seed: int, k: int) -> int:
+    """Deterministic pseudo-random int from (seed, k) via sha1."""
+    h = hashlib.sha1(f"{seed}:{k}".encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def _pick(lst: list[str], seed: int, k: int) -> str:
+    return lst[_rand(seed, k) % len(lst)]
+
+
+def _sentence(doc: int, si: int, nwords: int) -> str:
+    words = []
+    for w in range(nwords):
+        r = _rand(doc, si * 1000 + w)
+        if r % 3 == 0:
+            words.append(_STOPS[r % len(_STOPS)])
+        elif r % 17 == 0:
+            words.append(f"rare{r % 5000:04d}")
+        else:
+            words.append(_VOCAB_CORE[r % len(_VOCAB_CORE)])
+    return " ".join(words)
+
+
+def render_html(doc_id: int, title_text: str, body_sentences: list[str],
+                lang: str = "en", with_menu: bool = True,
+                headings: list[str] | None = None,
+                edge_tokens: list[str] | None = None) -> bytes:
+    """The HTML template grammar (FIXTURES.md §1)."""
+    parts = [
+        "<html><head>",
+        f"<title>{title_text}</title>",
+        '<meta name="keywords" content="search, engine, spark">',
+        f'<meta name="description" content="document {doc_id} description">',
+        "<style>.nav{color:red}</style>",
+        "<script>var tracker=1;</script>",
+        "</head><body>",
+    ]
+    if with_menu:
+        parts.append(MENU_HTML)
+    hs = headings if headings is not None else []
+    for hi, h in enumerate(hs):
+        parts.append(f"<h{(hi % 2) + 1}>{h}</h{(hi % 2) + 1}>")
+    for si, sent in enumerate(body_sentences):
+        parts.append(f"<p>{sent}.</p>")
+    if edge_tokens:
+        parts.append("<p>" + " ".join(edge_tokens) + ".</p>")
+    parts.append("<select><option>opt-a</option><option>opt-b</option></select>")
+    if with_menu:
+        parts.append(MENU_HTML)
+    parts.append("</body></html>")
+    return "".join(parts).encode("utf-8")
+
+
+def synthesize_rows(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic corpus of n_docs pages; Zipf sites (docId domain-bit
+    clustering, Titledb.h:66-80), stopword skew, edge-case subset."""
+    return pd.DataFrame([_synth_one(d, seed) for d in range(n_docs)])
+
+
+WEBTEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def synthesize(spark: SparkSession, n_docs: int, seed: int = 42,
+               n_partitions: int = 8) -> DataFrame:
+    """Distributed synthesis: the doc-id range is partitioned and each
+    executor renders its slice (no driver-side corpus materialization —
+    scales to arbitrary n_docs)."""
+    bounds = spark.range(n_docs, numPartitions=n_partitions)
+
+    def render(iterator):
+        for pdf in iterator:
+            recs = []
+            for d in pdf["id"].astype(int):
+                one = _synth_one(int(d), seed)
+                recs.append(one)
+            yield pd.DataFrame(recs)
+
+    return bounds.mapInPandas(render, schema=WEBTEXT_SCHEMA)
+
+
+def _synth_one(d: int, seed: int) -> dict:
+    site = int((_rand(seed, d * 7 + 1) % 1000) ** 0.5)
+    url = f"http://site{site:04d}.example/p/{d:06d}.html"
+    lang = _LANGS[_rand(seed, d * 7 + 2) % len(_LANGS)]
+    n_sent = 2 + _rand(seed, d * 7 + 3) % 6
+    sents = [_sentence(d, si, 4 + _rand(seed, d * 7 + 4 + si) % 9)
+             for si in range(n_sent)]
+    title = _sentence(d, 999, 3)
+    headings = [_sentence(d, 998, 4)] if d % 3 == 0 else []
+    edge = [_pick(_EDGE_TOKENS, seed, d)] if d % 5 == 0 else None
+    html = render_html(d, title, sents, lang, with_menu=(d % 2 == 0),
+                       headings=headings, edge_tokens=edge)
+    return {
+        "url": url,
+        "warc_ts": EPOCH + _dt.timedelta(minutes=d),
+        "html": html,
+        "text": extract_text(html),
+        "lang": lang,
+    }
+
+
+WEBTEXT_DOCID_SCHEMA = T.StructType(
+    WEBTEXT_SCHEMA.fields + [T.StructField("doc_id", T.LongType())]
+)
+
+
+def webtext_from_documents(spark: SparkSession, sf_dir: str,
+                           keep_doc_id: bool = True) -> DataFrame:
+    """Wrap the driver-provided documents table into webtext shape.
+
+    url/warc_ts derive from doc_id; html renders the doc text through the
+    same template; text = extract_text(html). Vectorized via mapInPandas.
+    With keep_doc_id the provided doc_id rides along (one extra column
+    beyond the mandated shape) so engine results join back to the
+    documents table for oracle comparison.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    schema = WEBTEXT_DOCID_SCHEMA if keep_doc_id else WEBTEXT_SCHEMA
+
+    def render(iterator):
+        for pdf in iterator:
+            recs = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                d = int(doc_id)
+                site = d % 97
+                url = f"http://site{site:04d}.example/p/{d:06d}.html"
+                sents = [text] if text else ["empty"]
+                title = " ".join((text or "empty").split()[:4])
+                html = render_html(d, title, sents, lang or "en",
+                                   with_menu=(d % 2 == 0))
+                rec = {
+                    "url": url,
+                    "warc_ts": EPOCH + _dt.timedelta(minutes=d % 100000),
+                    "html": html,
+                    "text": extract_text(html),
+                    "lang": lang or "en",
+                }
+                if keep_doc_id:
+                    rec["doc_id"] = d
+                recs.append(rec)
+            yield pd.DataFrame(recs)[[f.name for f in schema.fields]]
+
+    return docs.mapInPandas(render, schema=schema)
