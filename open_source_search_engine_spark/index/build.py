@@ -97,6 +97,11 @@ PARSED_SCHEMA = T.StructType(
         T.StructField("term_ids", T.ArrayType(T.LongType())),
         T.StructField("poss", T.ArrayType(T.IntegerType())),
         T.StructField("ctxs", T.ArrayType(T.IntegerType())),
+        # per-doc unique body unigrams (word -> termId); feeds the lexicon
+        # table (the reference keeps no lexicon — posdb stores only hashes,
+        # Posdb.h:3 — ours is a debug/oracle aid, deduped by Catalyst)
+        T.StructField("lex_words", T.ArrayType(T.StringType())),
+        T.StructField("lex_ids", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -190,6 +195,12 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     body_tokens = tokenize(text or "")
     n_tokens = sum(1 for k in body_tokens.kinds if k == ALNUM)
     hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs)
+    lex = {}
+    for k in range(len(body_tokens)):
+        if body_tokens.kinds[k] == ALNUM:
+            w = body_tokens.words[k]
+            if w not in lex:
+                lex[w] = body_tokens.wids[k] & TERMID_MASK
 
     if title:
         tt = tokenize(title)
@@ -231,6 +242,8 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "term_ids": terms,
         "poss": poss,
         "ctxs": ctxs,
+        "lex_words": list(lex.keys()),
+        "lex_ids": list(lex.values()),
     }
 
 
@@ -255,14 +268,25 @@ def parse_docs_udf(iterator):
 
 
 class IndexPaths:
+    """Index directory layout. Every table is generation-partitioned
+    (``gen=G`` dirs): a generation is one build/ingest batch — the analog
+    of one RdbBase file generation (RdbBase.h:193). Readers apply
+    newest-generation-wins per docId (RdbIndex semantics, RdbIndex.h:20);
+    ``compact_index`` physically merges generations (RdbMerge analog)."""
+
     def __init__(self, index_dir: str):
         self.root = index_dir
         self.parsed = os.path.join(index_dir, "parsed")
         self.docs = os.path.join(index_dir, "docs")
         self.term_stats = os.path.join(index_dir, "term_stats")
+        self.lexicon = os.path.join(index_dir, "lexicon")
         self.segments = os.path.join(index_dir, "segments")
+        self.tombstones = os.path.join(index_dir, "tombstones")
         self.manifests = os.path.join(index_dir, "_manifests")
         self.meta = os.path.join(index_dir, "_index_meta.json")
+
+    def gen(self, table: str, gen: int) -> str:
+        return os.path.join(getattr(self, table), f"gen={gen}")
 
 
 SEGMENT_SCHEMA = T.StructType(
@@ -329,19 +353,37 @@ def build_index(
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifests, exist_ok=True)
     t0 = time.time()
+    p_parsed = paths.gen("parsed", gen)
+    p_docs = paths.gen("docs", gen)
+    p_stats = paths.gen("term_stats", gen)
+    p_lex = paths.gen("lexicon", gen)
 
     # ---- stage A: parse (checkpoint) ----
-    if not resume or not _parquet_exists(paths.parsed):
+    if not resume or not _parquet_exists(p_parsed):
         parsed = webtext.mapInPandas(parse_docs_udf, schema=PARSED_SCHEMA)
-        parsed.write.mode("overwrite").parquet(paths.parsed)
-    parsed = spark.read.parquet(paths.parsed)
+        parsed.write.mode("overwrite").parquet(p_parsed)
+    parsed = spark.read.parquet(p_parsed)
     t_parse = time.time()
 
-    # ---- stage B: docs + term stats (Catalyst only) ----
+    # ---- stage B: docs + term stats + lexicon (Catalyst only) ----
     doc_cols = ["doc_id", "url", "site_id", "site_rank", "lang_id", "title",
                 "n_tokens", "warc_ts"]
-    if not resume or not _parquet_exists(paths.docs):
-        parsed.select(*doc_cols).write.mode("overwrite").parquet(paths.docs)
+    if not resume or not _parquet_exists(p_docs):
+        parsed.select(*doc_cols).write.mode("overwrite").parquet(p_docs)
+    if not resume or not _parquet_exists(p_lex):
+        (
+            parsed.select(
+                F.explode(F.arrays_zip(
+                    F.col("lex_words").alias("term"),
+                    F.col("lex_ids").alias("term_id"),
+                )).alias("z")
+            )
+            .select(F.col("z.term").alias("term"),
+                    F.col("z.term_id").alias("term_id"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(p_lex)
+        )
 
     postings = (
         parsed.select(
@@ -362,7 +404,7 @@ def build_index(
         )
     )
 
-    if not resume or not _parquet_exists(paths.term_stats):
+    if not resume or not _parquet_exists(p_stats):
         (
             postings.groupBy("term_id")
             .agg(
@@ -370,15 +412,22 @@ def build_index(
                 F.count("*").alias("cf"),
             )
             .write.mode("overwrite")
-            .parquet(paths.term_stats)
+            .parquet(p_stats)
         )
-    term_stats = spark.read.parquet(paths.term_stats)
-    n_docs = spark.read.parquet(paths.docs).count()
+    term_stats = spark.read.parquet(p_stats)
+    n_docs = spark.read.parquet(p_docs).count()
     t_stats = time.time()
 
     # ---- stage C: salted segment encode (the one wide shuffle) ----
+    # hot-term decision uses cumulative df over ALL generations so a doc's
+    # (term, salt) assignment is stable across incremental builds
+    # (salt = doc_id % n_salts is itself deterministic per doc)
+    stats_dirs = [p for p in _glob_gens(paths.term_stats) if True]
+    all_stats = (spark.read.parquet(*stats_dirs)
+                 if stats_dirs else term_stats)
     hot = (
-        term_stats.where(F.col("df") > conf.salt_df_threshold)
+        all_stats.groupBy("term_id").agg(F.sum("df").alias("df"))
+        .where(F.col("df") > conf.salt_df_threshold)
         .select("term_id", F.lit(True).alias("is_hot"))
     )
     n_salts = F.lit(conf.n_salts)
@@ -461,8 +510,189 @@ def build_index(
     return meta
 
 
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int],
+                gen: int) -> None:
+    """Record tombstones for docIds at generation `gen`: the analog of the
+    reference's negative keys (delbit, Posdb.h:88; RdbList.cpp:1945-2043).
+    Readers drop postings of a doc whose tombstone gen is >= the posting's
+    gen; ``compact_index`` annihilates them physically (merge-time
+    negative-key removal, RdbListTest.cpp:184)."""
+    paths = IndexPaths(index_dir)
+    df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    df.write.mode("overwrite").parquet(paths.gen("tombstones", gen))
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  conf: EngineConf = DEFAULT_CONF) -> dict:
+    """Merge all segment generations into one new generation
+    (k-way posdb merge, RdbList.cpp:2154 posdbMerge_r + RdbMerge.h):
+    newest-gen-wins per (term_id, doc_id), tombstoned docs annihilated.
+    Pure Catalyst shuffle on (bucket, term_id, salt) + a vectorized
+    per-group merge UDF (codec.merge_blobs)."""
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    gens = meta.get("gens", [0])
+    new_gen = max(gens) + 1
+    seg = spark.read.option("basePath", paths.segments).parquet(
+        *[paths.gen("segments", g) for g in gens if
+          os.path.exists(paths.gen("segments", g))])
+    tombs = _read_tombstones(spark, paths, gens)
+    tomb_bc = spark.sparkContext.broadcast(
+        tombs if tombs is not None else {})
+
+    merged_schema = T.StructType(
+        [f for f in SEGMENT_SCHEMA.fields] + [T.StructField("gen", T.IntegerType())]
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.codec import decode_postings, encode_postings
+
+        pdf = pdf.sort_values("gen", kind="mergesort")
+        decoded = [decode_postings(bytes(b)) for b in pdf["postings"]]
+        blob_gens = pdf["gen"].to_list()
+        max_gen = int(blob_gens[-1])
+        # concatenate per-doc arrays with their gen tags
+        docs = np.concatenate([d["doc_ids"] for d in decoded])
+        gens_arr = np.concatenate(
+            [np.full(len(d["doc_ids"]), g, dtype=np.int64)
+             for g, d in zip(blob_gens, decoded)])
+        tfs = np.concatenate([d["tfs"] for d in decoded])
+        dls = np.concatenate([d["doclens"] for d in decoded])
+        rks = np.concatenate([d["ranks"] for d in decoded])
+        # per-doc slices into the flattened position/ctx streams
+        pos_all = [d["positions"] for d in decoded]
+        ctx_all = [d["ctxs"] for d in decoded]
+        src = np.concatenate(
+            [np.full(len(d["doc_ids"]), i, dtype=np.int64)
+             for i, d in enumerate(decoded)])
+        local_start = np.concatenate(
+            [np.concatenate(([0], np.cumsum(d["tfs"][:-1]))).astype(np.int64)
+             if len(d["tfs"]) else np.empty(0, dtype=np.int64)
+             for d in decoded])
+        # newest-gen-wins per doc (RdbIndex newest-version resolution)
+        order = np.lexsort((gens_arr, docs))
+        keep = order[np.concatenate(
+            (docs[order][:-1] != docs[order][1:], [True]))]
+        # tombstone at gen tg kills versions with gen <= tg
+        tmap = tomb_bc.value
+        if tmap:
+            tdocs = np.array(list(tmap.keys()), dtype=np.uint64)
+            tgens = np.array(list(tmap.values()), dtype=np.int64)
+            ti = np.searchsorted(tdocs, docs[keep])
+            so = np.argsort(tdocs)
+            tdocs, tgens = tdocs[so], tgens[so]
+            ti = np.searchsorted(tdocs, docs[keep])
+            ti_c = np.clip(ti, 0, len(tdocs) - 1)
+            hit = (tdocs[ti_c] == docs[keep]) & (tgens[ti_c] >= gens_arr[keep])
+            keep = keep[~hit]
+        if len(keep) == 0:
+            return pd.DataFrame(columns=[f.name for f in merged_schema.fields])
+        keep = keep[np.argsort(docs[keep], kind="stable")]
+        k_tf = tfs[keep].astype(np.uint64)
+        pos_out = np.concatenate(
+            [pos_all[src[i]][local_start[i]: local_start[i] + int(tfs[i])]
+             for i in keep]) if k_tf.sum() else np.empty(0, dtype=np.uint64)
+        ctx_out = np.concatenate(
+            [ctx_all[src[i]][local_start[i]: local_start[i] + int(tfs[i])]
+             for i in keep]) if k_tf.sum() else np.empty(0, dtype=np.uint64)
+        blob = encode_postings(docs[keep], k_tf, dls[keep], pos_out,
+                               ctx_out, rks[keep])
+        return pd.DataFrame(
+            [
+                {
+                    "bucket": int(pdf["bucket"].iloc[0]),
+                    "term_id": int(pdf["term_id"].iloc[0]),
+                    "salt": int(pdf["salt"].iloc[0]),
+                    "df": int(len(keep)),
+                    "cf": int(k_tf.sum()),
+                    "max_tf": int(k_tf.max()),
+                    "postings": blob,
+                    "gen": max_gen,
+                }
+            ]
+        )
+
+    out_dir = paths.gen("segments", new_gen)
+    (
+        seg.groupBy("bucket", "term_id", "salt")
+        .applyInPandas(merge_group, schema=merged_schema)
+        .drop("gen")
+        .repartition("bucket")
+        .sortWithinPartitions("term_id", "salt")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+
+    # docs/term_stats/lexicon: newest-wins rollup into the new gen
+    docs = spark.read.option("basePath", paths.docs).parquet(
+        *[paths.gen("docs", g) for g in gens
+          if os.path.exists(paths.gen("docs", g))])
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("gen"))
+    docs_new = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).drop("_rn", "gen")
+    )
+    if tombs:
+        tomb_df = spark.createDataFrame(
+            [(int(d),) for d in tombs], "doc_id long")
+        docs_new = docs_new.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    docs_new.write.mode("overwrite").parquet(paths.gen("docs", new_gen))
+    # exact term stats recomputed from merged segments (cheap: one row per
+    # (term, salt) blob, not per posting)
+    (
+        spark.read.parquet(out_dir)
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(paths.gen("term_stats", new_gen))
+    )
+    lex_dirs = [paths.gen("lexicon", g) for g in gens
+                if os.path.exists(paths.gen("lexicon", g))]
+    if lex_dirs:
+        (
+            spark.read.parquet(*lex_dirs).distinct()
+            .write.mode("overwrite").parquet(paths.gen("lexicon", new_gen))
+        )
+
+    n_docs = docs_new.count()
+    meta.update({
+        "gens": [new_gen],
+        "n_docs": int(n_docs),
+        "compacted_from": gens,
+    })
+    with open(paths.meta, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _read_tombstones(spark: SparkSession, paths: IndexPaths,
+                     gens: list[int]) -> dict[int, int] | None:
+    """doc_id -> newest tombstone gen, or None if no tombstones exist."""
+    dirs = [paths.gen("tombstones", g) for g in gens
+            if os.path.exists(paths.gen("tombstones", g))]
+    if not dirs:
+        return None
+    rows = (
+        spark.read.option("basePath", paths.tombstones).parquet(*dirs)
+        .groupBy("doc_id").agg(F.max("gen").alias("gen")).collect()
+    )
+    return {int(r["doc_id"]): int(r["gen"]) for r in rows}
+
+
 def _manifest_path(paths: IndexPaths, gen: int, bucket: int) -> str:
     return os.path.join(paths.manifests, f"gen{gen}_bucket{bucket:04d}.json")
+
+
+def _glob_gens(table_dir: str) -> list[str]:
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        os.path.join(table_dir, d) for d in os.listdir(table_dir)
+        if d.startswith("gen=")
+    )
 
 
 def _parquet_exists(path: str) -> bool:

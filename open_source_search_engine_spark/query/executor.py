@@ -42,6 +42,7 @@ _DECODED_SCHEMA = T.StructType(
         T.StructField("tf", T.IntegerType()),
         T.StructField("dl", T.IntegerType()),
         T.StructField("rank", T.IntegerType()),
+        T.StructField("gen", T.IntegerType()),
     ]
 )
 
@@ -61,24 +62,86 @@ class IndexReader:
         self.conf = conf
         with open(self.paths.meta) as f:
             self.meta = json.load(f)
-        self.n_docs = self.meta["n_docs"]
+        self.gens = self.meta.get("gens", [0])
+        self._tombstones = None
+        self._n_docs = None
         self._avgdl = None
+
+    def _gen_dirs(self, table: str) -> list[str]:
+        base = getattr(self.paths, table)
+        return [self.paths.gen(table, g) for g in self.gens
+                if os.path.exists(self.paths.gen(table, g))]
+
+    def _read_gens(self, table: str) -> DataFrame | None:
+        dirs = self._gen_dirs(table)
+        if not dirs:
+            return None
+        return (
+            self.spark.read
+            .option("basePath", getattr(self.paths, table))
+            .parquet(*dirs)
+        )
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """doc_id -> newest tombstone gen (negative-key analog)."""
+        if self._tombstones is None:
+            df = self._read_gens("tombstones")
+            if df is None:
+                self._tombstones = False
+            else:
+                self._tombstones = (
+                    df.groupBy("doc_id").agg(F.max("gen").alias("tomb_gen"))
+                )
+        return None if self._tombstones is False else self._tombstones
+
+    @property
+    def n_docs(self) -> int:
+        if self._n_docs is None:
+            self._n_docs = self.docs().count()
+        return self._n_docs
 
     @property
     def avgdl(self) -> float:
         if self._avgdl is None:
-            row = (
-                self.spark.read.parquet(self.paths.docs)
-                .agg(F.avg("n_tokens")).collect()[0]
-            )
+            row = self.docs().agg(F.avg("n_tokens")).collect()[0]
             self._avgdl = float(row[0] or 1.0)
         return self._avgdl
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        """Current-snapshot docs view: newest gen wins per docId,
+        tombstoned docs dropped (Msg5 merged-view analog, Msg5.h:1-2)."""
+        df = self._read_gens("docs")
+        if len(self.gens) > 1:
+            from pyspark.sql import Window
+            w = Window.partitionBy("doc_id").orderBy(F.desc("gen"))
+            df = (df.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") == 1).drop("_rn"))
+        tombs = self.tombstones
+        if tombs is not None:
+            df = (
+                df.join(F.broadcast(tombs), "doc_id", "left")
+                .where(F.col("tomb_gen").isNull()
+                       | (F.col("tomb_gen") < F.col("gen")))
+                .drop("tomb_gen")
+            )
+        return df.drop("gen")
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.term_stats)
+        """df/cf per term summed over generations — an upper bound when a
+        doc was re-crawled across gens, exactly like the reference's
+        getTermFreq estimate (Posdb.h:322-323); exact after compaction."""
+        df = self._read_gens("term_stats")
+        if len(self.gens) > 1:
+            df = df.groupBy("term_id").agg(
+                F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        return df.drop("gen") if "gen" in df.columns else df
+
+    def lexicon(self) -> DataFrame:
+        df = self._read_gens("lexicon")
+        if df is None:
+            raise FileNotFoundError("no lexicon in index")
+        return df.drop("gen").distinct() if len(self.gens) > 1 else df.drop("gen")
 
     def df_of(self, term_ids: list[int]) -> dict[int, int]:
         """Exact df lookup (Posdb::getTermFreq analog, but exact —
@@ -93,19 +156,24 @@ class IndexReader:
         return {t: found.get(t, 0) for t in term_ids}
 
     def segments_for(self, term_ids: list[int]) -> DataFrame:
-        """Bucket-pruned, termId-pushed-down segment scan."""
+        """Bucket-pruned, termId-pushed-down segment scan (Msg2::getLists
+        analog: per query term, fetch the posting lists of every file
+        generation)."""
         tids = [int(t) for t in term_ids]
         buckets = sorted({t % self.conf.n_buckets for t in tids})
-        gens = self.meta.get("gens", [0])
         paths = [
             os.path.join(self.paths.segments, f"gen={g}", f"bucket={b}")
-            for g in gens
+            for g in self.gens
             for b in buckets
         ]
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
-            return self.spark.createDataFrame([], schema=_seg_schema_nobucket())
-        df = self.spark.read.parquet(*paths)
+            return self.spark.createDataFrame([], schema=_seg_schema_gen())
+        df = (
+            self.spark.read
+            .option("basePath", self.paths.segments)
+            .parquet(*paths)
+        )
         return df.where(F.col("term_id").isin(tids))
 
     def postings(self, term_ids: list[int], with_positions: bool = False,
@@ -124,7 +192,10 @@ class IndexReader:
         def decode(iterator):
             for pdf in iterator:
                 out = []
-                for term_id, blob in zip(pdf["term_id"], pdf["postings"]):
+                gens_col = (pdf["gen"] if "gen" in pdf.columns
+                            else pd.Series(0, index=pdf.index))
+                for term_id, blob, g in zip(pdf["term_id"], pdf["postings"],
+                                            gens_col):
                     b = bytes(blob)
                     if with_positions:
                         d = decode_postings(b)
@@ -144,6 +215,7 @@ class IndexReader:
                         "rank": d["ranks"].astype(np.int32)
                         if "ranks" in d
                         else np.zeros(len(docs), dtype=np.int32),
+                        "gen": np.full(len(docs), int(g), dtype=np.int32),
                     }
                     frame = pd.DataFrame(rec)
                     if with_positions:
@@ -158,15 +230,41 @@ class IndexReader:
                         frame = frame[mask]
                     out.append(frame)
                 if out:
-                    yield pd.concat(out, ignore_index=True)
+                    yield pd.concat(out, ignore_index=True)[
+                        [f.name for f in schema.fields]]
 
-        return seg.mapInPandas(decode, schema=schema)
+        decoded = seg.mapInPandas(decode, schema=schema)
+        return self._newest_wins(decoded)
+
+    def _newest_wins(self, decoded: DataFrame) -> DataFrame:
+        """Resolve multi-generation postings: newest gen wins per
+        (term_id, doc_id); tombstoned docs dropped unless re-added in a
+        newer gen (RdbIndex doc-presence resolution + negative-key
+        annihilation, RdbIndex.h:20-40, RdbList.cpp:1945-2043)."""
+        out = decoded
+        if len(self.gens) > 1:
+            from pyspark.sql import Window
+            w = Window.partitionBy("term_id", "doc_id").orderBy(F.desc("gen"))
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1).drop("_rn"))
+        tombs = self.tombstones
+        if tombs is not None:
+            out = (
+                out.join(F.broadcast(tombs), "doc_id", "left")
+                .where(F.col("tomb_gen").isNull()
+                       | (F.col("tomb_gen") < F.col("gen")))
+                .drop("tomb_gen")
+            )
+        return out.drop("gen")
 
 
-def _seg_schema_nobucket():
+def _seg_schema_gen():
     from ..index.build import SEGMENT_SCHEMA
 
-    return T.StructType([f for f in SEGMENT_SCHEMA.fields if f.name != "bucket"])
+    return T.StructType(
+        [f for f in SEGMENT_SCHEMA.fields if f.name != "bucket"]
+        + [T.StructField("gen", T.IntegerType())]
+    )
 
 
 def bm25_idf(n_docs: int, df: int) -> float:
@@ -178,17 +276,30 @@ def search(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
-    (score DESC, doc_id ASC), score float64 rounded at 1e-9 stability."""
+    (score DESC, doc_id ASC). k=None returns every matching doc
+    (no LIMIT) — used by correctness oracles where a top-k boundary
+    would be float-rounding sensitive."""
     rd = reader or IndexReader(spark, index_dir, conf)
     cq = compile_query(query)
     if cq.boolean_expr is not None:
         return _search_boolean(spark, rd, cq, k, conf)
     return _search_default(spark, rd, cq, k, conf)
+
+
+def search_all(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    conf: EngineConf = DEFAULT_CONF,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """All matching docs with scores (no top-k cutoff)."""
+    return search(spark, index_dir, query, k=None, conf=conf, reader=reader)
 
 
 def _group_primary_tids(cq: CompiledQuery) -> list[int]:
@@ -259,7 +370,8 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
         agg = agg.join(neg_docs, "doc_id", "left_anti")
 
-    return agg.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k is not None else out
 
 
 def _apply_phrase_filter(scored: DataFrame, cq: CompiledQuery) -> DataFrame:
@@ -337,8 +449,8 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         return out
 
     matched = per_doc.where(expr_col(cq.boolean_expr))
-    return (
+    out = (
         matched.select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
     )
+    return out.limit(k) if k is not None else out

@@ -168,16 +168,29 @@ WEBTEXT_DOCID_SCHEMA = T.StructType(
 
 
 def webtext_from_documents(spark: SparkSession, sf_dir: str,
-                           keep_doc_id: bool = True) -> DataFrame:
+                           keep_doc_id: bool = True,
+                           body_only: bool = True,
+                           text_suffix: str = "",
+                           doc_filter=None) -> DataFrame:
     """Wrap the driver-provided documents table into webtext shape.
 
     url/warc_ts derive from doc_id; html renders the doc text through the
-    same template; text = extract_text(html). Vectorized via mapInPandas.
-    With keep_doc_id the provided doc_id rides along (one extra column
-    beyond the mandated shape) so engine results join back to the
-    documents table for oracle comparison.
+    HTML template; text = extract_text(html). Vectorized via mapInPandas.
+
+    body_only=True renders a minimal page (no title/menu/meta boilerplate)
+    so the body posting stream is exactly the document's token stream —
+    this is the oracle-parity mode (driver correctness gate compares our
+    BM25/tf/df output against DuckDB SQL over the raw text). body_only=
+    False exercises the full template grammar (titles/menus/meta).
+
+    text_suffix is appended to each doc's text (re-crawl simulation for
+    incremental-build tests); doc_filter is an optional Column predicate.
+    With keep_doc_id the provided doc_id rides along so engine results
+    join back to the documents table for oracle comparison.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if doc_filter is not None:
+        docs = docs.where(doc_filter)
     schema = WEBTEXT_DOCID_SCHEMA if keep_doc_id else WEBTEXT_SCHEMA
 
     def render(iterator):
@@ -187,10 +200,16 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
                 d = int(doc_id)
                 site = d % 97
                 url = f"http://site{site:04d}.example/p/{d:06d}.html"
-                sents = [text] if text else ["empty"]
-                title = " ".join((text or "empty").split()[:4])
-                html = render_html(d, title, sents, lang or "en",
-                                   with_menu=(d % 2 == 0))
+                body = ((text or "empty") + text_suffix).strip()
+                if body_only:
+                    html = (
+                        "<html><head></head><body><p>" + body +
+                        "</p></body></html>"
+                    ).encode("utf-8")
+                else:
+                    title = " ".join(body.split()[:4])
+                    html = render_html(d, title, [body], lang or "en",
+                                       with_menu=(d % 2 == 0))
                 rec = {
                     "url": url,
                     "warc_ts": EPOCH + _dt.timedelta(minutes=d % 100000),
