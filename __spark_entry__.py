@@ -1,38 +1,562 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the engine's operator surface (SURVEY.md §2 + training-data ops) to
+driver-checkable queries: each ``queries()`` entry runs the real engine
+(index build + BM25 search, dedup, ANN, text stats) at the given sf_dir
+and has a DuckDB ``oracle_sql()`` twin producing identical values.
+
+Search queries run against a real on-disk inverted index built once per
+(sf_dir, flavor) under /tmp and reused (resumable build; the driver may
+call many queries against the same corpus). The webtext wrapper renders
+each document's text as a body-only page, so body postings == the text's
+token stream and BM25 is oracle-checkable in SQL (tokens in the driver
+corpus are space-separated lowercase ASCII — the gb tokenizer agrees
+with string_split on it; the gnarlier tokenizer branches are pinned by
+unit tests in tests/ instead).
+
+Score columns are rounded to 6 decimals on both sides: pre-rounding
+values agree to ~1e-15 (identical double arithmetic, different only in
+summation order), so rounding makes the hash comparison deterministic.
+Search queries return ALL matching docs (no LIMIT) so no float-boundary
+can flip membership of the result set.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+K1 = 1.2
+B = 0.75
+
+
+# ---------------------------------------------------------------------------
+# index cache (one build per sf_dir per process-lifetime; on-disk resume
+# makes rebuilds across processes cheap no-ops)
+# ---------------------------------------------------------------------------
+
+def _index_dir(sf_dir: str, flavor: str) -> str:
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{flavor}".encode()).hexdigest()[:12]
+    return os.path.join("/tmp", f"osse_idx_{flavor}_{key}")
+
+
+def _ensure_base_index(spark: SparkSession, sf_dir: str) -> str:
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "base")
+    meta = os.path.join(d, "_index_meta.json")
+    if not os.path.exists(meta):
+        wt = webtext_from_documents(spark, sf_dir, body_only=True)
+        build_index(spark, wt, d, gen=0)
+    return d
+
+
+def _ensure_incr_index(spark: SparkSession, sf_dir: str) -> str:
+    """gen0 = full corpus; gen1 = re-crawl of doc_id%10==0 with an extra
+    trailing token; gen2 = tombstones for doc_id%100==0 (delete)."""
+    from open_source_search_engine_spark.index.build import (
+        build_index,
+        delete_docs,
+    )
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "incr")
+    meta_path = os.path.join(d, "_index_meta.json")
+    done_marker = os.path.join(d, "_incr_complete.json")
+    if not os.path.exists(done_marker):
+        wt0 = webtext_from_documents(spark, sf_dir, body_only=True)
+        build_index(spark, wt0, d, gen=0)
+        wt1 = webtext_from_documents(
+            spark, sf_dir, body_only=True, text_suffix=" zzupdated",
+            doc_filter=F.col("doc_id") % 10 == 0)
+        build_index(spark, wt1, d, gen=1)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        del_ids = [r["doc_id"] for r in
+                   docs.where(F.col("doc_id") % 100 == 0)
+                   .select("doc_id").collect()]
+        delete_docs(spark, d, del_ids, gen=2)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["gens"] = sorted(set(meta["gens"]) | {2})
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        with open(done_marker, "w") as f:
+            json.dump({"done": True}, f)
+    return d
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _search_rounded(spark: SparkSession, sf_dir: str, q: str) -> DataFrame:
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, q)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
+def _search_ids(spark: SparkSession, sf_dir: str, q: str,
+                flavor: str = "base") -> DataFrame:
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = (_ensure_base_index(spark, sf_dir) if flavor == "base"
+         else _ensure_incr_index(spark, sf_dir))
+    return (
+        search_all(spark, d, q)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 webtext, run a
+    BM25 top-10 multi-term query."""
+    from open_source_search_engine_spark.query.executor import search
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = _ensure_base_index(spark, sf_dir)
+    return search(spark, d, "key value fast", k=10)
+
+
+def q_index_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """docs table of the built index: per-doc body token counts (pins the
+    extract->tokenize->count pipeline per document)."""
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    d = _ensure_base_index(spark, sf_dir)
+    rd = IndexReader(spark, d)
+    return rd.docs().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, cf) for every body unigram, via lexicon join — pins
+    posting-list df/cf of the whole index."""
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    d = _ensure_base_index(spark, sf_dir)
+    rd = IndexReader(spark, d)
+    return (
+        rd.lexicon().join(rd.term_stats(), "term_id")
+        .select("term",
+                F.col("df").cast("long").alias("df"),
+                F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def q_search_and(spark, sf_dir):
+    return _search_rounded(spark, sf_dir, "key window stream")
+
+
+def q_search_phrase(spark, sf_dir):
+    return _search_rounded(spark, sf_dir, '"key value"')
+
+
+def q_search_not(spark, sf_dir):
+    return _search_rounded(spark, sf_dir, "window -customer")
+
+
+def q_search_bool(spark, sf_dir):
+    return _search_rounded(spark, sf_dir, "key AND (window OR stream)")
+
+
+def q_search_field_site(spark, sf_dir):
+    return _search_ids(spark, sf_dir, "site:site0003.example")
+
+
+def q_search_incremental(spark, sf_dir):
+    """Docs matching the re-crawl-only token on the generational index
+    (gen1 re-crawl visible, newest-wins)."""
+    return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
+
+
+def q_search_after_delete(spark, sf_dir):
+    """Same, but tombstoned docs (doc_id%100==0, gen2) must be gone."""
+    return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from open_source_search_engine_spark.ops.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).select(
+        "text_md5", F.col("n_dups").cast("long").alias("n_dups"),
+        F.col("min_doc_id").cast("long").alias("min_doc_id"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from open_source_search_engine_spark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from open_source_search_engine_spark.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, n_perm=32, band_rows=4
+    ).select(
+        F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard")
+
+
+def q_simhash(spark, sf_dir):
+    from open_source_search_engine_spark.ops.textstats import simhash
+
+    return simhash(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long"))
+
+
+def q_text_quality(spark, sf_dir):
+    from open_source_search_engine_spark.ops.textstats import doc_token_stats
+
+    out = doc_token_stats(_docs(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_types").cast("long"),
+        F.col("n_token_chars").cast("long"),
+        "ttr", "stopword_ratio", "mean_token_len")
+
+
+def q_fingerprint(spark, sf_dir):
+    from open_source_search_engine_spark.ops.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), F.col("fingerprint").cast("long"))
+
+
+def q_lang_dist(spark, sf_dir):
+    from open_source_search_engine_spark.ops.textstats import lang_dist
+
+    return lang_dist(_docs(spark, sf_dir)).select(
+        "lang", F.col("n_docs").cast("long"),
+        F.col("total_chars").cast("long"), "avg_tokens")
+
+
+def q_lang_detect(spark, sf_dir):
+    from open_source_search_engine_spark.ops.textstats import detect_language
+
+    return detect_language(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "predicted_lang")
+
+
+def q_ann_cosine(spark, sf_dir):
+    from open_source_search_engine_spark.ops.ann import cosine_scores
+
+    qv = _query_vec(spark, sf_dir)
+    return cosine_scores(_emb(spark, sf_dir), qv).select(
+        F.col("vec_id").cast("long"), "cos")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-pruned top-10 (rows-only check: recall vs brute force is
+    probabilistic by construction)."""
+    from open_source_search_engine_spark.ops.ann import rp_lsh_topk
+
+    qv = _query_vec(spark, sf_dir)
+    return rp_lsh_topk(_emb(spark, sf_dir), qv, k=10).select(
+        F.col("vec_id").cast("long"), "cos")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from open_source_search_engine_spark.ops.multimodal import (
+        decode_image_meta,
+        to_binary_payload,
+    )
+
+    return decode_image_meta(to_binary_payload(_docs(spark, sf_dir))).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_bytes").cast("long"),
+        "format",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "index_doc_stats": q_index_doc_stats,
+        "term_stats": q_term_stats,
+        "search_and": q_search_and,
+        "search_phrase": q_search_phrase,
+        "search_not": q_search_not,
+        "search_bool": q_search_bool,
+        "search_field_site": q_search_field_site,
+        "search_incremental": q_search_incremental,
+        "search_after_delete": q_search_after_delete,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "fingerprint": q_fingerprint,
+        "lang_dist": q_lang_dist,
+        "lang_detect": q_lang_detect,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+_TOK = "select doc_id, unnest(string_split(text, ' ')) as tok from documents"
+_DL = ("select doc_id, len(string_split(text, ' '))::bigint as dl "
+       "from documents")
+
+
+def _bm25_cte() -> str:
+    """Shared CTE prefix computing tf/df/dl/avgdl exactly like the
+    engine's build (same arithmetic as executor.bm25_idf + score expr)."""
+    return f"""
+with tok as ({_TOK}),
+tf as (select doc_id, tok, count(*)::double as tf from tok group by 1, 2),
+dl as ({_DL}),
+stats as (select tok, count(distinct doc_id)::double as df from tok group by 1),
+corpus as (select (select count(*) from documents)::double as nd,
+                  (select avg(dl) from dl) as avgdl)
+"""
+
+
+def _bm25_score() -> str:
+    """Per-(doc,term) BM25 with the engine's exact op order:
+    idf * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl))."""
+    return (
+        "ln(1.0 + (corpus.nd - stats.df + 0.5) / (stats.df + 0.5))"
+        f" * (tf.tf * ({K1} + 1.0))"
+        f" / (tf.tf + {K1} * ((1.0 - {B}) + {B} * dl.dl / corpus.avgdl))"
+    )
+
+
+def _bm25_query(terms: list[str], extra_where: str = "",
+                anti_terms: list[str] | None = None) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    anti = ""
+    if anti_terms:
+        al = ", ".join(f"'{t}'" for t in anti_terms)
+        anti = (f" and tf.doc_id not in (select doc_id from tok "
+                f"where tok in ({al}))")
+    return f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum({_bm25_score()}), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ({tl}){anti}{extra_where}
+group by tf.doc_id
+having count(distinct tf.tok) = {len(terms)}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from open_source_search_engine_spark.ops.ann import _hyperplanes  # noqa: F401
+    from open_source_search_engine_spark.ops.dedup import (
+        MERSENNE_P,
+        _perm_coeffs,
+    )
+    from open_source_search_engine_spark.ops.textstats import (
+        LANG_PROFILES,
+        _PY_STOPWORDS,
+    )
+
+    # --- simhash: 60 bit-majority sums over md5-derived token hashes ---
+    h60 = "cast(('0x' || substr(md5(tok), 1, 15)) as bigint)"
+    bit_terms = " + ".join(
+        f"(case when sum(case when (h // {1 << b}) % 2 = 1 then 1 else -1 "
+        f"end) > 0 then {1 << b}::bigint else 0 end)"
+        for b in range(60)
+    )
+    simhash_sql = f"""
+with tok as ({_TOK}),
+h as (select doc_id, {h60} as h from tok)
+select doc_id::bigint as doc_id, ({bit_terms})::bigint as simhash
+from h group by doc_id
+"""
+
+    # --- fingerprint: xor of rotate60(h, pos mod 60) ---
+    fingerprint_sql = f"""
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+idx as (select doc_id, ts, unnest(generate_series(1, len(ts))) as i from toks),
+tok as (select doc_id, ts[i] as tok, i - 1 as pos from idx),
+h as (select doc_id, {h60} as h, (pos % 60)::bigint as s from tok),
+rot as (
+  select doc_id,
+         ((h % cast(pow(2.0, 60 - s) as bigint)) * cast(pow(2.0, s) as bigint)
+          + (h // cast(pow(2.0, 60 - s) as bigint))) as r
+  from h
+)
+select doc_id::bigint as doc_id, bit_xor(r)::bigint as fingerprint
+from rot group by doc_id
+"""
+
+    # --- jaccard pairs (shared by exact + minhash-lsh oracles) ---
+    jaccard_sql = """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sh as (
+  select doc_id, unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)])) as shingle
+  from toks where len(ts) >= 3
+),
+sizes as (select doc_id, count(*)::bigint as sz from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as i
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select inter.doc_a::bigint as doc_a, inter.doc_b::bigint as doc_b,
+       round(i::double / (sa.sz + sb.sz - i), 4) as jaccard
+from inter
+join sizes sa on sa.doc_id = inter.doc_a
+join sizes sb on sb.doc_id = inter.doc_b
+where i::double / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+    # --- text quality ---
+    stops = ", ".join(f"'{s}'" for s in _PY_STOPWORDS)
+    quality_sql = f"""
+with base as (select doc_id, string_split(text, ' ') as ts from documents)
+select doc_id::bigint as doc_id,
+       len(ts)::bigint as n_tokens,
+       len(list_distinct(ts))::bigint as n_types,
+       list_sum(list_transform(ts, t -> strlen(t)))::bigint as n_token_chars,
+       round(len(list_distinct(ts))::double / len(ts), 4) as ttr,
+       round(len(list_filter(ts, t -> t in ({stops})))::double / len(ts), 4)
+         as stopword_ratio,
+       round(list_sum(list_transform(ts, t -> strlen(t)))::double / len(ts), 4)
+         as mean_token_len
+from base
+"""
+
+    # --- language detect (stopword-profile argmax, ties -> asc lang) ---
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n  ".join(
+        "len(list_intersect(ts, ["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lg])
+        + f"])) as s_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred = "'xx'"
+    for lg in reversed(langs):
+        pred = (f"case when s_{lg} = {best} and {best} > 0 "
+                f"then '{lg}' else {pred} end")
+    lang_detect_sql = f"""
+with base as (
+  select doc_id, list_distinct(string_split(text, ' ')) as ts from documents
+),
+scored as (select doc_id, {score_cols} from base)
+select doc_id::bigint as doc_id, {pred} as predicted_lang from scored
+"""
+
+    # --- ann cosine (query vector = embedding of vec_id 0) ---
+    ann_sql = """
+with q as (select embedding::double[] as qv from embeddings where vec_id = 0)
+select e.vec_id::bigint as vec_id,
+       round(list_dot_product(e.embedding::double[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::double[],
+                                      e.embedding::double[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) as cos
+from embeddings e cross join q
+"""
+
+    return {
+        "index_doc_stats": f"""
+select doc_id::bigint as doc_id, len(string_split(text, ' '))::bigint as n_tokens
+from documents
+""",
+        "term_stats": f"""
+with tok as ({_TOK})
+select tok as term, count(distinct doc_id)::bigint as df,
+       count(*)::bigint as cf
+from tok group by tok
+""",
+        "search_and": _bm25_query(["key", "window", "stream"]),
+        "search_phrase": _bm25_query(
+            ["key", "value"],
+            extra_where=(" and tf.doc_id in (select doc_id from documents "
+                         "where (' ' || text || ' ') like '% key value %')"),
+        ),
+        "search_not": _bm25_query(["window"], anti_terms=["customer"]),
+        "search_bool": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum({_bm25_score()}), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('key', 'window', 'stream')
+group by tf.doc_id
+having bool_or(tf.tok = 'key')
+   and (bool_or(tf.tok = 'window') or bool_or(tf.tok = 'stream'))
+""",
+        "search_field_site": """
+select doc_id::bigint as doc_id from documents where doc_id % 97 = 3
+""",
+        "search_incremental": """
+select doc_id::bigint as doc_id from documents
+where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        "search_after_delete": """
+select doc_id::bigint as doc_id from documents
+where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        "dedup_exact": """
+select md5(text) as text_md5, count(*)::bigint as n_dups,
+       min(doc_id)::bigint as min_doc_id
+from documents group by 1 having count(*) > 1
+""",
+        "dedup_jaccard": jaccard_sql,
+        "dedup_minhash_lsh": jaccard_sql,
+        "simhash": simhash_sql,
+        "text_quality": quality_sql,
+        "fingerprint": fingerprint_sql,
+        "lang_dist": """
+select lang, count(*)::bigint as n_docs,
+       sum(strlen(text))::bigint as total_chars,
+       round(avg(len(string_split(text, ' '))), 4) as avg_tokens
+from documents group by lang
+""",
+        "lang_detect": lang_detect_sql,
+        "ann_cosine": ann_sql,
+        "multimodal_meta": """
+select doc_id::bigint as doc_id,
+       strlen(text)::bigint as n_bytes,
+       'unknown' as format,
+       (strlen(text) % 640 + 1)::bigint as width,
+       (strlen(text) * 7 % 480 + 1)::bigint as height
+from documents
+""",
+        # ann_lsh_topk intentionally omitted: probabilistic recall ->
+        # rows-only check.
+    }

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Operators over an embeddings-style table ``(vec_id, embedding:
+array<float>, ...)``:
+
+- ``cosine_scores``: brute-force cosine vs a query vector — the exact
+  baseline. Pure Catalyst: `zip_with` dot product + `aggregate` norms run
+  inside whole-stage codegen; one narrow scan, no shuffle, then a global
+  top-k. At 100 TB this is a full scan — correct but O(N); use the LSH
+  path for interactive latencies.
+- ``rp_lsh_buckets`` / ``rp_lsh_topk``: random-hyperplane (signed random
+  projection) LSH. L independent tables of `bits` hyperplanes each;
+  a vector's bucket in table t is the sign pattern of `bits` dot
+  products. Query probes its bucket in every table, unions candidates,
+  scores exactly, top-k. Bucketing is one narrow projection; the probe
+  is a partition-prunable equality filter per table.
+
+Hyperplane coefficients derive from md5 (deterministic, no RNG state) —
+same rationale as the minhash coefficients in ``dedup``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, q: list[float]):
+    arr = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(a, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float],
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos) exact cosine similarity vs query_vec, all rows."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    a = F.col(vec_col)
+    cos = _dot(a, query_vec) / (_norm(a) * F.lit(qn))
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      F.round(cos, 4).alias("cos"))
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by (cos DESC, vec_id ASC)."""
+    return (
+        cosine_scores(emb, query_vec, id_col, vec_col)
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int,
+                 seed: str = "osse-rplsh") -> list[list[float]]:
+    """Deterministic unit-free gaussian-ish hyperplanes from md5 bytes:
+    each coefficient is a signed 32-bit int scaled to [-1, 1) — the sign
+    pattern (all that LSH needs) matches a true gaussian's."""
+    planes = []
+    for b in range(bits):
+        coefs = []
+        for d0 in range(0, dim, 4):
+            h = hashlib.md5(f"{seed}:{table}:{b}:{d0}".encode()).digest()
+            for j in range(min(4, dim - d0)):
+                (v,) = struct.unpack_from(">i", h, j * 4)
+                coefs.append(v / 2147483648.0)
+        planes.append(coefs[:dim])
+    return planes
+
+
+def rp_lsh_buckets(emb: DataFrame, dim: int, bits: int = 8, tables: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket_0..bucket_{tables-1}) sign-pattern bucket ids."""
+    out_cols = [F.col(id_col).alias("vec_id")]
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        bucket = F.lit(0)
+        for b, plane in enumerate(planes):
+            bucket = bucket + F.when(
+                _dot(F.col(vec_col), plane) >= 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
+        out_cols.append(bucket.alias(f"bucket_{t}"))
+    return emb.select(*out_cols)
+
+
+def _query_buckets(query_vec: list[float], bits: int, tables: int) -> list[int]:
+    out = []
+    dim = len(query_vec)
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        v = 0
+        for b, plane in enumerate(planes):
+            dot = sum(float(x) * c for x, c in zip(query_vec, plane))
+            if dot >= 0:
+                v |= 1 << b
+        out.append(v)
+    return out
+
+
+def rp_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                bits: int = 8, tables: int = 8,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """LSH-pruned top-k: probe the query's bucket in each table, union
+    candidates, score exactly. Same output schema as brute_force_topk;
+    recall < 1 is possible (tune bits/tables)."""
+    dim = len(query_vec)
+    bucketed = rp_lsh_buckets(emb, dim, bits, tables, id_col, vec_col)
+    qb = _query_buckets(query_vec, bits, tables)
+    cond = None
+    for t, v in enumerate(qb):
+        c = F.col(f"bucket_{t}") == v
+        cond = c if cond is None else (cond | c)
+    cand_ids = bucketed.where(cond).select("vec_id")
+    cands = emb.join(
+        cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi")
+    return brute_force_topk(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all over a documents-style table ``(doc_id, text, ...)``:
+
+- exact duplicates: md5(text) hash-groupBy (one shuffle on the hash)
+- n-gram (shingle) Jaccard: exact pairwise similarity via an inverted
+  shingle index join — the ground-truth near-dup op
+- MinHash + LSH banding: the scale path for near-dup mining; candidates
+  from band-bucket equality joins, then exact-Jaccard verification so
+  output matches the exact operator (no false positives; false-negative
+  rate is the standard (1-s^r)^b banding bound)
+- SimHash pairs live in ``textstats.simhash`` / ``simhash_hamming_pairs``
+
+Everything is Catalyst-native (array/higher-order functions + joins); the
+only Python is plan construction. The reference engine's analog is
+query-time site/content-hash clustering (Msg51.h:20-92, clusterdb
+`Clusterdb.h:17`) and the nosplit content-checksum terms
+(XmlDoc_Indexing.cpp:156 hashNoSplit); these operators generalize that to
+corpus-scale similarity dedup.
+
+Scale notes: the shingle inverted index is the same shape as the posting
+index build — explode + shuffle on shingle — so the same skew rules
+apply: `max_shingle_df` drops stop-shingles (present in nearly every
+doc) before the pair join, bounding the worst bucket, exactly like the
+salted stopword handling in the index build.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import hash60, tokens_col
+
+MERSENNE_P = (1 << 31) - 1  # modulus for the minhash permutation family
+# (2^31-1 keeps a*x+b < 2^62, int64-safe in SQL on every engine; per-perm
+# collision bias is verified away by the exact-Jaccard confirm pass)
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(text_md5, n_dups, min_doc_id) for texts appearing more than once
+    (hash-groupBy exact dedup)."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-gram shingles; docs shorter than
+    n tokens yield no shingles."""
+    ts = tokens_col(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+    )
+    return (
+        docs.where(F.size(ts) >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-set Jaccard >=
+    threshold, doc_a < doc_b. Exact (inverted-index pair join).
+
+    max_shingle_df drops shingles occurring in more than that many docs
+    before the self-join (skew guard for web-scale corpora: boilerplate
+    shingles otherwise create quadratic buckets). None = exact."""
+    sh = shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+            .where(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )
+    return j
+
+
+def _perm_coeffs(n_perm: int, seed: str = "osse-minhash") -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_i(x) = (a*x + b) mod p,
+    derived from md5(seed:i) — no RNG state, reproducible everywhere."""
+    out = []
+    for i in range(n_perm):
+        d = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        a = (int.from_bytes(d[:8], "big") % (MERSENNE_P - 1)) + 1
+        b = int.from_bytes(d[8:16], "big") % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = 32) -> DataFrame:
+    """(doc_id, sig_0..sig_{n_perm-1}) MinHash signature columns.
+
+    h_i(shingle) = (a_i * (hash60(shingle) mod p) + b_i) mod p with
+    p = 2^31-1: a, x < 2^31 so a*x+b < 2^62 — int64-safe pure-SQL
+    arithmetic, portable to any engine."""
+    coeffs = _perm_coeffs(n_perm)
+    sh = shingles(docs, n).select(
+        "doc_id", (hash60(F.col("shingle")) % MERSENNE_P).alias("x"))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_perm: int = 32,
+    band_rows: int = 4,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH banding + exact verification.
+
+    bands = n_perm / band_rows; a pair collides if any band's rows all
+    match (candidate recall 1-(1-s^r)^b). Candidates are then verified
+    with exact shingle Jaccard, so the output schema and semantics equal
+    ngram_jaccard_pairs — LSH only prunes the pair space."""
+    assert n_perm % band_rows == 0
+    n_bands = n_perm // band_rows
+    sigs = minhash_signatures(docs, n, n_perm)
+    bands = None
+    for bi in range(n_bands):
+        cols = [f"sig_{bi * band_rows + r}" for r in range(band_rows)]
+        key = F.md5(F.concat_ws(",", F.lit(bi), *[F.col(c) for c in cols]))
+        part = sigs.select(F.col("doc_id"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    cands = (
+        a.join(b, "band_key")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification: recompute Jaccard only for candidate pairs
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter").cast("double")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jac"),
+        )
+        .where(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )

@@ -1,0 +1,197 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are pure-Catalyst column programs (no Python UDFs — everything runs
+JVM-side inside whole-stage codegen) over a documents-style table
+``(doc_id, text, ...)``:
+
+- token counting + type/token stats + quality ratios
+- 60-bit md5-derived token hashes, order-sensitive document fingerprints
+- simhash (bitwise-majority sketch over token hashes)
+- language distribution + a stopword-profile language-ID heuristic
+
+Every operator has a matching DuckDB oracle (same arithmetic, same
+rounding) in ``__spark_entry__.oracle_sql``. Hash primitive: the low 60
+bits (15 hex chars) of md5 — portable across engines, unlike builtin
+``hash()`` functions, and sign-safe in int64.
+
+Scale notes: all operators are narrow (per-row) followed by at most one
+aggregation; they partition-prune and column-prune through the parquet
+scan, and need no shuffle except the final groupBy where present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# low 60 bits of md5 -> signed-positive int64
+HASH60_BITS = 60
+_PY_STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "on", "for",
+)
+
+
+def hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 as int64 (0 .. 2^60-1)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def doc_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, n_token_chars, ttr, stopword_ratio,
+    mean_token_len) — token counting + quality scoring, all array ops."""
+    ts = tokens_col(F.col("text"))
+    n_tokens = F.size(ts)
+    n_types = F.size(F.array_distinct(ts))
+    n_chars = F.aggregate(
+        F.transform(ts, lambda t: F.length(t)), F.lit(0),
+        lambda acc, x: acc + x)
+    stops = F.array(*[F.lit(s) for s in _PY_STOPWORDS])
+    n_stop = F.size(F.filter(ts, lambda t: F.array_contains(stops, t)))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        n_chars.alias("n_token_chars"),
+        F.round(n_types.cast("double") / n_tokens, 4).alias("ttr"),
+        F.round(n_stop.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 4).alias("mean_token_len"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling fingerprint =
+    XOR over tokens of rotate60(hash60(token), position mod 60).
+
+    The rotation makes it order-sensitive (same bag, different order ->
+    different fingerprint) — the content-sequence analog of the
+    reference's 5-word shingle ring hashes (XmlDoc.cpp:20574 getFragVec),
+    usable as an exact-dup content checksum like the reference's nosplit
+    content-hash dedup terms (XmlDoc_Indexing.cpp:156 hashNoSplit)."""
+    two60 = 1 << 60
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        hash60(F.col("tok")).alias("h"),
+        (F.col("pos") % 60).alias("s"),
+    )
+    # rotate-left by s within 60 bits, in overflow-safe int64 arithmetic:
+    # ((h mod 2^(60-s)) * 2^s) + (h div 2^(60-s))
+    rot = (
+        (F.col("h") % (F.lit(two60) / F.pow(F.lit(2.0), F.col("s"))).cast("long"))
+        * F.pow(F.lit(2.0), F.col("s")).cast("long")
+        + F.expr("h div cast(pow(2.0, 60 - s) as long)")
+    )
+    return (
+        ex.select("doc_id", rot.alias("r"))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(r)").alias("fingerprint"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = HASH60_BITS) -> DataFrame:
+    """(doc_id, simhash): bitwise-majority sketch over per-occurrence
+    token hashes. Bit b of the sketch is 1 iff more token occurrences
+    have bit b set than clear (ties -> 0). Near-dup docs land at small
+    hamming distance; used with `hamming_pairs` for near-dup mining."""
+    ex = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", hash60(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h div {1 << b}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_bit = ex.groupBy("doc_id").agg(*aggs)
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sh = term if sh is None else sh + term
+    return per_bit.select("doc_id", sh.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
+    """(doc_a, doc_b, dist) pairs with hamming(simhash) <= max_dist.
+
+    Scale path: band the 60-bit sketch into 4 15-bit bands; by pigeonhole
+    any pair within distance 3 agrees on >= 1 band, so candidates come
+    from 4 equality self-joins (shuffle on band value) instead of a cross
+    join — the same band-bucket-join trick as MinHash LSH."""
+    two15 = 1 << 15
+    banded = sim.select(
+        "doc_id", "simhash",
+        *[
+            F.expr(f"(simhash div {two15 ** i}) % {two15}").alias(f"band{i}")
+            for i in range(4)
+        ],
+    )
+    cands = None
+    for i in range(4):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+            F.col(f"band{i}").alias("band"))
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+            F.col(f"band{i}").alias("band"))
+        p = a.join(b, "band").where(F.col("doc_a") < F.col("doc_b")).drop("band")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+    dist = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cands.select("doc_a", "doc_b", dist.alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def lang_dist(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, total_chars, avg_tokens) distribution."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.round(F.avg(F.size(tokens_col(F.col("text")))), 4)
+            .alias("avg_tokens"),
+        )
+    )
+
+
+# stopword-profile language ID (n-gram/stopword heuristic; the reference
+# delegates to CLD2, GbLanguage.cpp — ours is a self-contained profile
+# matcher usable as a cheap pre-filter at scale)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "a", "in", "is", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "y", "un", "una", "que", "por"),
+    "da": ("og", "i", "det", "at", "en", "den", "til", "er", "som", "af"),
+}
+
+
+def detect_language(docs: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang): argmax over per-language stopword-profile
+    hit counts on the token set; ties broken by language code ascending;
+    zero hits -> 'xx'."""
+    ts = F.array_distinct(tokens_col(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.array_intersect(
+                    ts, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]]))
+            ).alias(f"s_{lang}")
+            for lang in sorted(LANG_PROFILES)
+        ],
+    )
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("xx")
+    # first (ascending) language reaching the max wins: build backwards
+    for lg in reversed(langs):
+        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0), lg).otherwise(pred)
+    return scored.select("doc_id", pred.alias("predicted_lang"))
