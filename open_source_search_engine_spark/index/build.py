@@ -538,8 +538,10 @@ def compact_index(spark: SparkSession, index_dir: str,
         *[paths.gen("segments", g) for g in gens if
           os.path.exists(paths.gen("segments", g))])
     tombs = _read_tombstones(spark, paths, gens)
-    tomb_bc = spark.sparkContext.broadcast(
-        tombs if tombs is not None else {})
+    events = compute_doc_events(spark, paths, gens)
+    ev_map = ({int(r["doc_id"]): int(r["keep_gen"])
+               for r in events.collect()} if events is not None else {})
+    ev_bc = spark.sparkContext.broadcast(ev_map)
 
     merged_schema = T.StructType(
         [f for f in SEGMENT_SCHEMA.fields] + [T.StructField("gen", T.IntegerType())]
@@ -570,22 +572,26 @@ def compact_index(spark: SparkSession, index_dir: str,
             [np.concatenate(([0], np.cumsum(d["tfs"][:-1]))).astype(np.int64)
              if len(d["tfs"]) else np.empty(0, dtype=np.int64)
              for d in decoded])
-        # newest-gen-wins per doc (RdbIndex newest-version resolution)
-        order = np.lexsort((gens_arr, docs))
-        keep = order[np.concatenate(
-            (docs[order][:-1] != docs[order][1:], [True]))]
-        # tombstone at gen tg kills versions with gen <= tg
-        tmap = tomb_bc.value
-        if tmap:
-            tdocs = np.array(list(tmap.keys()), dtype=np.uint64)
-            tgens = np.array(list(tmap.values()), dtype=np.int64)
-            ti = np.searchsorted(tdocs, docs[keep])
-            so = np.argsort(tdocs)
-            tdocs, tgens = tdocs[so], tgens[so]
-            ti = np.searchsorted(tdocs, docs[keep])
-            ti_c = np.clip(ti, 0, len(tdocs) - 1)
-            hit = (tdocs[ti_c] == docs[keep]) & (tgens[ti_c] >= gens_arr[keep])
-            keep = keep[~hit]
+        # doc-level latest-event resolution (RdbIndex semantics): a
+        # posting at gen g is live iff its doc has no later event or the
+        # latest event is a re-index at exactly g; keep_gen -1 = deleted
+        emap = ev_bc.value
+        keep = np.arange(len(docs), dtype=np.int64)
+        if emap:
+            edocs = np.array(sorted(emap), dtype=np.uint64)
+            egens = np.array([emap[int(d)] for d in edocs], dtype=np.int64)
+            ei = np.searchsorted(edocs, docs)
+            ei_c = np.clip(ei, 0, len(edocs) - 1)
+            in_map = (len(edocs) > 0) & (edocs[ei_c] == docs)
+            dead = in_map & (egens[ei_c] != gens_arr)
+            keep = keep[~dead]
+        # safety: newest-gen-wins per doc for any residual duplicates
+        order = keep[np.lexsort((gens_arr[keep], docs[keep]))]
+        if len(order):
+            keep = order[np.concatenate(
+                (docs[order][:-1] != docs[order][1:], [True]))]
+        else:
+            keep = order
         if len(keep) == 0:
             return pd.DataFrame(columns=[f.name for f in merged_schema.fields])
         keep = keep[np.argsort(docs[keep], kind="stable")]
@@ -680,6 +686,50 @@ def _read_tombstones(spark: SparkSession, paths: IndexPaths,
         .groupBy("doc_id").agg(F.max("gen").alias("gen")).collect()
     )
     return {int(r["doc_id"]): int(r["gen"]) for r in rows}
+
+
+def compute_doc_events(spark: SparkSession, paths: IndexPaths,
+                       gens: list[int]) -> DataFrame | None:
+    """(doc_id, keep_gen) for every doc touched after the base generation:
+    keep_gen = the doc's newest (re)index gen, or -1 if its newest event
+    is a tombstone. A posting of doc d at gen g is live iff d is absent
+    here or keep_gen == g — the RdbIndex doc-presence resolution
+    (RdbIndex.h:20-40): a re-crawl shadows ALL the doc's older postings.
+    Only delta docs appear, so this stays broadcast-sized at any corpus
+    scale (re-crawl batches are small relative to the index). None when
+    single-generation with no tombstones (compacted fast path)."""
+    parts = []
+    base_gen = min(gens) if gens else 0
+    delta_dirs = [paths.gen("docs", g) for g in gens
+                  if g != base_gen and os.path.exists(paths.gen("docs", g))]
+    if delta_dirs:
+        parts.append(
+            spark.read.option("basePath", paths.docs).parquet(*delta_dirs)
+            .select("doc_id", F.col("gen").cast("int").alias("gen"),
+                    F.lit(False).alias("is_tomb"))
+        )
+    tomb_dirs = [paths.gen("tombstones", g) for g in gens
+                 if os.path.exists(paths.gen("tombstones", g))]
+    if tomb_dirs:
+        parts.append(
+            spark.read.option("basePath", paths.tombstones).parquet(*tomb_dirs)
+            .select("doc_id", F.col("gen").cast("int").alias("gen"),
+                    F.lit(True).alias("is_tomb"))
+        )
+    if not parts:
+        return None
+    events = parts[0]
+    for p in parts[1:]:
+        events = events.unionByName(p)
+    return (
+        events.groupBy("doc_id")
+        .agg(F.max(F.struct("gen", "is_tomb")).alias("ev"))
+        .select(
+            "doc_id",
+            F.when(F.col("ev.is_tomb"), F.lit(-1))
+            .otherwise(F.col("ev.gen")).alias("keep_gen"),
+        )
+    )
 
 
 def _manifest_path(paths: IndexPaths, gen: int, bucket: int) -> str:

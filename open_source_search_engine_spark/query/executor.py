@@ -236,26 +236,34 @@ class IndexReader:
         decoded = seg.mapInPandas(decode, schema=schema)
         return self._newest_wins(decoded)
 
+    def doc_events(self) -> DataFrame | None:
+        """Per-doc latest index event for every doc touched AFTER the base
+        generation: (doc_id, keep_gen) where keep_gen is the doc's newest
+        (re)index generation, or -1 if its newest event is a tombstone.
+
+        See build.compute_doc_events (RdbIndex doc-presence resolution,
+        RdbIndex.h:20-40): a newer version of a doc shadows ALL its older
+        postings. Only delta docs appear, so the frame stays
+        broadcast-sized even when the base index holds 10^12 docs."""
+        from ..index.build import compute_doc_events
+
+        return compute_doc_events(self.spark, self.paths, self.gens)
+
     def _newest_wins(self, decoded: DataFrame) -> DataFrame:
-        """Resolve multi-generation postings: newest gen wins per
-        (term_id, doc_id); tombstoned docs dropped unless re-added in a
-        newer gen (RdbIndex doc-presence resolution + negative-key
-        annihilation, RdbIndex.h:20-40, RdbList.cpp:1945-2043)."""
-        out = decoded
-        if len(self.gens) > 1:
-            from pyspark.sql import Window
-            w = Window.partitionBy("term_id", "doc_id").orderBy(F.desc("gen"))
-            out = (out.withColumn("_rn", F.row_number().over(w))
-                   .where(F.col("_rn") == 1).drop("_rn"))
-        tombs = self.tombstones
-        if tombs is not None:
-            out = (
-                out.join(F.broadcast(tombs), "doc_id", "left")
-                .where(F.col("tomb_gen").isNull()
-                       | (F.col("tomb_gen") < F.col("gen")))
-                .drop("tomb_gen")
-            )
-        return out.drop("gen")
+        """Drop shadowed/deleted postings: a posting of doc d at gen g
+        survives iff d has no later index event, or its latest event is a
+        re-index at exactly gen g (negative-key annihilation semantics,
+        RdbList.cpp:1945-2043). Implemented as one broadcast left join —
+        no window, no extra shuffle."""
+        ev = self.doc_events()
+        if ev is None:
+            return decoded.drop("gen")
+        return (
+            decoded.join(F.broadcast(ev), "doc_id", "left")
+            .where(F.col("keep_gen").isNull()
+                   | (F.col("gen") == F.col("keep_gen")))
+            .drop("keep_gen", "gen")
+        )
 
 
 def _seg_schema_gen():

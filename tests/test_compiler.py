@@ -1,0 +1,73 @@
+"""Query-compiler tests (reference analog:
+test/system/test_search_terms.py golden expansions, Query.cpp setQTerms)."""
+
+from __future__ import annotations
+
+from open_source_search_engine_spark.functions.gbhash import (
+    TERMID_MASK,
+    fielded_term_id,
+    hash64_lower_utf8,
+    prefix_hash,
+)
+from open_source_search_engine_spark.query.compiler import compile_query
+
+
+def test_default_and_terms():
+    cq = compile_query("key value")
+    assert len(cq.positive_groups) == 2
+    assert cq.boolean_expr is None
+    assert cq.groups[0].term_ids[0] == hash64_lower_utf8("key") & TERMID_MASK
+
+
+def test_the_one_bigram_expansion():
+    # test/system/test_search_terms.py:4-9: 'the one' also searches the
+    # bigram term shared by both groups
+    cq = compile_query("the one")
+    g_the, g_one = cq.groups
+    bigram_ids = set(g_the.term_ids[1:]) & set(g_one.term_ids[1:])
+    assert bigram_ids, "adjacent words must share a bigram termId"
+
+
+def test_negative_sign():
+    cq = compile_query("window -customer")
+    assert len(cq.positive_groups) == 1
+    assert len(cq.negative_groups) == 1
+    assert cq.negative_groups[0].word == "customer"
+
+
+def test_quoted_phrase_run():
+    cq = compile_query('"key value" extra')
+    assert cq.quoted_runs, "quoted phrase must create an adjacency run"
+    run = cq.quoted_runs[0]
+    assert [cq.groups[i].word for i in run] == ["key", "value"]
+    qd = [cq.groups[i].qpos for i in run]
+    assert qd[1] > qd[0]
+
+
+def test_field_terms():
+    cq = compile_query("site:example.com")
+    tid = cq.groups[0].term_ids[0]
+    assert tid == fielded_term_id(
+        hash64_lower_utf8("example.com"), prefix_hash("site"))
+    cq2 = compile_query("title:spark")
+    assert cq2.groups[0].field == "title"
+
+
+def test_boolean_parse_tree():
+    cq = compile_query("key AND (window OR stream)")
+    assert cq.boolean_expr is not None
+    root = cq.boolean_expr
+    assert root.op == "AND"
+    assert root.children[1].op == "OR"
+
+
+def test_boolean_not():
+    cq = compile_query("key AND NOT stream")
+    root = cq.boolean_expr
+    assert root.op == "AND"
+    assert root.children[1].op == "NOT"
+
+
+def test_plus_sign_required():
+    cq = compile_query("+key value")
+    assert all(g.required for g in cq.positive_groups)

@@ -1,0 +1,227 @@
+"""End-to-end engine tests: build -> query on a controlled corpus, scores
+checked against an independent in-Python BM25 computation; incremental /
+delete / compaction flows mirroring RdbListTest + PosdbTest scenarios."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from open_source_search_engine_spark.index.build import (
+    build_index,
+    compact_index,
+    delete_docs,
+)
+from open_source_search_engine_spark.query.executor import (
+    IndexReader,
+    search,
+    search_all,
+)
+
+DOCS = {
+    1: "spark shuffle partition merge",
+    2: "spark spark spark index",
+    3: "posting merge engine ranking spark",
+    4: "query engine score proximity",
+    5: "the one ranking",
+    6: "unrelated words entirely here",
+    7: "spark merge",
+}
+
+
+def _webtext_df(spark, docs=DOCS, suffix=""):
+    rows = []
+    for did, text in docs.items():
+        body = (text + suffix).strip()
+        html = f"<html><body><p>{body}</p></body></html>".encode()
+        rows.append(
+            {
+                "url": f"http://s{did % 3}.example/p/{did}.html",
+                "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=did),
+                "html": html,
+                "text": body,
+                "lang": "en",
+                "doc_id": did,
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _bm25_expected(docs, terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, tv in toks.items():
+        if not all(t in tv for t in terms):
+            continue
+        s = 0.0
+        for t in terms:
+            tf = tv.count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(tv) / avgdl))
+        out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_conf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(spark, _webtext_df(spark), d, conf=small_conf, gen=0)
+    return d
+
+
+def test_build_outputs(built, spark, small_conf):
+    rd = IndexReader(spark, built, small_conf)
+    assert rd.n_docs == len(DOCS)
+    lex = {r["term"] for r in rd.lexicon().collect()}
+    assert {"spark", "merge", "ranking"} <= lex
+    stats = {r["term_id"]: (r["df"], r["cf"]) for r in rd.term_stats().collect()}
+    from open_source_search_engine_spark.functions.gbhash import term_id
+    assert stats[term_id("spark")] == (4, 6)
+    assert stats[term_id("merge")] == (3, 3)
+
+
+def test_search_and_scores_match_bm25(built, spark, small_conf):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in search_all(spark, built, "spark merge",
+                            conf=small_conf).collect()
+    }
+    want = _bm25_expected(DOCS, ["spark", "merge"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_topk_ordering_and_tiebreak(built, spark, small_conf):
+    rows = search(spark, built, "spark", k=3, conf=small_conf).collect()
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 3
+
+
+def test_phrase_adjacency(built, spark, small_conf):
+    got = {r["doc_id"] for r in
+           search_all(spark, built, '"posting merge"',
+                      conf=small_conf).collect()}
+    assert got == {3}
+    # reversed order must not match
+    got2 = {r["doc_id"] for r in
+            search_all(spark, built, '"merge posting"',
+                       conf=small_conf).collect()}
+    assert got2 == set()
+
+
+def test_negative_term(built, spark, small_conf):
+    got = {r["doc_id"] for r in
+           search_all(spark, built, "spark -index", conf=small_conf).collect()}
+    assert got == {1, 3, 7}
+
+
+def test_boolean_query(built, spark, small_conf):
+    got = {r["doc_id"] for r in
+           search_all(spark, built, "spark AND (index OR shuffle)",
+                      conf=small_conf).collect()}
+    assert got == {1, 2}
+    got2 = {r["doc_id"] for r in
+            search_all(spark, built, "index OR proximity",
+                       conf=small_conf).collect()}
+    assert got2 == {2, 4}
+
+
+def test_field_site_query(built, spark, small_conf):
+    got = {r["doc_id"] for r in
+           search_all(spark, built, "site:s1.example",
+                      conf=small_conf).collect()}
+    assert got == {1, 4, 7}
+
+
+def test_unknown_term_empty(built, spark, small_conf):
+    assert search_all(spark, built, "zzznothere", conf=small_conf).count() == 0
+
+
+def test_incremental_newest_wins(spark, small_conf, tmp_index):
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf, gen=0)
+    # re-crawl doc 2 with different content
+    build_index(
+        spark,
+        _webtext_df(spark, {2: "totally different now"}),
+        tmp_index, conf=small_conf, gen=1)
+    got = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "different",
+                      conf=small_conf).collect()}
+    assert got == {2}
+    # the old content of doc 2 must be invisible (newest wins)
+    got2 = {r["doc_id"] for r in
+            search_all(spark, tmp_index, "index", conf=small_conf).collect()}
+    assert 2 not in got2
+
+
+def test_tombstone_then_compact(spark, small_conf, tmp_index):
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf, gen=0)
+    delete_docs(spark, tmp_index, [3], gen=1)
+    meta_p = os.path.join(tmp_index, "_index_meta.json")
+    meta = json.load(open(meta_p))
+    meta["gens"] = sorted(set(meta["gens"]) | {1})
+    json.dump(meta, open(meta_p, "w"))
+
+    got = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "merge", conf=small_conf).collect()}
+    assert got == {1, 7}  # doc 3 tombstoned
+
+    compact_index(spark, tmp_index, conf=small_conf)
+    rd = IndexReader(spark, tmp_index, small_conf)
+    assert rd.gens == [2]
+    assert rd.n_docs == len(DOCS) - 1
+    got2 = {r["doc_id"] for r in
+            search_all(spark, tmp_index, "merge", conf=small_conf).collect()}
+    assert got2 == {1, 7}
+
+
+def test_readd_after_tombstone(spark, small_conf, tmp_index):
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf, gen=0)
+    delete_docs(spark, tmp_index, [1], gen=1)
+    build_index(spark, _webtext_df(spark, {1: "phoenix rebirth"}),
+                tmp_index, conf=small_conf, gen=2)
+    got = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "phoenix", conf=small_conf).collect()}
+    assert got == {1}
+    # old content dead, tombstone overridden by newer gen
+    got2 = {r["doc_id"] for r in
+            search_all(spark, tmp_index, "shuffle", conf=small_conf).collect()}
+    assert 1 not in got2
+
+
+def test_resume_skips_completed_buckets(spark, small_conf, tmp_index):
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf, gen=0)
+    manifests = os.listdir(os.path.join(tmp_index, "_manifests"))
+    assert manifests
+    before = {
+        m: os.path.getmtime(os.path.join(tmp_index, "_manifests", m))
+        for m in manifests
+    }
+    # second run with resume must not rewrite completed buckets
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf,
+                gen=0, resume=True)
+    after = {
+        m: os.path.getmtime(os.path.join(tmp_index, "_manifests", m))
+        for m in os.listdir(os.path.join(tmp_index, "_manifests"))
+    }
+    assert before == after
+
+
+def test_build_metrics_lineage(built):
+    mdir = os.path.join(built, "_manifests")
+    for m in os.listdir(mdir):
+        rec = json.load(open(os.path.join(mdir, m)))
+        assert rec["status"] == "complete"
+        assert rec["n_postings"] > 0
+        assert "input" in rec and rec["bytes_out"] > 0

@@ -1,0 +1,119 @@
+"""Extraction tests (reference analog: XmlTest.cpp, PosTest.cpp entity
+cases, Xml.cpp:614-760 getText visibility rules)."""
+
+from __future__ import annotations
+
+from open_source_search_engine_spark.functions.extractor import (
+    decode_entities,
+    extract_headings,
+    extract_meta,
+    extract_text,
+    extract_title,
+    normalize_utf8,
+)
+
+
+def test_do_special_keeps_markup_entities_inert():
+    # XmlDoc.cpp:10046-10050: &lt;&gt;&amp; must not become live markup
+    s = decode_entities("a &amp; b &lt;i&gt; c")
+    assert s == "a &amp; b &lt;i&gt; c"
+
+
+def test_quot_becomes_apostrophe():
+    assert decode_entities("say &quot;hi&quot;") == "say 'hi'"
+
+
+def test_numeric_entities():
+    assert decode_entities("&#65;") == "A"
+    assert decode_entities("&#x42;") == "B"
+
+
+def test_unknown_entity_stays():
+    assert decode_entities("&nosuch;") == "&nosuch;"
+
+
+def test_smart_quotes_and_dashes_normalized():
+    s = normalize_utf8("‘a’ “b” x–y z—w s­y")
+    assert s == "'a' \"b\" x-y z-w s-y"
+
+
+def test_c1_controls_become_space():
+    assert normalize_utf8("ab") == "a b"
+
+
+def test_utf8_spaces_become_ascii():
+    assert normalize_utf8("a b c") == "a b c"
+
+
+HTML = (
+    b"<html><head><title>The Title</title>"
+    b"<style>.x{color:red}</style><script>var a=1;</script></head>"
+    b"<body><p>Hello world</p><select><option>n</option></select>"
+    b"<h1>Big Head</h1><h2>Small Head</h2>"
+    b'<meta name="keywords" content="alpha, beta">'
+    b"tail</body></html>"
+)
+
+
+def test_invisible_tags_excluded():
+    t = extract_text(HTML)
+    assert "color:red" not in t
+    assert "var a=1" not in t
+    assert "option" not in t and ">n<" not in t
+    assert "Hello world" in t
+
+
+def test_breaking_tags_make_paragraphs():
+    t = extract_text(b"<p>one</p><p>two</p>")
+    assert "one" in t and "two" in t
+    assert "\n\n" in t
+
+
+def test_inline_tags_do_not_break():
+    t = extract_text(b"<p>one <b>two</b> three</p>")
+    assert "one two three" in t
+
+
+def test_no_leading_break():
+    t = extract_text(b"<div><p>first</p></div>")
+    assert t.startswith("first")
+
+
+def test_title_heading_meta_extraction():
+    assert extract_title(HTML) == "The Title"
+    assert extract_headings(HTML) == ["Big Head", "Small Head"]
+    assert extract_meta(HTML, "keywords") == "alpha, beta"
+    assert extract_meta(HTML, "absent") == ""
+
+
+def test_charset_latin1():
+    raw = "smörgåsbord".encode("latin-1")
+    t = extract_text(b"<p>" + raw + b"</p>", charset="latin-1")
+    assert t == "smörgåsbord"
+
+
+def test_nul_and_invalid_bytes_become_spaces():
+    t = extract_text(b"<p>a\x00b\xff\xfec</p>")
+    assert "\x00" not in t
+    assert "a b" in t
+
+
+def test_entities_in_flow():
+    t = extract_text(b"<p>fish &amp; chips &#8217;s</p>")
+    assert "fish &amp; chips 's" == t
+
+
+def test_comment_and_doctype_skipped():
+    t = extract_text(b"<!DOCTYPE html><!-- hidden --><p>shown</p>")
+    assert t == "shown"
+    assert "hidden" not in t
+
+
+def test_idempotent_invariant():
+    """text == extract_text(html) is the per-row invariant; re-wrapping
+    extracted text must round-trip tokens."""
+    t = extract_text(HTML)
+    t2 = extract_text(("<html><body><p>" + t + "</p></body></html>")
+                      .encode("utf-8"))
+    # entity-inert forms survive unchanged
+    assert t2.split() == t.split()

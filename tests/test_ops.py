@@ -1,0 +1,228 @@
+"""Training-data ops tests: dedup / simhash / fingerprints / ANN /
+multimodal plumbing, checked against independent pandas/numpy math."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+TEXTS = {
+    1: "alpha beta gamma delta epsilon zeta",
+    2: "alpha beta gamma delta epsilon eta",   # near-dup of 1
+    3: "one two three four five six seven",
+    4: "alpha beta gamma delta epsilon zeta",  # exact dup of 1
+    5: "totally different content right here now",
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": k, "text": v, "lang": "en"} for k, v in TEXTS.items()]
+        )
+    )
+
+
+def _shingles(text, n=3):
+    ts = text.split()
+    return {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}
+
+
+def _jac(a, b):
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs):
+    from open_source_search_engine_spark.ops.dedup import exact_dup_groups
+
+    rows = exact_dup_groups(docs).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_dups"] == 2 and rows[0]["min_doc_id"] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    from open_source_search_engine_spark.ops.dedup import ngram_jaccard_pairs
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    want = {}
+    ids = sorted(TEXTS)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jv = _jac(TEXTS[i], TEXTS[j])
+                if jv >= 0.3:
+                    want[(i, j)] = round(jv, 4)
+    assert got == want
+
+
+def test_minhash_lsh_finds_all_pairs_here(docs):
+    from open_source_search_engine_spark.ops.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(docs, threshold=0.3).collect()}
+    # pairs here have jaccard >= 0.4: banding (32 perms, r=4) finds them
+    assert lsh == exact
+
+
+def test_simhash_near_dups_close(docs):
+    from open_source_search_engine_spark.ops.textstats import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    d_close = bin(sh[1] ^ sh[2]).count("1")
+    d_far = bin(sh[1] ^ sh[5]).count("1")
+    assert sh[1] == sh[4]  # identical text -> identical sketch
+    assert d_close < d_far
+
+
+def test_simhash_hamming_pairs(docs):
+    from open_source_search_engine_spark.ops.textstats import (
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    sh = simhash(docs)
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    want = set()
+    ids = sorted(vals)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(vals[i] ^ vals[j]).count("1") <= 3:
+                want.add((i, j))
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_hamming_pairs(sh, max_dist=3).collect()}
+    assert got == want
+    assert (1, 4) in got
+
+
+def test_fingerprint_order_sensitive(spark):
+    from open_source_search_engine_spark.ops.textstats import doc_fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "gamma beta alpha"},
+            {"doc_id": 3, "text": "alpha beta gamma"},
+        ]))
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # same bag, different order
+
+
+def test_token_stats(docs):
+    from open_source_search_engine_spark.ops.textstats import doc_token_stats
+
+    row = {r["doc_id"]: r for r in doc_token_stats(docs).collect()}
+    assert row[1]["n_tokens"] == 6
+    assert row[1]["n_types"] == 6
+    assert row[1]["ttr"] == 1.0
+    assert row[3]["n_tokens"] == 7
+
+
+def test_detect_language(spark):
+    from open_source_search_engine_spark.ops.textstats import detect_language
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"doc_id": 1, "text": "the cat sat on the mat and it was good"},
+            {"doc_id": 2, "text": "der hund ist nicht das problem und so"},
+            {"doc_id": 3, "text": "qqq www eee rrr"},
+        ]))
+    got = {r["doc_id"]: r["predicted_lang"]
+           for r in detect_language(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "xx"
+
+
+def test_ann_brute_force(spark):
+    from open_source_search_engine_spark.ops.ann import (
+        brute_force_topk,
+        cosine_scores,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": list(map(list, vecs))}))
+    q = [float(x) for x in vecs[0]]
+    got = {r["vec_id"]: r["cos"] for r in cosine_scores(emb, q).collect()}
+    qn = np.linalg.norm(np.array(q))
+    for i in range(50):
+        v = vecs[i].astype(np.float64)
+        want = float(v @ np.array(q) / (np.linalg.norm(v) * qn))
+        assert got[i] == pytest.approx(round(want, 4), abs=2e-4)
+    top = brute_force_topk(emb, q, 5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == 1.0
+    scores = [r["cos"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_lsh_contains_query_vector(spark):
+    from open_source_search_engine_spark.ops.ann import rp_lsh_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(80), "embedding": list(map(list, vecs))}))
+    q = [float(x) for x in vecs[3]]
+    top = rp_lsh_topk(emb, q, 5).collect()
+    # the identical vector always lands in the query's bucket
+    assert top[0]["vec_id"] == 3 and top[0]["cos"] == 1.0
+
+
+def test_multimodal_plumbing(docs):
+    from open_source_search_engine_spark.ops.multimodal import (
+        decode_image_meta,
+        decode_image_pixels,
+        to_binary_payload,
+    )
+
+    pay = to_binary_payload(docs)
+    meta = {r["doc_id"]: r for r in decode_image_meta(pay).collect()}
+    for did, text in TEXTS.items():
+        assert meta[did]["n_bytes"] == len(text)
+        assert meta[did]["width"] == len(text) % 640 + 1
+        assert meta[did]["format"] == "unknown"
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(pay)
+
+
+def test_format_sniffing():
+    from open_source_search_engine_spark.ops.multimodal import _sniff_format
+
+    assert _sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
+    assert _sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert _sniff_format(b"GIF89a") == "gif"
+    assert _sniff_format(b"plain") == "unknown"
+
+
+def test_minhash_coeffs_deterministic():
+    from open_source_search_engine_spark.ops.dedup import _perm_coeffs
+
+    a = _perm_coeffs(8)
+    b = _perm_coeffs(8)
+    assert a == b
+    assert len({c for c, _ in a}) == 8
+
+
+def test_hash60_matches_md5(spark):
+    from open_source_search_engine_spark.ops.textstats import hash60
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["key", "value", "zz"]}))
+    got = {r["t"]: r["h"] for r in
+           df.select("t", hash60(F.col("t")).alias("h")).collect()}
+    for t in ("key", "value", "zz"):
+        want = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        assert got[t] == want
