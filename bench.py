@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract): builds the inverted index over
+$SPARK_GRAFT_SF_DIR documents on local[$SPARK_GRAFT_CPUS], times the
+headline queries, prints ONE JSON line:
+
+  {"metric": ..., "value": <total secs>, "unit": "sec",
+   "queries": {name: secs, ...}, "sf": ...,
+   "build_secs": ..., "docs_per_sec": ..., "postings_per_sec": ...}
+
+The metric mirrors BASELINE.md: index-build throughput (docs/sec) +
+query latency over the built index. tools/scaling_bench.py runs this at
+two parallelism levels for the scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    keep = os.environ.get("OSSE_BENCH_KEEP_INDEX")
+
+    from open_source_search_engine_spark.session import get_spark
+
+    spark = get_spark(app="osse-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.ops.ann import brute_force_topk
+    from open_source_search_engine_spark.ops.dedup import minhash_lsh_pairs
+    from open_source_search_engine_spark.ops.textstats import simhash
+    from open_source_search_engine_spark.query.executor import (
+        IndexReader,
+        search,
+    )
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    t_all = time.time()
+    idx_dir = tempfile.mkdtemp(prefix="osse_bench_idx_")
+    timings: dict[str, float] = {}
+
+    # ---- warmup: spin up JVM codegen + the Python worker pool once so
+    # the measured numbers reflect steady-state throughput, not process
+    # cold-start (a long-lived cluster is always warm) ----
+    import pandas as _pd
+
+    def _noop(it):
+        from open_source_search_engine_spark.index import build  # noqa: F401
+        for pdf in it:
+            yield pdf
+
+    warm = spark.range(cpus * 4, numPartitions=cpus).mapInPandas(
+        _noop, schema="id long")
+    warm.groupBy((warm.id % 7).alias("k")).count().collect()
+
+    # ---- index build (fresh, resume off: measure real work) ----
+    t0 = time.time()
+    wt = webtext_from_documents(spark, sf_dir, body_only=True)
+    meta = build_index(spark, wt, idx_dir, resume=False)
+    build_secs = time.time() - t0
+    n_docs = meta["n_docs"]
+    n_postings = _total_postings(idx_dir)
+
+    rd = IndexReader(spark, idx_dir)
+    rd.avgdl  # warm the docs-side stats once (real serving would cache)
+
+    # ---- query latency: steady-state (2 runs, report the warm one; a
+    # serving deployment keeps plans + workers hot) ----
+    def timed(name, fn):
+        fn()
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 4)
+
+    timed("q_and_top10",
+          lambda: search(spark, idx_dir, "key window stream", k=10,
+                         reader=rd).collect())
+    timed("q_single_top10",
+          lambda: search(spark, idx_dir, "customer", k=10,
+                         reader=rd).collect())
+    timed("q_phrase",
+          lambda: search(spark, idx_dir, '"key value"', k=10,
+                         reader=rd).collect())
+    timed("q_bool",
+          lambda: search(spark, idx_dir, "key AND (window OR stream)",
+                         k=10, reader=rd).collect())
+    timed("q_not",
+          lambda: search(spark, idx_dir, "window -customer", k=10,
+                         reader=rd).collect())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    timed("op_minhash_lsh",
+          lambda: minhash_lsh_pairs(docs, threshold=0.5).collect())
+    timed("op_simhash", lambda: simhash(docs).count())
+    qv = [float(x)
+          for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    timed("op_ann_top10", lambda: brute_force_topk(emb, qv, 10).collect())
+
+    total = time.time() - t_all
+    out = {
+        "metric": ("index-build docs/sec + query latency "
+                   "(BM25 top-k over compressed posting segments)"),
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "build_secs": round(build_secs, 3),
+        "docs_per_sec": round(n_docs / build_secs, 2),
+        "postings_per_sec": round(n_postings / build_secs, 1),
+    }
+    if keep:
+        out["index_dir"] = idx_dir
+    else:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+def _total_postings(idx_dir: str) -> int:
+    import glob
+
+    total = 0
+    for m in glob.glob(os.path.join(idx_dir, "_manifests", "*.json")):
+        with open(m) as f:
+            total += json.load(f).get("n_postings", 0)
+    return total
+
+
+if __name__ == "__main__":
+    sys.exit(main())

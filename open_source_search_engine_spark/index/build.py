@@ -297,6 +297,9 @@ SEGMENT_SCHEMA = T.StructType(
         T.StructField("df", T.LongType()),
         T.StructField("cf", T.LongType()),
         T.StructField("max_tf", T.LongType()),
+        # blob size as a column so build metrics aggregate with column
+        # pruning (never re-reading the blobs themselves)
+        T.StructField("n_bytes", T.LongType()),
         T.StructField("postings", T.BinaryType()),
     ]
 )
@@ -333,6 +336,7 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
                 "df": int(len(uniq)),
                 "cf": int(len(doc_ids)),
                 "max_tf": int(counts.max()),
+                "n_bytes": len(blob),
                 "postings": blob,
             }
         ]
@@ -405,12 +409,14 @@ def build_index(
     )
 
     if not resume or not _parquet_exists(p_stats):
+        # two-level partial agg beats countDistinct's expand rewrite: the
+        # map-side combine on (term_id, doc_id) collapses each doc's tf
+        # before the shuffle (a doc's positions for a term are co-located)
         (
-            postings.groupBy("term_id")
-            .agg(
-                F.countDistinct("doc_id").alias("df"),
-                F.count("*").alias("cf"),
-            )
+            postings.groupBy("term_id", "doc_id")
+            .agg(F.count("*").alias("tf"))
+            .groupBy("term_id")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
             .write.mode("overwrite")
             .parquet(p_stats)
         )
@@ -460,14 +466,15 @@ def build_index(
             .partitionBy("bucket")
             .parquet(out)
         )
-        # per-bucket manifest: lineage + metrics (north rule)
+        # per-bucket manifest: lineage + metrics (north rule). The stats
+        # scan column-prunes to (bucket, cf, n_bytes) — blobs not read.
         seg_stats = (
             spark.read.parquet(out)
             .groupBy("bucket")
             .agg(
                 F.count("*").alias("n_terms"),
                 F.sum("cf").alias("n_postings"),
-                F.sum(F.length("postings")).alias("bytes_out"),
+                F.sum("n_bytes").alias("bytes_out"),
             )
             .collect()
         )
@@ -613,6 +620,7 @@ def compact_index(spark: SparkSession, index_dir: str,
                     "df": int(len(keep)),
                     "cf": int(k_tf.sum()),
                     "max_tf": int(k_tf.max()),
+                    "n_bytes": len(blob),
                     "postings": blob,
                     "gen": max_gen,
                 }

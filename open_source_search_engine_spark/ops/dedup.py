@@ -32,7 +32,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import hash60, tokens_col
+from .textstats import hash60, spread, tokens_col
 
 MERSENNE_P = (1 << 31) - 1  # modulus for the minhash permutation family
 # (2^31-1 keeps a*x+b < 2^62, int64-safe in SQL on every engine; per-perm
@@ -59,7 +59,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
     )
     return (
-        docs.where(F.size(ts) >= n)
+        spread(docs).where(F.size(ts) >= n)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
 
@@ -173,7 +173,7 @@ def minhash_lsh_pairs(
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        cands.join(a_sh, "doc_a")
+        a_sh.join(F.broadcast(cands), "doc_a")
         .join(b_sh, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))

@@ -36,6 +36,18 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure the frame has at least defaultParallelism partitions before
+    an explode/groupBy-heavy stage: small test corpora arrive as a single
+    parquet split which would serialize the whole op on one core. No-op
+    (no shuffle) when the input is already well partitioned."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
@@ -72,7 +84,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     usable as an exact-dup content checksum like the reference's nosplit
     content-hash dedup terms (XmlDoc_Indexing.cpp:156 hashNoSplit)."""
     two60 = 1 << 60
-    ex = docs.select(
+    ex = spread(docs).select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
     ).select(
         "doc_id",
@@ -98,7 +110,7 @@ def simhash(docs: DataFrame, bits: int = HASH60_BITS) -> DataFrame:
     token hashes. Bit b of the sketch is 1 iff more token occurrences
     have bit b set than clear (ties -> 0). Near-dup docs land at small
     hamming distance; used with `hamming_pairs` for near-dup mining."""
-    ex = docs.select(
+    ex = spread(docs).select(
         "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
     ).select("doc_id", hash60(F.col("tok")).alias("h"))
     aggs = [

@@ -325,10 +325,15 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     tids = [g.term_ids[0] for g in pos_groups]
     dfs = rd.df_of(tids)
 
-    # rarest-first candidate pruning (PosdbTable.cpp:5374):
+    # rarest-first candidate pruning (PosdbTable.cpp:5374): prefetching
+    # the rarest term's doc set pays off only when it is much smaller
+    # than the other lists (it costs one extra decode of that list); on
+    # flat-df queries skip straight to the joint decode
     rarest_tid = min(tids, key=lambda t: dfs[t])
     candidates = None
-    if len(tids) > 1 and 0 < dfs[rarest_tid] <= 200_000:
+    selective = (len(tids) > 1 and 0 < dfs[rarest_tid] <= 200_000
+                 and dfs[rarest_tid] * 10 <= max(dfs.values()))
+    if selective:
         cand_rows = (
             rd.postings([rarest_tid])
             .select("doc_id").distinct().collect()

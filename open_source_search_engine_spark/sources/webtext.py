@@ -191,6 +191,12 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if doc_filter is not None:
         docs = docs.where(doc_filter)
+    # small sf dirs arrive as one parquet file = one partition; spread the
+    # Python render+parse work across the executor cores (at real scale
+    # the source table already has many splits and this is a no-op)
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     schema = WEBTEXT_DOCID_SCHEMA if keep_doc_id else WEBTEXT_SCHEMA
 
     def render(iterator):
