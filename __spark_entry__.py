@@ -204,6 +204,21 @@ def q_search_after_delete(spark, sf_dir):
     return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
 
 
+def q_search_site_clustered(spark, sf_dir):
+    """Query-time site clustering: max 2 results per site (Msg51 analog),
+    every surviving doc (no top-k boundary)."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_clustered(spark, d, "key", k=None, max_per_site=2)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from open_source_search_engine_spark.ops.dedup import exact_dup_groups
 
@@ -310,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_not": q_search_not,
         "search_bool": q_search_bool,
         "search_field_site": q_search_field_site,
+        "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
@@ -522,6 +538,21 @@ having bool_or(tf.tok = 'key')
 """,
         "search_field_site": """
 select doc_id::bigint as doc_id from documents where doc_id % 97 = 3
+""",
+        "search_site_clustered": f"""{_bm25_cte()},
+scored as (
+  select tf.doc_id as doc_id, sum({_bm25_score()}) as score
+  from tf
+  join stats on stats.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok in ('key')
+  group by tf.doc_id
+)
+select doc_id::bigint as doc_id, round(score, 6) as score
+from scored
+qualify row_number() over (partition by doc_id % 97
+                           order by score desc, doc_id asc) <= 2
 """,
         "search_incremental": """
 select doc_id::bigint as doc_id from documents

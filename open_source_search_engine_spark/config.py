@@ -33,6 +33,7 @@ class EngineConf:
     termfreq_max: float = 0.5
     termfreq_weight_min: float = 1.0  # weight at min
     termfreq_weight_max: float = 0.5  # weight at max
+    syn_weight: float = 0.9  # synonym/variant weight (SearchInput.cpp:74)
 
     # build partitioning / skew (SURVEY.md §4.4; north rule salted-key
     # splitting for stopword-heavy postings)

@@ -47,7 +47,9 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 _DECODED_POS_SCHEMA = T.StructType(
-    _DECODED_SCHEMA.fields + [T.StructField("positions", T.ArrayType(T.IntegerType()))]
+    _DECODED_SCHEMA.fields
+    + [T.StructField("positions", T.ArrayType(T.IntegerType())),
+       T.StructField("ctxs", T.ArrayType(T.IntegerType()))]
 )
 
 
@@ -223,8 +225,12 @@ class IndexReader:
                         ends = np.cumsum(tfs)
                         starts = ends - tfs
                         pos = d["positions"].astype(np.int32)
+                        cxs = d["ctxs"].astype(np.int32)
                         frame["positions"] = [
                             pos[s:e].tolist() for s, e in zip(starts, ends)
+                        ]
+                        frame["ctxs"] = [
+                            cxs[s:e].tolist() for s, e in zip(starts, ends)
                         ]
                     if mask is not None:
                         frame = frame[mask]
@@ -296,6 +302,8 @@ def search(
     cq = compile_query(query)
     if cq.boolean_expr is not None:
         return _search_boolean(spark, rd, cq, k, conf)
+    if conf.scorer == "reference":
+        return _search_reference(spark, rd, cq, k, conf)
     return _search_default(spark, rd, cq, k, conf)
 
 
@@ -308,6 +316,39 @@ def search_all(
 ) -> DataFrame:
     """All matching docs with scores (no top-k cutoff)."""
     return search(spark, index_dir, query, k=None, conf=conf, reader=reader)
+
+
+def search_clustered(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int | None = 10,
+    max_per_site: int = 2,
+    conf: EngineConf = DEFAULT_CONF,
+    reader: IndexReader | None = None,
+) -> DataFrame:
+    """Site-clustered search: at most max_per_site results per site,
+    ranked (score DESC, doc_id ASC) within and across sites — the
+    query-time site clustering of Msg51/clusterdb (Msg51.h:20-92;
+    'row_number over site' per SURVEY.md §2.5). k=None returns every
+    surviving doc."""
+    from pyspark.sql import Window
+
+    rd = reader or IndexReader(spark, index_dir, conf)
+    base = search(spark, index_dir, query, k=None, conf=conf, reader=rd)
+    sites = rd.docs().select("doc_id", "site_id")
+    w = (
+        Window.partitionBy("site_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    out = (
+        base.join(sites, "doc_id")
+        .withColumn("site_rn", F.row_number().over(w))
+        .where(F.col("site_rn") <= max_per_site)
+        .drop("site_rn", "site_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return out.limit(k) if k is not None else out
 
 
 def _group_primary_tids(cq: CompiledQuery) -> list[int]:
@@ -415,7 +456,55 @@ def _apply_phrase_filter(scored: DataFrame, cq: CompiledQuery) -> DataFrame:
         keep = docs_ok if keep is None else keep.join(docs_ok, "doc_id", "inner")
     if keep is not None:
         scored = scored.join(keep, "doc_id", "left_semi")
-    return scored.drop("positions")
+    return scored.drop("positions", "ctxs")
+
+
+def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
+                      k: int | None, conf: EngineConf) -> DataFrame:
+    """Reference-scorer path (SURVEY.md §4.6): decode positions + context
+    bytes, score each candidate doc with the Gigablast position/context
+    formula (refscore.score_doc) inside a grouped pandas stage, combine
+    with the site-rank multiplier, global top-k. AND semantics over the
+    positive groups (the reference's docid-vote intersection,
+    PosdbTable.cpp:2110-2196)."""
+    from .refscore import ScoringWeights, score_doc, term_freq_weight
+
+    pos_groups = cq.positive_groups
+    if not pos_groups:
+        return spark.createDataFrame([], "doc_id long, score double")
+    tids = [g.term_ids[0] for g in pos_groups]
+    qpos = {int(g.term_ids[0]): g.qpos for g in pos_groups}
+    dfs = rd.df_of(tids)
+    n = rd.n_docs
+    tfw = {int(t): term_freq_weight(dfs[t], n, conf) for t in tids}
+    weights = ScoringWeights(conf)
+    n_req = len(set(tids))
+
+    posts = rd.postings(tids, with_positions=True)
+    if cq.negative_groups:
+        neg_tids = [g.term_ids[0] for g in cq.negative_groups]
+        neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
+        posts = posts.join(neg_docs, "doc_id", "left_anti")
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["term_id"].nunique() < n_req:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        term_data, tfws, qdists = [], [], []
+        for tid, sub in pdf.groupby("term_id"):
+            pos = np.concatenate([np.asarray(p) for p in sub["positions"]])
+            ctx = np.concatenate([np.asarray(c) for c in sub["ctxs"]])
+            term_data.append((pos, ctx))
+            tfws.append(tfw[int(tid)])
+            qdists.append(qpos[int(tid)])
+        site_rank = int(pdf["rank"].iloc[0]) >> 6
+        s = score_doc(term_data, tfws, qdists, site_rank, weights)
+        return pd.DataFrame(
+            [{"doc_id": int(pdf["doc_id"].iloc[0]), "score": float(s)}])
+
+    scored = posts.groupBy("doc_id").applyInPandas(
+        score_group, schema="doc_id long, score double")
+    out = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k is not None else out
 
 
 def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
