@@ -1,37 +1,46 @@
-"""Posting-list blob codec: docID-delta varint + positions + packed context.
+"""Posting-list blob codec: docID-delta varint + positions + packed
+context, with per-block skip pointers and block-max metadata.
 
-The reference compresses posting lists with 3-tier key truncation: 18 bytes
-for a new termId, 12 for a new docId under the same termId, 6 for another
-position of the same (termId, docId) (``Posdb.h:44-48, 228-233``;
-merge-time preservation ``RdbList.cpp:2154 posdbMerge_r``). Our equivalent
-(SURVEY.md §1.2, §7): one blob per (term_id [, salt]) holding
+The reference compresses posting lists with 3-tier key truncation: 18
+bytes for a new termId, 12 for a new docId under the same termId, 6 for
+another position of the same (termId, docId) (``Posdb.h:44-48, 228-233``;
+merge-time preservation ``RdbList.cpp:2154 posdbMerge_r``), and keeps a
+sparse per-file key->offset map (``RdbMap.cpp``) so scans seek instead of
+reading whole files. Our equivalent (SURVEY.md §1.2, §7) is one blob per
+(term_id [, salt]) laid out in 128-doc blocks:
 
-    header:  version u8 | n_docs varint
-    docs:    delta-varint(doc_id ascending)
-    tfs:     varint(tf per doc)
-    doclens: varint (body token count per doc, for BM25 dl)
-    blockmax:for each 128-doc block: varint(max_tf), varint(min_dl)
-    pos:     per doc, tf * delta-varint(wordpos ascending)
-    ctx:     per doc, tf * 3-byte packed context
-             (hg 4b | density 5b | diversity 4b | wordspam 4b | syn 2b,
-              field widths from Posdb.h:64-86)
-    extra:   per doc varint(siterank<<6|langid) — key rank bits
-             (Posdb.h:3-27 r/g bits)
+    header:   version u8 | varint n_docs
+    block meta (7 varint arrays of nblocks entries each):
+      block_base   first docId of each block (absolute)   } RdbMap analog
+      bmax_tf      max tf in block                        } block-max
+      bmin_dl      min doclen in block                    }   (WAND)
+      doc_bytes    encoded size of the block's doc-delta span
+      tfdl_bytes   encoded size of the block's tf + doclen + rank span
+      pos_bytes    encoded size of the block's position-delta span
+      npos         number of positions (sum tf) in block
+    streams (per block, concatenated in block order):
+      docs:     delta varints, first delta of each block relative to
+                block_base (so any block decodes standalone)
+      tf/dl/rank: varints, grouped per block (tf*, dl*, rank*)
+      pos:      delta varints, reset at each doc start
+      ctx:      3 bytes per position (hg 4b | density 5b | diversity 4b |
+                wordspam 4b | syn 2b; field widths Posdb.h:64-86)
 
-All encode/decode is numpy-vectorized (no per-value Python loops) so a
-single executor core sustains millions of postings/sec; blobs are stored
-in a parquet/Iceberg ``segments`` table.
+The block meta decodes in O(nblocks) without touching the streams, so a
+reader can (a) skip straight to blocks intersecting a candidate docId
+set (skip pointers = RdbMap seek) and (b) skip blocks whose BM25 upper
+bound (from bmax_tf/bmin_dl) can't reach the current top-k threshold
+(block-max WAND, PosdbTable.cpp:4494 getMaxPossibleScore analog).
 
-Block-max metadata powers block-max WAND at query time
-(``PosdbTable.cpp:4494 getMaxPossibleScore`` analog; SURVEY.md §4.2).
+All encode/decode is numpy-vectorized; python loops only over blocks.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-CODEC_VERSION = 1
-BLOCK = 128  # docs per block-max block
+CODEC_VERSION = 2
+BLOCK = 128  # docs per block
 
 
 def _varint_encode(values: np.ndarray) -> np.ndarray:
@@ -39,12 +48,6 @@ def _varint_encode(values: np.ndarray) -> np.ndarray:
     v = values.astype(np.uint64, copy=True)
     if len(v) == 0:
         return np.empty(0, dtype=np.uint8)
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(len(v), dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    # bit_length via log2 is unsafe at 2^53; use a loop over the 10 possible
-    # byte counts instead (bounded, vectorized inside)
     nbytes = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
@@ -55,7 +58,6 @@ def _varint_encode(values: np.ndarray) -> np.ndarray:
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    # write byte k of every value that has >= k+1 bytes
     maxb = int(nbytes.max())
     idx = starts.copy()
     shifted = v.copy()
@@ -70,6 +72,18 @@ def _varint_encode(values: np.ndarray) -> np.ndarray:
     return out
 
 
+def _varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded length (bytes) without encoding."""
+    v = values.astype(np.uint64, copy=True)
+    nbytes = np.ones(len(v), dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nz = tmp > 0
+        nbytes[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
 def _varint_decode(buf: np.ndarray, count: int, offset: int) -> tuple[np.ndarray, int]:
     """Vectorized LEB128 decode of `count` values starting at `offset`.
     Returns (values uint64, new_offset)."""
@@ -77,7 +91,6 @@ def _varint_decode(buf: np.ndarray, count: int, offset: int) -> tuple[np.ndarray
         return np.empty(0, dtype=np.uint64), offset
     data = buf[offset:]
     cont = (data & 0x80) != 0
-    # terminator positions: bytes with high bit clear
     term_idx = np.flatnonzero(~cont)
     if len(term_idx) < count:
         raise ValueError("varint stream truncated")
@@ -96,6 +109,10 @@ def _varint_decode(buf: np.ndarray, count: int, offset: int) -> tuple[np.ndarray
     return vals, offset + used
 
 
+def _block_slices(n: int) -> list[tuple[int, int]]:
+    return [(s, min(s + BLOCK, n)) for s in range(0, n, BLOCK)]
+
+
 def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -104,135 +121,240 @@ def encode_postings(
     ctxs: np.ndarray,
     ranks: np.ndarray,
 ) -> bytes:
-    """Encode one term's postings. Inputs:
-    doc_ids/tfs/doclens/ranks: per-doc arrays (doc_ids ascending);
-    positions/ctxs: flattened per-position arrays grouped by doc, positions
-    ascending within each doc."""
+    """Encode one term's postings (inputs as in the module docstring;
+    doc_ids ascending, positions ascending within each doc)."""
     nd = len(doc_ids)
     doc_ids = doc_ids.astype(np.uint64)
     tfs = tfs.astype(np.uint64)
-    header = np.frombuffer(bytes([CODEC_VERSION]), dtype=np.uint8)
-    parts = [header, _varint_encode(np.array([nd], dtype=np.uint64))]
-    if nd:
-        deltas = np.empty(nd, dtype=np.uint64)
-        deltas[0] = doc_ids[0]
-        deltas[1:] = doc_ids[1:] - doc_ids[:-1]
-        parts.append(_varint_encode(deltas))
-        parts.append(_varint_encode(tfs))
-        parts.append(_varint_encode(doclens.astype(np.uint64)))
-        # block-max: per 128-doc block max tf and min doclen
-        nblocks = (nd + BLOCK - 1) // BLOCK
-        pad = nblocks * BLOCK - nd
-        tf_p = np.pad(tfs, (0, pad), constant_values=0).reshape(nblocks, BLOCK)
-        dl_p = np.pad(
-            doclens.astype(np.uint64), (0, pad),
-            constant_values=np.iinfo(np.uint64).max if pad else 0,
-        ).reshape(nblocks, BLOCK)
-        if pad:
-            dl_p[-1, BLOCK - pad:] = dl_p[-1, : BLOCK - pad].max(initial=1)
-        parts.append(_varint_encode(tf_p.max(axis=1)))
-        parts.append(_varint_encode(dl_p.min(axis=1)))
-        # positions: delta within doc; first position of each doc absolute
-        pos = positions.astype(np.uint64)
-        if len(pos):
-            pdelta = np.empty(len(pos), dtype=np.uint64)
-            pdelta[0] = pos[0]
-            pdelta[1:] = pos[1:] - pos[:-1]
-            # reset delta at doc starts
-            starts = np.zeros(nd, dtype=np.int64)
-            starts[1:] = np.cumsum(tfs[:-1]).astype(np.int64)
-            pdelta[starts] = pos[starts]
-            parts.append(_varint_encode(pdelta))
-            # ctx: 3 bytes each, little-endian of 19-bit packed value
-            c = ctxs.astype(np.uint32)
-            cb = np.empty((len(c), 3), dtype=np.uint8)
-            cb[:, 0] = c & 0xFF
-            cb[:, 1] = (c >> 8) & 0xFF
-            cb[:, 2] = (c >> 16) & 0xFF
-            parts.append(cb.ravel())
-        parts.append(_varint_encode(ranks.astype(np.uint64)))
+    doclens = doclens.astype(np.uint64)
+    ranks = ranks.astype(np.uint64)
+    parts = [np.frombuffer(bytes([CODEC_VERSION]), dtype=np.uint8),
+             _varint_encode(np.array([nd], dtype=np.uint64))]
+    if nd == 0:
+        return b"".join(p.tobytes() for p in parts)
+
+    blocks = _block_slices(nd)
+    nb = len(blocks)
+
+    # doc deltas with per-block reset against block_base
+    deltas = np.empty(nd, dtype=np.uint64)
+    deltas[0] = 0
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    block_base = np.array([doc_ids[s] for s, _ in blocks], dtype=np.uint64)
+    for s, _ in blocks:
+        deltas[s] = 0  # block_base carries the absolute value
+
+    # position deltas, reset at each doc start
+    pos = positions.astype(np.uint64)
+    npos_total = int(tfs.sum())
+    if npos_total:
+        pdelta = np.empty(npos_total, dtype=np.uint64)
+        pdelta[0] = pos[0]
+        pdelta[1:] = pos[1:] - pos[:-1]
+        doc_starts = np.zeros(nd, dtype=np.int64)
+        doc_starts[1:] = np.cumsum(tfs[:-1]).astype(np.int64)
+        pdelta[doc_starts] = pos[doc_starts]
+    else:
+        pdelta = np.empty(0, dtype=np.uint64)
+
+    # per-block stats + stream byte lengths
+    pos_cum = np.zeros(nd + 1, dtype=np.int64)
+    pos_cum[1:] = np.cumsum(tfs).astype(np.int64)
+    d_len = _varint_nbytes(deltas)
+    t_len = _varint_nbytes(tfs)
+    l_len = _varint_nbytes(doclens)
+    r_len = _varint_nbytes(ranks)
+    p_len = _varint_nbytes(pdelta) if npos_total else np.empty(0, dtype=np.int64)
+
+    bmax_tf = np.empty(nb, dtype=np.uint64)
+    bmin_dl = np.empty(nb, dtype=np.uint64)
+    doc_bytes = np.empty(nb, dtype=np.uint64)
+    tfdl_bytes = np.empty(nb, dtype=np.uint64)
+    pos_bytes = np.empty(nb, dtype=np.uint64)
+    npos_blk = np.empty(nb, dtype=np.uint64)
+    for bi, (s, e) in enumerate(blocks):
+        bmax_tf[bi] = tfs[s:e].max()
+        bmin_dl[bi] = doclens[s:e].min()
+        doc_bytes[bi] = d_len[s:e].sum()
+        tfdl_bytes[bi] = t_len[s:e].sum() + l_len[s:e].sum() + r_len[s:e].sum()
+        ps, pe = pos_cum[s], pos_cum[e]
+        pos_bytes[bi] = p_len[ps:pe].sum() if npos_total else 0
+        npos_blk[bi] = pe - ps
+
+    for arr in (block_base, bmax_tf, bmin_dl, doc_bytes, tfdl_bytes,
+                pos_bytes, npos_blk):
+        parts.append(_varint_encode(arr))
+
+    # streams: docs, then per-block (tf*, dl*, rank*), then pos, then ctx
+    parts.append(_varint_encode(deltas))
+    for s, e in blocks:
+        parts.append(_varint_encode(tfs[s:e]))
+        parts.append(_varint_encode(doclens[s:e]))
+        parts.append(_varint_encode(ranks[s:e]))
+    if npos_total:
+        parts.append(_varint_encode(pdelta))
+        c = ctxs.astype(np.uint32)
+        cb = np.empty((len(c), 3), dtype=np.uint8)
+        cb[:, 0] = c & 0xFF
+        cb[:, 1] = (c >> 8) & 0xFF
+        cb[:, 2] = (c >> 16) & 0xFF
+        parts.append(cb.ravel())
     return b"".join(p.tobytes() for p in parts)
+
+
+class BlockMeta:
+    """Decoded block directory of a blob (O(nblocks), streams untouched)."""
+
+    __slots__ = ("n_docs", "nblocks", "block_base", "bmax_tf", "bmin_dl",
+                 "doc_bytes", "tfdl_bytes", "pos_bytes", "npos",
+                 "streams_off", "buf")
+
+    def __init__(self, blob: bytes):
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        if buf[0] != CODEC_VERSION:
+            raise ValueError(f"bad codec version {buf[0]}")
+        off = 1
+        nd_arr, off = _varint_decode(buf, 1, off)
+        self.n_docs = int(nd_arr[0])
+        self.buf = buf
+        if self.n_docs == 0:
+            self.nblocks = 0
+            z = np.empty(0, dtype=np.uint64)
+            self.block_base = self.bmax_tf = self.bmin_dl = z
+            self.doc_bytes = self.tfdl_bytes = self.pos_bytes = self.npos = z
+            self.streams_off = off
+            return
+        nb = (self.n_docs + BLOCK - 1) // BLOCK
+        self.nblocks = nb
+        self.block_base, off = _varint_decode(buf, nb, off)
+        self.bmax_tf, off = _varint_decode(buf, nb, off)
+        self.bmin_dl, off = _varint_decode(buf, nb, off)
+        self.doc_bytes, off = _varint_decode(buf, nb, off)
+        self.tfdl_bytes, off = _varint_decode(buf, nb, off)
+        self.pos_bytes, off = _varint_decode(buf, nb, off)
+        self.npos, off = _varint_decode(buf, nb, off)
+        self.streams_off = off
+
+    def block_doc_count(self, bi: int) -> int:
+        s = bi * BLOCK
+        return min(BLOCK, self.n_docs - s)
+
+
+def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
+                  meta: BlockMeta | None = None) -> dict:
+    """Decode the selected blocks (all when block_idx is None) into flat
+    arrays. Skipped blocks cost zero stream decoding (skip pointers)."""
+    m = meta or BlockMeta(blob)
+    buf = m.buf
+    if m.n_docs == 0:
+        z = np.empty(0, dtype=np.uint64)
+        return {"doc_ids": z, "tfs": z, "doclens": z, "ranks": z,
+                "positions": z, "ctxs": z,
+                "block_max_tf": m.bmax_tf, "block_min_dl": m.bmin_dl,
+                "blocks_decoded": 0}
+    sel = (list(range(m.nblocks)) if block_idx is None
+           else sorted(int(b) for b in block_idx))
+    doc_off = np.zeros(m.nblocks + 1, dtype=np.int64)
+    doc_off[1:] = np.cumsum(m.doc_bytes).astype(np.int64)
+    tfdl_off = np.zeros(m.nblocks + 1, dtype=np.int64)
+    tfdl_off[1:] = np.cumsum(m.tfdl_bytes).astype(np.int64)
+    pos_off = np.zeros(m.nblocks + 1, dtype=np.int64)
+    pos_off[1:] = np.cumsum(m.pos_bytes).astype(np.int64)
+    npos_off = np.zeros(m.nblocks + 1, dtype=np.int64)
+    npos_off[1:] = np.cumsum(m.npos).astype(np.int64)
+
+    docs_base = m.streams_off
+    tfdl_base = docs_base + int(doc_off[-1])
+    pos_base = tfdl_base + int(tfdl_off[-1])
+    ctx_base = pos_base + int(pos_off[-1])
+
+    out_docs, out_tfs, out_dls, out_rks = [], [], [], []
+    out_pos, out_ctx = [], []
+    for bi in sel:
+        cnt = m.block_doc_count(bi)
+        d, _ = _varint_decode(buf, cnt, docs_base + int(doc_off[bi]))
+        docs = np.cumsum(d, dtype=np.uint64) + m.block_base[bi]
+        o = tfdl_base + int(tfdl_off[bi])
+        tf, o = _varint_decode(buf, cnt, o)
+        dl, o = _varint_decode(buf, cnt, o)
+        rk, o = _varint_decode(buf, cnt, o)
+        out_docs.append(docs)
+        out_tfs.append(tf)
+        out_dls.append(dl)
+        out_rks.append(rk)
+        if with_positions:
+            npos = int(m.npos[bi])
+            pd, _ = _varint_decode(buf, npos, pos_base + int(pos_off[bi]))
+            # reconstruct absolute positions: cumsum reset at doc starts
+            starts = np.zeros(cnt, dtype=np.int64)
+            starts[1:] = np.cumsum(tf[:-1]).astype(np.int64)
+            csum = np.cumsum(pd, dtype=np.uint64)
+            base = np.repeat(np.arange(cnt), tf.astype(np.int64))
+            start_csum = csum[starts[base]] - pd[starts[base]]
+            out_pos.append(csum - start_csum)
+            cs = ctx_base + 3 * int(npos_off[bi])
+            cb = buf[cs: cs + 3 * npos].reshape(npos, 3).astype(np.uint32)
+            out_ctx.append(cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16))
+    cat = (lambda lst, dt=np.uint64: np.concatenate(lst)
+           if lst else np.empty(0, dtype=dt))
+    return {
+        "doc_ids": cat(out_docs), "tfs": cat(out_tfs),
+        "doclens": cat(out_dls), "ranks": cat(out_rks),
+        "positions": cat(out_pos), "ctxs": cat([c.astype(np.uint64) for c in out_ctx]),
+        "block_max_tf": m.bmax_tf, "block_min_dl": m.bmin_dl,
+        "blocks_decoded": len(sel),
+    }
 
 
 def decode_postings(blob: bytes) -> dict:
     """Full decode -> dict of numpy arrays (inverse of encode_postings)."""
-    buf = np.frombuffer(blob, dtype=np.uint8)
-    if buf[0] != CODEC_VERSION:
-        raise ValueError(f"bad codec version {buf[0]}")
-    off = 1
-    nd_arr, off = _varint_decode(buf, 1, off)
-    nd = int(nd_arr[0])
-    if nd == 0:
-        z = np.empty(0, dtype=np.uint64)
-        return {"doc_ids": z, "tfs": z, "doclens": z, "block_max_tf": z,
-                "block_min_dl": z, "positions": z, "ctxs": z, "ranks": z}
-    deltas, off = _varint_decode(buf, nd, off)
-    doc_ids = np.cumsum(deltas, dtype=np.uint64)
-    tfs, off = _varint_decode(buf, nd, off)
-    doclens, off = _varint_decode(buf, nd, off)
-    nblocks = (nd + BLOCK - 1) // BLOCK
-    bmax_tf, off = _varint_decode(buf, nblocks, off)
-    bmin_dl, off = _varint_decode(buf, nblocks, off)
-    npos = int(tfs.sum())
-    pdelta, off = _varint_decode(buf, npos, off)
-    positions = np.cumsum(pdelta, dtype=np.uint64)
-    # undo the per-doc reset: recompute with doc-start breaks
-    starts = np.zeros(nd, dtype=np.int64)
-    starts[1:] = np.cumsum(tfs[:-1]).astype(np.int64)
-    if npos:
-        # positions within each doc are cumsum of deltas from doc start
-        base = np.repeat(np.arange(nd), tfs.astype(np.int64))
-        grp_start = starts[base]
-        csum = np.cumsum(pdelta, dtype=np.uint64)
-        start_csum = np.zeros(npos, dtype=np.uint64)
-        start_csum = csum[grp_start] - pdelta[grp_start]
-        positions = csum - start_csum
-    cb = buf[off: off + 3 * npos].reshape(npos, 3).astype(np.uint32)
-    ctxs = cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
-    off += 3 * npos
-    ranks, off = _varint_decode(buf, nd, off)
-    return {
-        "doc_ids": doc_ids, "tfs": tfs, "doclens": doclens,
-        "block_max_tf": bmax_tf, "block_min_dl": bmin_dl,
-        "positions": positions, "ctxs": ctxs, "ranks": ranks,
-    }
+    return decode_blocks(blob, None, with_positions=True)
 
 
 def decode_headers(blob: bytes) -> dict:
-    """Decode only doc_ids/tfs/doclens/block-max (skip positions/ctx) —
-    the BM25 fast path; positions are only needed for phrase/proximity."""
-    buf = np.frombuffer(blob, dtype=np.uint8)
-    if buf[0] != CODEC_VERSION:
-        raise ValueError(f"bad codec version {buf[0]}")
-    off = 1
-    nd_arr, off = _varint_decode(buf, 1, off)
-    nd = int(nd_arr[0])
-    if nd == 0:
-        z = np.empty(0, dtype=np.uint64)
-        return {"doc_ids": z, "tfs": z, "doclens": z,
-                "block_max_tf": z, "block_min_dl": z}
-    deltas, off = _varint_decode(buf, nd, off)
-    doc_ids = np.cumsum(deltas, dtype=np.uint64)
-    tfs, off = _varint_decode(buf, nd, off)
-    doclens, off = _varint_decode(buf, nd, off)
-    nblocks = (nd + BLOCK - 1) // BLOCK
-    bmax_tf, off = _varint_decode(buf, nblocks, off)
-    bmin_dl, off = _varint_decode(buf, nblocks, off)
-    return {"doc_ids": doc_ids, "tfs": tfs, "doclens": doclens,
-            "block_max_tf": bmax_tf, "block_min_dl": bmin_dl}
+    """Decode doc_ids/tfs/doclens/ranks (+ block-max) for every block —
+    the BM25 fast path; positions only for phrase/proximity."""
+    return decode_blocks(blob, None, with_positions=False)
+
+
+def blocks_for_candidates(meta: BlockMeta, candidates: np.ndarray) -> np.ndarray:
+    """Indices of blocks whose docId range intersects the sorted
+    candidate array (skip-pointer seek; RdbMap::getKey analog)."""
+    if meta.nblocks == 0 or len(candidates) == 0:
+        return np.empty(0, dtype=np.int64)
+    base = meta.block_base.astype(np.uint64)
+    # block bi covers [base[bi], base[bi+1]); last block open-ended
+    lo = np.searchsorted(candidates, base, side="left")
+    hi = np.empty(meta.nblocks, dtype=np.int64)
+    hi[:-1] = np.searchsorted(candidates, base[1:], side="left")
+    hi[-1] = len(candidates)
+    return np.flatnonzero(hi > lo)
+
+
+def wand_prune_blocks(meta: BlockMeta, idf: float, k1: float, b: float,
+                      avgdl: float, threshold: float) -> np.ndarray:
+    """Block-max WAND pruning: indices of blocks whose BM25 upper bound
+    (bmax_tf with bmin_dl — monotone up in tf, down in dl, so a valid
+    bound for every doc in the block) reaches `threshold`
+    (PosdbTable.cpp:4494 getMaxPossibleScore analog)."""
+    if meta.nblocks == 0:
+        return np.empty(0, dtype=np.int64)
+    tf = meta.bmax_tf.astype(np.float64)
+    dl = meta.bmin_dl.astype(np.float64)
+    ub = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return np.flatnonzero(ub >= threshold)
 
 
 def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -> bytes:
     """K-way merge of same-term blobs from multiple segment generations,
-    newest-wins per docId, dropping deleted docIds (the negative-key
-    annihilation of RdbList.cpp:1945-2043 / posdbMerge_r). `blobs` ordered
+    newest-wins per docId, dropping deleted docIds (negative-key
+    annihilation, RdbList.cpp:1945-2043 / posdbMerge_r). `blobs` ordered
     oldest -> newest."""
     decoded = [decode_postings(b) for b in blobs]
     all_docs = np.concatenate([d["doc_ids"] for d in decoded])
     gen = np.concatenate(
         [np.full(len(d["doc_ids"]), g, dtype=np.int64) for g, d in enumerate(decoded)]
     )
-    # newest generation wins: sort by (doc, gen) and keep last per doc
     order = np.lexsort((gen, all_docs))
     docs_sorted = all_docs[order]
     keep_mask = np.ones(len(order), dtype=bool)
@@ -241,7 +363,6 @@ def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -
     if deleted_doc_ids is not None and len(deleted_doc_ids):
         dd = np.asarray(deleted_doc_ids, dtype=np.uint64)
         keep = keep[~np.isin(all_docs[keep], dd)]
-    # rebuild arrays
     src_of = np.concatenate(
         [np.full(len(d["doc_ids"]), g, dtype=np.int64) for g, d in enumerate(decoded)]
     )

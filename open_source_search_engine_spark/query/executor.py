@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONF, EngineConf
-from ..functions.codec import decode_headers, decode_postings
+from ..functions.codec import decode_blocks, decode_headers, decode_postings
 from ..index.build import IndexPaths
 from .compiler import BoolNode, CompiledQuery, compile_query
 
@@ -183,6 +183,11 @@ class IndexReader:
         """Decode posting blobs to rows. candidate_docs (sorted uint64)
         enables doc-skip pruning inside the decode UDF."""
         seg = self.segments_for(term_ids)
+        # column-prune before the Arrow transfer: decode needs only the
+        # key + blob (+ gen partition col); stats columns stay JVM-side
+        keep_cols = [c for c in ("term_id", "postings", "gen")
+                     if c in seg.columns]
+        seg = seg.select(*keep_cols)
         bc = (
             self.spark.sparkContext.broadcast(
                 candidate_docs.astype(np.uint64))
@@ -192,6 +197,8 @@ class IndexReader:
         schema = _DECODED_POS_SCHEMA if with_positions else _DECODED_SCHEMA
 
         def decode(iterator):
+            from ..functions.codec import BlockMeta, blocks_for_candidates
+
             for pdf in iterator:
                 out = []
                 gens_col = (pdf["gen"] if "gen" in pdf.columns
@@ -199,7 +206,16 @@ class IndexReader:
                 for term_id, blob, g in zip(pdf["term_id"], pdf["postings"],
                                             gens_col):
                     b = bytes(blob)
-                    if with_positions:
+                    if bc is not None:
+                        # skip-pointer seek: decode only blocks whose
+                        # docId range intersects the candidate set
+                        # (RdbMap analog; codec block directory)
+                        meta = BlockMeta(b)
+                        bsel = blocks_for_candidates(meta, bc.value)
+                        if len(bsel) == 0:
+                            continue
+                        d = decode_blocks(b, bsel, with_positions, meta)
+                    elif with_positions:
                         d = decode_postings(b)
                     else:
                         d = decode_headers(b)
@@ -366,6 +382,15 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     tids = [g.term_ids[0] for g in pos_groups]
     dfs = rd.df_of(tids)
 
+    # block-max WAND fast path: single-term top-k on a compacted index
+    # (PosdbTable.cpp:4494 getMaxPossibleScore analog). Other shapes use
+    # the general pipeline; multi-gen/tombstoned indexes fall back since
+    # pruning before newest-wins resolution would be unsound.
+    if (k is not None and len(pos_groups) == 1 and not neg_groups
+            and not need_positions and len(rd.gens) == 1
+            and rd.tombstones is None):
+        return _search_single_wand(spark, rd, tids[0], dfs[tids[0]], k, conf)
+
     # rarest-first candidate pruning (PosdbTable.cpp:5374): prefetching
     # the rarest term's doc set pays off only when it is much smaller
     # than the other lists (it costs one extra decode of that list); on
@@ -426,6 +451,62 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
 
     out = agg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(k) if k is not None else out
+
+
+def _search_single_wand(spark, rd: IndexReader, tid: int, df_t: int,
+                        k: int, conf: EngineConf) -> DataFrame:
+    """Single-term top-k with block-max WAND: per blob, blocks are
+    visited in descending upper-bound order (bound from bmax_tf/bmin_dl,
+    monotone-valid for every doc in the block) and decoding stops at the
+    first block whose bound can't beat the running k-th best score —
+    skipped blocks are never stream-decoded (skip pointers). The emitted
+    rows are a superset of the true top-k; the global
+    TakeOrderedAndProject finishes the job."""
+    if df_t == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf = bm25_idf(rd.n_docs, df_t)
+    k1, b, avgdl = conf.k1, conf.b, rd.avgdl
+    seg = rd.segments_for([tid]).select("postings")
+
+    def decode_topk(iterator):
+        import heapq
+
+        from ..functions.codec import BlockMeta, decode_blocks
+
+        heap: list[float] = []
+        for pdf in iterator:
+            frames = []
+            for blob in pdf["postings"]:
+                meta = BlockMeta(bytes(blob))
+                if meta.nblocks == 0:
+                    continue
+                tfb = meta.bmax_tf.astype(np.float64)
+                dlb = meta.bmin_dl.astype(np.float64)
+                ub = (idf * (tfb * (k1 + 1.0))
+                      / (tfb + k1 * (1.0 - b + b * dlb / avgdl)))
+                order = np.argsort(ub)[::-1]
+                for bi in order:
+                    thr = heap[0] if len(heap) >= k else float("-inf")
+                    if ub[bi] < thr:
+                        break  # no later block can beat the top-k
+                    d = decode_blocks(bytes(blob), [int(bi)], False, meta)
+                    tf = d["tfs"].astype(np.float64)
+                    dl = d["doclens"].astype(np.float64)
+                    s = (idf * (tf * (k1 + 1.0))
+                         / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                    frames.append(pd.DataFrame(
+                        {"doc_id": d["doc_ids"].astype(np.int64),
+                         "score": s}))
+                    for v in s:
+                        if len(heap) < k:
+                            heapq.heappush(heap, float(v))
+                        elif v > heap[0]:
+                            heapq.heapreplace(heap, float(v))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    rows = seg.mapInPandas(decode_topk, schema="doc_id long, score double")
+    return rows.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
 
 def _apply_phrase_filter(scored: DataFrame, cq: CompiledQuery) -> DataFrame:

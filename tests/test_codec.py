@@ -142,3 +142,89 @@ def _blob_from(doc_ids):
                            np.full(n, 7, dtype=np.uint64),
                            np.zeros(n, dtype=np.uint64),
                            np.zeros(n, dtype=np.uint64))
+
+
+def test_block_meta_and_selective_decode():
+    from open_source_search_engine_spark.functions.codec import (
+        BlockMeta,
+        decode_blocks,
+    )
+
+    rng = np.random.default_rng(9)
+    arrs = make_postings(rng, 3 * BLOCK + 5)
+    blob = encode_postings(*arrs)
+    meta = BlockMeta(blob)
+    assert meta.nblocks == 4
+    np.testing.assert_array_equal(
+        meta.block_base, arrs[0][::BLOCK])
+    # decoding only block 2 yields exactly that slice
+    d = decode_blocks(blob, [2], with_positions=True, meta=meta)
+    lo, hi = 2 * BLOCK, 3 * BLOCK
+    np.testing.assert_array_equal(d["doc_ids"], arrs[0][lo:hi])
+    np.testing.assert_array_equal(d["tfs"], arrs[1][lo:hi])
+    np.testing.assert_array_equal(d["doclens"], arrs[2][lo:hi])
+    np.testing.assert_array_equal(d["ranks"], arrs[5][lo:hi])
+    ps = int(arrs[1][:lo].sum())
+    pe = ps + int(arrs[1][lo:hi].sum())
+    np.testing.assert_array_equal(d["positions"], arrs[3][ps:pe])
+    np.testing.assert_array_equal(d["ctxs"], arrs[4][ps:pe])
+    assert d["blocks_decoded"] == 1
+
+
+def test_blocks_for_candidates_seek():
+    from open_source_search_engine_spark.functions.codec import (
+        BlockMeta,
+        blocks_for_candidates,
+    )
+
+    doc_ids = np.arange(0, 10 * BLOCK, dtype=np.uint64) * 10
+    blob = _blob_from(doc_ids)
+    meta = BlockMeta(blob)
+    # candidates inside blocks 0 and 7 only
+    cands = np.array([int(doc_ids[5]), int(doc_ids[7 * BLOCK + 3])],
+                     dtype=np.uint64)
+    sel = blocks_for_candidates(meta, cands)
+    assert sel.tolist() == [0, 7]
+    # candidates beyond every block base: only the open-ended last block
+    # is selected (its end is unknown without decoding; the row-level
+    # mask removes false positives afterwards)
+    tail = blocks_for_candidates(
+        meta, np.array([10 * BLOCK * 10 + 5], dtype=np.uint64))
+    assert tail.tolist() == [meta.nblocks - 1]
+    # candidates below every docId: nothing selected
+    low = blocks_for_candidates(
+        meta, np.array([], dtype=np.uint64))
+    assert low.tolist() == []
+
+
+def test_wand_prune_blocks_bound():
+    from open_source_search_engine_spark.functions.codec import (
+        BlockMeta,
+        wand_prune_blocks,
+    )
+
+    # block 0: tf=1, dl=100 (weak); block 1: tf=50, dl=10 (strong)
+    n = 2 * BLOCK
+    doc_ids = np.arange(n, dtype=np.uint64)
+    tfs = np.ones(n, dtype=np.uint64)
+    tfs[BLOCK:] = 50
+    dls = np.full(n, 100, dtype=np.uint64)
+    dls[BLOCK:] = 10
+    positions = np.repeat(np.uint64(7), int(tfs.sum()))
+    # positions must ascend within doc: doc tf>1 -> make them increase
+    pos = []
+    for tf in tfs:
+        pos.extend(range(5, 5 + int(tf)))
+    positions = np.array(pos, dtype=np.uint64)
+    ctxs = np.zeros(int(tfs.sum()), dtype=np.uint64)
+    blob = encode_postings(doc_ids, tfs, dls, positions, ctxs,
+                           np.zeros(n, dtype=np.uint64))
+    meta = BlockMeta(blob)
+    idf, k1, b, avgdl = 1.0, 1.2, 0.75, 50.0
+    tfv, dlv = 50.0, 10.0
+    strong_ub = idf * (tfv * 2.2) / (tfv + k1 * (1 - b + b * dlv / avgdl))
+    sel = wand_prune_blocks(meta, idf, k1, b, avgdl,
+                            threshold=strong_ub - 1e-9)
+    assert sel.tolist() == [1]  # weak block pruned
+    sel_all = wand_prune_blocks(meta, idf, k1, b, avgdl, threshold=0.0)
+    assert sel_all.tolist() == [0, 1]
