@@ -305,42 +305,81 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas: all postings of one (term_id, salt) -> one blob row.
-    Analog of RdbDump + posdb key compression (RdbDump.cpp,
-    Posdb.h:228-233)."""
-    term_id = int(pdf["term_id"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
-    bucket = int(pdf["bucket"].iloc[0])
-    pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
-    doc_ids = pdf["doc_id"].to_numpy(np.int64).astype(np.uint64)
-    poss = pdf["pos"].to_numpy(np.int64).astype(np.uint64)
-    ctxs = pdf["ctx"].to_numpy(np.int64).astype(np.uint64)
-    dls = pdf["dl"].to_numpy(np.int64).astype(np.uint64)
-    rank = pdf["rank"].to_numpy(np.int64).astype(np.uint64)
-    uniq, starts, counts = np.unique(doc_ids, return_index=True, return_counts=True)
-    blob = encode_postings(
-        uniq,
-        counts.astype(np.uint64),
-        dls[starts],
-        poss,
-        ctxs,
-        rank[starts],
-    )
+def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
+                 pos: np.ndarray, ctx: np.ndarray, dl: np.ndarray,
+                 rank: np.ndarray, n_buckets: int) -> pd.DataFrame:
+    """Encode a frame of postings SORTED by (term_id, salt, doc_id, pos)
+    into one segment row per (term_id, salt) run. Pure numpy slicing —
+    no per-group pandas frames (this is the RdbDump memtable->sorted-file
+    compression, RdbDump.cpp + Posdb.h:228-233)."""
+    key_change = np.empty(len(term), dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    starts = np.flatnonzero(key_change)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = len(term)
+    recs = []
+    for s, e in zip(starts, ends):
+        d = doc[s:e].astype(np.uint64)
+        uniq, dstarts, counts = np.unique(d, return_index=True,
+                                          return_counts=True)
+        blob = encode_postings(
+            uniq,
+            counts.astype(np.uint64),
+            dl[s:e][dstarts].astype(np.uint64),
+            pos[s:e].astype(np.uint64),
+            ctx[s:e].astype(np.uint64),
+            rank[s:e][dstarts].astype(np.uint64),
+        )
+        tid = int(term[s])
+        recs.append((int(tid % n_buckets), tid, int(salt[s]),
+                     int(len(uniq)), int(e - s), int(counts.max()),
+                     len(blob), blob))
     return pd.DataFrame(
-        [
-            {
-                "bucket": bucket,
-                "term_id": term_id,
-                "salt": salt,
-                "df": int(len(uniq)),
-                "cf": int(len(doc_ids)),
-                "max_tf": int(counts.max()),
-                "n_bytes": len(blob),
-                "postings": blob,
-            }
-        ]
-    )
+        recs, columns=["bucket", "term_id", "salt", "df", "cf", "max_tf",
+                       "n_bytes", "postings"])
+
+
+def make_encode_partition(n_buckets: int):
+    """mapInPandas body over a partition hash-shuffled on (term_id, salt)
+    and sorted within: encodes (term, salt) runs, carrying the trailing
+    incomplete run across Arrow batch boundaries."""
+
+    def encode_partition(iterator):
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_t = pdf["term_id"].iloc[-1]
+            last_s = pdf["salt"].iloc[-1]
+            tail = (pdf["term_id"] == last_t) & (pdf["salt"] == last_s)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _encode_runs(
+                    body["term_id"].to_numpy(np.int64),
+                    body["salt"].to_numpy(np.int64),
+                    body["doc_id"].to_numpy(np.int64),
+                    body["pos"].to_numpy(np.int64),
+                    body["ctx"].to_numpy(np.int64),
+                    body["dl"].to_numpy(np.int64),
+                    body["rank"].to_numpy(np.int64),
+                    n_buckets)
+        if carry is not None and len(carry):
+            yield _encode_runs(
+                carry["term_id"].to_numpy(np.int64),
+                carry["salt"].to_numpy(np.int64),
+                carry["doc_id"].to_numpy(np.int64),
+                carry["pos"].to_numpy(np.int64),
+                carry["ctx"].to_numpy(np.int64),
+                carry["dl"].to_numpy(np.int64),
+                carry["rank"].to_numpy(np.int64),
+                n_buckets)
+
+    return encode_partition
 
 
 def build_index(
@@ -445,7 +484,6 @@ def build_index(
                    F.pmod(F.col("doc_id"), n_salts).cast("int"))
             .otherwise(F.lit(0)),
         )
-        .withColumn("bucket", F.pmod(F.col("term_id"), F.lit(conf.n_buckets)).cast("int"))
         .drop("is_hot")
     )
 
@@ -453,12 +491,25 @@ def build_index(
     todo = [b for b in all_buckets
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
-        sel = with_salt.where(F.col("bucket").isin(todo))
+        if len(todo) < conf.n_buckets:
+            sel = with_salt.where(
+                F.pmod(F.col("term_id"), F.lit(conf.n_buckets))
+                .cast("int").isin(todo))
+        else:
+            sel = with_salt
+        # ONE wide shuffle: hash on (term_id, salt) — salted sub-lists of
+        # a hot term land on different reducers (skew splitting), then
+        # sort within partition and encode runs in a single pass
         seg = (
-            sel.groupBy("bucket", "term_id", "salt")
-            .applyInPandas(_encode_group, schema=SEGMENT_SCHEMA)
+            sel.repartition(F.col("term_id"), F.col("salt"))
+            .sortWithinPartitions("term_id", "salt", "doc_id", "pos")
+            .mapInPandas(make_encode_partition(conf.n_buckets),
+                         schema=SEGMENT_SCHEMA)
         )
         out = os.path.join(paths.segments, f"gen={gen}")
+        # consolidation shuffle of the ENCODED blobs (a fraction of the
+        # posting volume): one sorted file per bucket dir -> term_id
+        # row-group stats stay tight for scan pruning (RdbMap analog)
         (
             seg.repartition("bucket")
             .sortWithinPartitions("term_id", "salt")
