@@ -41,7 +41,11 @@ B = 0.75
 # ---------------------------------------------------------------------------
 
 def _index_dir(sf_dir: str, flavor: str) -> str:
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{flavor}".encode()).hexdigest()[:12]
+    from open_source_search_engine_spark.functions.codec import CODEC_VERSION
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{flavor}:v{CODEC_VERSION}".encode()
+    ).hexdigest()[:12]
     return os.path.join("/tmp", f"osse_idx_{flavor}_{key}")
 
 
