@@ -42,9 +42,13 @@ B = 0.75
 
 def _index_dir(sf_dir: str, flavor: str) -> str:
     from open_source_search_engine_spark.functions.codec import CODEC_VERSION
+    from open_source_search_engine_spark.index.build import (
+        INDEX_FORMAT_VERSION,
+    )
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{flavor}:v{CODEC_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}:{flavor}:v{CODEC_VERSION}"
+        f".{INDEX_FORMAT_VERSION}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"osse_idx_{flavor}_{key}")
 
@@ -197,6 +201,25 @@ def q_search_field_site(spark, sf_dir):
     return _search_ids(spark, sf_dir, "site:site0003.example")
 
 
+def q_search_synonym(spark, sf_dir):
+    """Synonym-expanded search (Query.cpp:414-441 analog): 'sort' also
+    matches docs via the installed alias 'order' at syn_weight^2 = 0.81.
+    The alias is loaded through the pluggable synonym table the same way
+    a Wiktionary-derived table would be."""
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synonyms,
+    )
+    from open_source_search_engine_spark.query.executor import search_all
+
+    load_synonyms({"sort": ("order",)})
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, "sort", synonyms=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_search_incremental(spark, sf_dir):
     """Docs matching the re-crawl-only token on the generational index
     (gen1 re-crawl visible, newest-wins)."""
@@ -220,6 +243,55 @@ def q_search_site_clustered(spark, sf_dir):
         search_clustered(spark, d, "key", k=None, max_per_site=2)
         .select(F.col("doc_id").cast("long").alias("doc_id"),
                 F.round("score", 6).alias("score"))
+    )
+
+
+def q_search_snippets(spark, sf_dir):
+    """Msg20 analog: every match of a 2-term AND query rendered with
+    title (first-8-token fallback) + best-window snippet (20-token
+    windows, most distinct query words, leftmost tie-break)."""
+    from open_source_search_engine_spark.query.summary import (
+        search_with_snippets,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_with_snippets(spark, d, "vector batch", _docs(spark, sf_dir),
+                             k=None)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"), "title", "snippet")
+    )
+
+
+# warc_ts of the webtext wrapper = 2024-01-01 + minutes(doc_id % 100000);
+# the indexed numeric value is minutes since the unix epoch
+_TS_BASE_MIN = 28401120  # 2024-01-01T00:00Z / 60
+
+
+def q_search_sortby(spark, sf_dir):
+    """gbsortby: numeric sort-by termlist (BF_NUMBER analog): docs
+    matching 'customer' with their indexed warc_ts value."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, "customer gbsortby:warc_ts")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+                F.col("sort_value").cast("long").alias("ts_min"))
+    )
+
+
+def q_search_range(spark, sf_dir):
+    """gbmin/gbmax numeric range filter on the warc_ts termlist."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    q = (f"gbmin:warc_ts:{_TS_BASE_MIN + 50} "
+         f"gbmax:warc_ts:{_TS_BASE_MIN + 300}")
+    return (
+        search_all(spark, d, q)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
 
 
@@ -329,8 +401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_not": q_search_not,
         "search_bool": q_search_bool,
         "search_field_site": q_search_field_site,
+        "search_synonym": q_search_synonym,
         "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
+        "search_snippets": q_search_snippets,
+        "search_sortby": q_search_sortby,
+        "search_range": q_search_range,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -543,6 +619,18 @@ having bool_or(tf.tok = 'key')
         "search_field_site": """
 select doc_id::bigint as doc_id from documents where doc_id % 97 = 3
 """,
+        "search_synonym": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum((case when tf.tok = 'order'
+                       then 0.9::double * 0.9::double else 1.0 end)
+                 * ({_bm25_score()})), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('sort', 'order')
+group by tf.doc_id
+""",
         "search_site_clustered": f"""{_bm25_cte()},
 scored as (
   select tf.doc_id as doc_id, sum({_bm25_score()}) as score
@@ -565,6 +653,58 @@ where doc_id % 10 = 0 and doc_id % 100 != 0
         "search_after_delete": """
 select doc_id::bigint as doc_id from documents
 where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        "search_snippets": f"""{_bm25_cte()},
+scored as (
+  select tf.doc_id as doc_id, sum({_bm25_score()}) as score
+  from tf
+  join stats on stats.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok in ('vector', 'batch')
+  group by tf.doc_id
+  having count(distinct tf.tok) = 2
+),
+body as (select doc_id, string_split(text, ' ') as ts from documents),
+win as (
+  select b.doc_id,
+         unnest(generate_series(0, (len(b.ts) - 1) // 20)) as wi,
+         b.ts
+  from body b join scored s on s.doc_id = b.doc_id
+),
+wscore as (
+  select doc_id, wi,
+         array_to_string(ts[1 + 20 * wi : 20 * (wi + 1)], ' ') as snippet,
+         len(list_intersect(list_distinct(ts[1 + 20 * wi : 20 * (wi + 1)]),
+                            ['vector', 'batch'])) as s
+  from win
+),
+best as (
+  select doc_id, snippet
+  from wscore
+  qualify row_number() over (partition by doc_id
+                             order by s desc, wi asc) = 1
+)
+select s.doc_id::bigint as doc_id, round(s.score, 6) as score,
+       array_to_string(b.ts[1:8], ' ') as title, best.snippet as snippet
+from scored s
+join body b on b.doc_id = s.doc_id
+join best on best.doc_id = s.doc_id
+""",
+        "search_sortby": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum({_bm25_score()}), 6) as score,
+       (tf.doc_id % 100000 + {_TS_BASE_MIN})::bigint as ts_min
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('customer')
+group by tf.doc_id
+""",
+        "search_range": f"""
+select doc_id::bigint as doc_id from documents
+where doc_id % 100000 between 50 and 300
 """,
         "dedup_exact": """
 select md5(text) as text_md5, count(*)::bigint as n_dups,

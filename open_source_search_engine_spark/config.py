@@ -39,7 +39,12 @@ class EngineConf:
     # splitting for stopword-heavy postings)
     n_buckets: int = 64          # termId hash buckets (partition pruning unit)
     n_salts: int = 16            # sub-lists for hot terms
-    salt_df_threshold: int = 100_000  # df above which a term gets salted
+    salt_df_threshold: int = 100_000  # absolute df cap for salting
+    # relative salting floor: a term is hot when df exceeds
+    # min(salt_df_threshold, max(1000, salt_df_frac * n_docs)) — adapts
+    # the stopword split to corpus size (HighFrequencyTermShortcuts
+    # analog picks its term set the same relative way)
+    salt_df_frac: float = 0.05
     max_positions_per_doc: int = 255  # tf cap per (term,doc) blob entry
 
     # query

@@ -10,21 +10,32 @@ Spark-first dataflow (SURVEY.md §3.2 "Spark lifecycle"):
       analog of the reference's metalist (XmlDoc.cpp:12290 getMetaList) —
       extraction runs exactly once per crawled page.
 
-  stage B (pure Catalyst, JVM-side):
+  stage B (narrow numpy partials + tiny agg):
       docs       = parsed.select(doc columns)
-      postings   = parsed.select(explode(zip(arrays)))        # no Python
-      term_stats = postings.groupBy(term_id).agg(df, cf)
-      hot terms (df > conf.salt_df_threshold) get salt = doc_id % n_salts
-      (broadcast join — the salted-key skew splitting of the north rule;
-      reference analog: HighFrequencyTermShortcuts.h:9-38)
+      term_stats = parsed.mapInPandas(per-partition (term, df, cf)
+                   partial counts).groupBy(term_id).sum — the shuffle
+      carries one row per distinct term per partition, not per posting.
+      hot terms (df > adaptive threshold, conf.salt_df_frac) get
+      salt = doc_id % n_salts (the salted-key skew splitting of the
+      north rule; reference analog: HighFrequencyTermShortcuts.h:9-38)
 
-  stage C (the only wide boundary):
-      postings.repartition(bucket, term_id, salt)
-              .applyInPandas(encode per (term_id,salt) -> blob)
-      written as segments/gen=G/bucket=B/*.parquet — bucket dirs give
-      partition pruning at query time; per-bucket _manifest.json records
-      lineage + build metrics (docs/sec, postings/sec, bytes) and makes
-      the build resumable bucket-by-bucket (north rule).
+  stage C (mini-segment dump + blob-level merge):
+      C1 (narrow): parsed.mapInPandas(mini encoder) — each map
+      partition numpy-sorts its postings and emits one compressed
+      mini-blob per (term_id, salt) run. This is the reference's
+      memtable dump (RdbDump.cpp): sorted immutable runs per partition.
+      C2 (the only wide boundary): mini.repartition(term_id, salt)
+      .sortWithinPartitions.mapInPandas(merge runs) — the shuffle
+      carries compressed BLOBS (~10x fewer bytes than posting rows;
+      row-level sort/Arrow traffic was the scaling bottleneck at 32
+      cores), and the reduce k-way merges each run (RdbList.cpp:2154
+      posdbMerge_r; docId sets disjoint -> vectorized fast path,
+      single-blob runs pass through byte-identical).
+      Consolidation: repartition(bucket) + sortWithinPartitions ->
+      segments/gen=G/bucket=B/*.parquet — bucket dirs give partition
+      pruning at query time; per-bucket _manifest.json records lineage +
+      build metrics (docs/sec, postings/sec, bytes) and makes the build
+      resumable bucket-by-bucket (north rule).
 
 The reference's sorted-file + RdbMap layout maps to: parquet row-group
 stats on term_id within each bucket dir (SURVEY.md §1.5).
@@ -116,7 +127,13 @@ PFX_TITLE = prefix_hash("title")
 PFX_URL = prefix_hash("url")
 PFX_SITE = prefix_hash("site")
 PFX_LANG = prefix_hash("gblang")
+PFX_SORTBY = prefix_hash("gbsortby")
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
+
+# index format version: bump when the set/shape of emitted terms changes
+# (codec blob layout has its own CODEC_VERSION); cached index dirs are
+# keyed on both so builds rerun after a format change
+INDEX_FORMAT_VERSION = 2
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -168,7 +185,8 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
 
 
 def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
-              doc_id: int | None = None, site_inlinks: int | None = None) -> dict:
+              doc_id: int | None = None, site_inlinks: int | None = None,
+              warc_ts_minutes: int | None = None) -> dict:
     """Full per-doc term generation (hashAll orchestration,
     XmlDoc_Indexing.cpp:226-470): title, body, headings, metatags, url,
     plus fielded probe terms (title:, url:, site:, gblang:)."""
@@ -230,6 +248,19 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     poss.append(0)
     ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
                          MAXDIVERSITYRANK, MAXWORDSPAMRANK, SYN_ORIGINAL))
+    # numeric sort-by term (hashNumberForSorting,
+    # XmlDoc_Indexing.cpp:2348-2494): the reference packs the numeric
+    # value into the position bits of the posdb key (Posdb.h:165-176);
+    # ours stores it in the posting's position slot. Indexed fields:
+    # warc_ts as minutes since the unix epoch -> gbsortby:/gbmin:/gbmax:
+    # query operators (PosdbTable.cpp:34 BF_NUMBER, 4282-4321).
+    if warc_ts_minutes is not None:
+        terms.append(fielded_term_id(hash64_lower_utf8("warc_ts"),
+                                     PFX_SORTBY))
+        poss.append(int(warc_ts_minutes))
+        ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
+                             MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                             SYN_ORIGINAL))
 
     return {
         "doc_id": doc_id,
@@ -254,12 +285,16 @@ def parse_docs_udf(iterator):
         has_docid = "doc_id" in pdf.columns
         for i in range(len(pdf)):
             row = pdf.iloc[i]
+            ts = row.get("warc_ts")
+            ts_min = (int(ts.value // 60_000_000_000)
+                      if ts is not None and not pd.isna(ts) else None)
             rec = parse_doc(
                 row["url"],
                 bytes(row["html"]) if row["html"] is not None else b"",
                 row.get("text"),
                 row.get("lang"),
                 doc_id=int(row["doc_id"]) if has_docid else None,
+                warc_ts_minutes=ts_min,
             )
             rec["warc_ts"] = row.get("warc_ts")
             recs.append(rec)
@@ -309,44 +344,218 @@ def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
                  pos: np.ndarray, ctx: np.ndarray, dl: np.ndarray,
                  rank: np.ndarray, n_buckets: int) -> pd.DataFrame:
     """Encode a frame of postings SORTED by (term_id, salt, doc_id, pos)
-    into one segment row per (term_id, salt) run. Pure numpy slicing —
-    no per-group pandas frames (this is the RdbDump memtable->sorted-file
-    compression, RdbDump.cpp + Posdb.h:228-233)."""
+    into one segment row per (term_id, salt) run (the RdbDump
+    memtable->sorted-file compression, RdbDump.cpp + Posdb.h:228-233).
+    Runs of <= BLOCK docs (the vast majority: per-doc unique fielded
+    terms, rare words) encode through the vectorized bulk path
+    (codec.encode_postings_many); only multi-block runs pay the per-run
+    encode_postings cost."""
+    from ..functions.codec import BLOCK, encode_postings_many
+
+    n = len(term)
+    key_change = np.empty(n, dtype=bool)
+    key_change[0] = True
+    key_change[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+    doc_change = key_change.copy()
+    doc_change[1:] |= doc[1:] != doc[:-1]
+    didx = np.flatnonzero(doc_change)  # posting index of each doc start
+    docs_d = doc[didx].astype(np.uint64)
+    tf_d = np.diff(np.append(didx, n)).astype(np.uint64)
+    dl_d = dl[didx].astype(np.uint64)
+    rk_d = rank[didx].astype(np.uint64)
+    rstart_d = np.flatnonzero(key_change[didx])  # doc-level run starts
+    run_nd = np.diff(np.append(rstart_d, len(didx)))
+    run_tid = term[didx[rstart_d]]
+    run_salt = salt[didx[rstart_d]]
+    cf_run = np.add.reduceat(tf_d, rstart_d).astype(np.int64)
+    max_tf_run = np.maximum.reduceat(tf_d, rstart_d).astype(np.int64)
+
+    small = run_nd <= BLOCK
+    blobs: list = [None] * len(run_nd)
+    if small.any():
+        doc_mask = np.repeat(small, run_nd)
+        post_mask = np.repeat(doc_mask, tf_d.astype(np.int64))
+        small_blobs = encode_postings_many(
+            run_nd[small], docs_d[doc_mask], tf_d[doc_mask],
+            dl_d[doc_mask], rk_d[doc_mask],
+            pos[post_mask].astype(np.uint64),
+            ctx[post_mask].astype(np.uint64))
+        for j, i in enumerate(np.flatnonzero(small)):
+            blobs[i] = small_blobs[j]
+    for i in np.flatnonzero(~small):
+        sdoc = rstart_d[i]
+        edoc = sdoc + run_nd[i]
+        sp = didx[sdoc]
+        ep = didx[edoc] if edoc < len(didx) else n
+        blobs[i] = encode_postings(
+            docs_d[sdoc:edoc], tf_d[sdoc:edoc], dl_d[sdoc:edoc],
+            pos[sp:ep].astype(np.uint64), ctx[sp:ep].astype(np.uint64),
+            rk_d[sdoc:edoc])
+    return pd.DataFrame({
+        "bucket": (run_tid % n_buckets).astype(np.int64),
+        "term_id": run_tid.astype(np.int64),
+        "salt": run_salt.astype(np.int64),
+        "df": run_nd.astype(np.int64),
+        "cf": cf_run,
+        "max_tf": max_tf_run,
+        "n_bytes": np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs)),
+        "postings": blobs,
+    })
+
+
+def _partition_posting_arrays(pdfs: list[pd.DataFrame]):
+    """Flatten a map partition's parsed rows into numpy posting arrays
+    (term, pos, ctx, doc, dl, rank) — the in-memory 'memtable' of the
+    partition (RdbTree/RdbBuckets analog, bounded by
+    spark.sql.files.maxPartitionBytes of input html)."""
+    t_parts, p_parts, c_parts = [], [], []
+    doc_parts, dl_parts, rk_parts = [], [], []
+    for pdf in pdfs:
+        lens = np.fromiter((len(x) for x in pdf["term_ids"]),
+                           dtype=np.int64, count=len(pdf))
+        if not lens.sum():
+            continue
+        t_parts.append(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["term_ids"]]))
+        p_parts.append(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["poss"]]))
+        c_parts.append(np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in pdf["ctxs"]]))
+        doc_parts.append(np.repeat(pdf["doc_id"].to_numpy(np.int64), lens))
+        dl_parts.append(np.repeat(pdf["n_tokens"].to_numpy(np.int64), lens))
+        rk_parts.append(np.repeat(
+            pdf["site_rank"].to_numpy(np.int64) * 64
+            + pdf["lang_id"].to_numpy(np.int64), lens))
+    if not t_parts:
+        return None
+    return (np.concatenate(t_parts), np.concatenate(p_parts),
+            np.concatenate(c_parts), np.concatenate(doc_parts),
+            np.concatenate(dl_parts), np.concatenate(rk_parts))
+
+
+def make_stats_partials():
+    """mapInPandas body: per-partition (term_id, df, cf) partial counts,
+    vectorized — the shuffle then carries one row per distinct term per
+    partition instead of one row per posting."""
+
+    def stats_partials(iterator):
+        arrs = _partition_posting_arrays(list(iterator))
+        if arrs is None:
+            return
+        t, _p, _c, d, _dl, _rk = arrs
+        order = np.lexsort((d, t))
+        t_s, d_s = t[order], d[order]
+        first_pair = np.empty(len(t_s), dtype=bool)
+        first_pair[0] = True
+        first_pair[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        terms_cf, cf = np.unique(t_s, return_counts=True)
+        terms_df, df = np.unique(t_s[first_pair], return_counts=True)
+        assert len(terms_cf) == len(terms_df)
+        yield pd.DataFrame({"term_id": terms_cf, "df": df, "cf": cf})
+
+    return stats_partials
+
+
+def make_lex_partials():
+    """mapInPandas body: per-batch deduped (term, term_id) pairs — the
+    global lexicon distinct then shuffles ~vocab-sized partials instead
+    of every (doc, word) row (at 1M docs that's 150M rows -> ~50k)."""
+
+    def lex_partials(iterator):
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            words = [w for arr in pdf["lex_words"] for w in arr]
+            ids_arr = [np.asarray(x, dtype=np.int64) for x in pdf["lex_ids"]]
+            if not words:
+                continue
+            ids = np.concatenate(ids_arr)
+            out = pd.DataFrame({"term": words, "term_id": ids})
+            # dedupe the PAIR: 48-bit termId collisions are by design
+            # (termid_mask.h:4) and both words must stay in the lexicon
+            yield out.drop_duplicates()
+
+    return lex_partials
+
+
+def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
+    """mapInPandas body over the PARSED rows (narrow — no posting-row
+    shuffle): sorts the partition's postings in numpy and encodes one
+    mini-segment blob per (term_id, salt) run — the memtable dump of the
+    reference (RdbDump.cpp): each map partition emits sorted, compressed
+    runs; the wide shuffle then moves ~10x fewer bytes (blobs, not rows)
+    and the reduce side is a blob-level k-way merge (posdbMerge_r)."""
+    hot_sorted = np.sort(hot_ids.astype(np.int64))
+
+    def encode_mini(iterator):
+        arrs = _partition_posting_arrays(list(iterator))
+        if arrs is None:
+            return
+        t, p, c, d, dl, rk = arrs
+        if len(hot_sorted):
+            ix = np.searchsorted(hot_sorted, t)
+            ixc = np.clip(ix, 0, len(hot_sorted) - 1)
+            is_hot = hot_sorted[ixc] == t
+            salt = np.where(is_hot, d % n_salts, 0).astype(np.int64)
+        else:
+            salt = np.zeros(len(t), dtype=np.int64)
+        order = np.lexsort((p, d, salt, t))
+        yield _encode_runs(t[order], salt[order], d[order], p[order],
+                           c[order], dl[order], rk[order], n_buckets)
+
+    return encode_mini
+
+
+def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge a frame of mini-segment rows SORTED by (term_id, salt) into
+    one segment row per (term_id, salt): single-blob runs pass through
+    byte-identical (the common case — rare terms live in one map
+    partition); multi-blob runs k-way merge (docId sets disjoint by
+    construction: one doc parses in exactly one partition)."""
+    from ..functions.codec import merge_disjoint_blobs
+
+    term = pdf["term_id"].to_numpy(np.int64)
+    salt = pdf["salt"].to_numpy(np.int64)
     key_change = np.empty(len(term), dtype=bool)
     key_change[0] = True
     key_change[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
     starts = np.flatnonzero(key_change)
-    ends = np.empty_like(starts)
-    ends[:-1] = starts[1:]
-    ends[-1] = len(term)
-    recs = []
-    for s, e in zip(starts, ends):
-        d = doc[s:e].astype(np.uint64)
-        uniq, dstarts, counts = np.unique(d, return_index=True,
-                                          return_counts=True)
-        blob = encode_postings(
-            uniq,
-            counts.astype(np.uint64),
-            dl[s:e][dstarts].astype(np.uint64),
-            pos[s:e].astype(np.uint64),
-            ctx[s:e].astype(np.uint64),
-            rank[s:e][dstarts].astype(np.uint64),
-        )
-        tid = int(term[s])
-        recs.append((int(tid % n_buckets), tid, int(salt[s]),
-                     int(len(uniq)), int(e - s), int(counts.max()),
-                     len(blob), blob))
-    return pd.DataFrame(
-        recs, columns=["bucket", "term_id", "salt", "df", "cf", "max_tf",
-                       "n_bytes", "postings"])
+    run_len = np.diff(np.append(starts, len(term)))
+    single = run_len == 1
+    out_frames = []
+    if single.any():
+        out_frames.append(pdf.iloc[starts[single]])
+    multi_starts = starts[~single]
+    multi_lens = run_len[~single]
+    if len(multi_starts):
+        recs = []
+        blobs_col = pdf["postings"]
+        df_col = pdf["df"].to_numpy(np.int64)
+        cf_col = pdf["cf"].to_numpy(np.int64)
+        mt_col = pdf["max_tf"].to_numpy(np.int64)
+        bucket_col = pdf["bucket"].to_numpy(np.int64)
+        for s, n in zip(multi_starts, multi_lens):
+            blob = merge_disjoint_blobs(
+                [bytes(blobs_col.iloc[s + j]) for j in range(n)])
+            recs.append((int(bucket_col[s]), int(term[s]), int(salt[s]),
+                         int(df_col[s:s + n].sum()),
+                         int(cf_col[s:s + n].sum()),
+                         int(mt_col[s:s + n].max()),
+                         len(blob), blob))
+        out_frames.append(pd.DataFrame(
+            recs, columns=["bucket", "term_id", "salt", "df", "cf",
+                           "max_tf", "n_bytes", "postings"]))
+    out = pd.concat(out_frames, ignore_index=True)
+    return out.sort_values(["term_id", "salt"], kind="mergesort")
 
 
-def make_encode_partition(n_buckets: int):
-    """mapInPandas body over a partition hash-shuffled on (term_id, salt)
-    and sorted within: encodes (term, salt) runs, carrying the trailing
-    incomplete run across Arrow batch boundaries."""
+def make_merge_partition():
+    """mapInPandas body over mini-segment rows hash-shuffled on
+    (term_id, salt) and sorted within: merges runs, carrying the
+    trailing incomplete run across Arrow batch boundaries."""
 
-    def encode_partition(iterator):
+    def merge_partition(iterator):
         carry: pd.DataFrame | None = None
         for pdf in iterator:
             if carry is not None and len(carry):
@@ -359,27 +568,11 @@ def make_encode_partition(n_buckets: int):
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
-                yield _encode_runs(
-                    body["term_id"].to_numpy(np.int64),
-                    body["salt"].to_numpy(np.int64),
-                    body["doc_id"].to_numpy(np.int64),
-                    body["pos"].to_numpy(np.int64),
-                    body["ctx"].to_numpy(np.int64),
-                    body["dl"].to_numpy(np.int64),
-                    body["rank"].to_numpy(np.int64),
-                    n_buckets)
+                yield _merge_runs(body)
         if carry is not None and len(carry):
-            yield _encode_runs(
-                carry["term_id"].to_numpy(np.int64),
-                carry["salt"].to_numpy(np.int64),
-                carry["doc_id"].to_numpy(np.int64),
-                carry["pos"].to_numpy(np.int64),
-                carry["ctx"].to_numpy(np.int64),
-                carry["dl"].to_numpy(np.int64),
-                carry["rank"].to_numpy(np.int64),
-                n_buckets)
+            yield _merge_runs(carry)
 
-    return encode_partition
+    return merge_partition
 
 
 def build_index(
@@ -415,47 +608,21 @@ def build_index(
         parsed.select(*doc_cols).write.mode("overwrite").parquet(p_docs)
     if not resume or not _parquet_exists(p_lex):
         (
-            parsed.select(
-                F.explode(F.arrays_zip(
-                    F.col("lex_words").alias("term"),
-                    F.col("lex_ids").alias("term_id"),
-                )).alias("z")
-            )
-            .select(F.col("z.term").alias("term"),
-                    F.col("z.term_id").alias("term_id"))
+            parsed.mapInPandas(make_lex_partials(),
+                               schema="term string, term_id long")
             .distinct()
             .write.mode("overwrite")
             .parquet(p_lex)
         )
 
-    postings = (
-        parsed.select(
-            "doc_id",
-            F.col("n_tokens").alias("dl"),
-            (F.col("site_rank").cast("long") * 64 + F.col("lang_id")).alias("rank"),
-            F.explode(F.arrays_zip(
-                F.col("term_ids").alias("term_id"),
-                F.col("poss").alias("pos"),
-                F.col("ctxs").alias("ctx"),
-            )).alias("z"),
-        )
-        .select(
-            "doc_id", "dl", "rank",
-            F.col("z.term_id").alias("term_id"),
-            F.col("z.pos").alias("pos"),
-            F.col("z.ctx").alias("ctx"),
-        )
-    )
-
     if not resume or not _parquet_exists(p_stats):
-        # two-level partial agg beats countDistinct's expand rewrite: the
-        # map-side combine on (term_id, doc_id) collapses each doc's tf
-        # before the shuffle (a doc's positions for a term are co-located)
+        # numpy partial counts per partition -> tiny shuffle (one row per
+        # distinct term per partition, not per posting)
         (
-            postings.groupBy("term_id", "doc_id")
-            .agg(F.count("*").alias("tf"))
+            parsed.mapInPandas(make_stats_partials(),
+                               schema="term_id long, df long, cf long")
             .groupBy("term_id")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
             .write.mode("overwrite")
             .parquet(p_stats)
         )
@@ -463,48 +630,38 @@ def build_index(
     n_docs = spark.read.parquet(p_docs).count()
     t_stats = time.time()
 
-    # ---- stage C: salted segment encode (the one wide shuffle) ----
-    # hot-term decision uses cumulative df over ALL generations so a doc's
-    # (term, salt) assignment is stable across incremental builds
-    # (salt = doc_id % n_salts is itself deterministic per doc)
-    stats_dirs = [p for p in _glob_gens(paths.term_stats) if True]
+    # ---- stage C: mini-segment encode (narrow) + blob-level merge ----
+    # C1 encodes each map partition's postings into sorted compressed
+    # mini-blobs (RdbDump memtable dump); the wide shuffle then carries
+    # blobs (~10x fewer bytes than posting rows) and C2 k-way merges
+    # each (term_id, salt) run (posdbMerge_r). Hot-term decision uses
+    # cumulative df over ALL generations so a doc's (term, salt)
+    # assignment is stable across incremental builds; the threshold
+    # adapts to corpus size so stopword lists split at any scale.
+    stats_dirs = _glob_gens(paths.term_stats)
     all_stats = (spark.read.parquet(*stats_dirs)
                  if stats_dirs else term_stats)
-    hot = (
+    eff_thresh = min(conf.salt_df_threshold,
+                     max(1000, int(conf.salt_df_frac * n_docs)))
+    hot_rows = (
         all_stats.groupBy("term_id").agg(F.sum("df").alias("df"))
-        .where(F.col("df") > conf.salt_df_threshold)
-        .select("term_id", F.lit(True).alias("is_hot"))
+        .where(F.col("df") > eff_thresh).select("term_id").collect()
     )
-    n_salts = F.lit(conf.n_salts)
-    with_salt = (
-        postings.join(F.broadcast(hot), "term_id", "left")
-        .withColumn(
-            "salt",
-            F.when(F.col("is_hot").isNotNull(),
-                   F.pmod(F.col("doc_id"), n_salts).cast("int"))
-            .otherwise(F.lit(0)),
-        )
-        .drop("is_hot")
-    )
+    hot_ids = np.array([r["term_id"] for r in hot_rows], dtype=np.int64)
 
     all_buckets = buckets if buckets is not None else list(range(conf.n_buckets))
     todo = [b for b in all_buckets
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
+        mini = parsed.mapInPandas(
+            make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids),
+            schema=SEGMENT_SCHEMA)
         if len(todo) < conf.n_buckets:
-            sel = with_salt.where(
-                F.pmod(F.col("term_id"), F.lit(conf.n_buckets))
-                .cast("int").isin(todo))
-        else:
-            sel = with_salt
-        # ONE wide shuffle: hash on (term_id, salt) — salted sub-lists of
-        # a hot term land on different reducers (skew splitting), then
-        # sort within partition and encode runs in a single pass
+            mini = mini.where(F.col("bucket").isin(todo))
         seg = (
-            sel.repartition(F.col("term_id"), F.col("salt"))
-            .sortWithinPartitions("term_id", "salt", "doc_id", "pos")
-            .mapInPandas(make_encode_partition(conf.n_buckets),
-                         schema=SEGMENT_SCHEMA)
+            mini.repartition(F.col("term_id"), F.col("salt"))
+            .sortWithinPartitions("term_id", "salt")
+            .mapInPandas(make_merge_partition(), schema=SEGMENT_SCHEMA)
         )
         out = os.path.join(paths.segments, f"gen={gen}")
         # consolidation shuffle of the ENCODED blobs (a fraction of the

@@ -47,6 +47,13 @@ class TermGroup:
     negative: bool = False
     quoted: bool = False
     qpos: int = 0  # query word position (for phrase adjacency)
+    # synonym expansion (Query.cpp:414-441): matchable synonym termIds
+    # and their display strings; weighted syn_weight^2 at scoring
+    # (declared before the `field` attr, which shadows dataclasses.field)
+    syn_term_ids: list[int] = field(default_factory=list)
+    syn_words: list[str] = field(default_factory=list)
+    # display-only expansions (3+-word synonyms, no indexed term)
+    syn_display: list[str] = field(default_factory=list)
     field: str | None = None
     is_bigram: bool = False
 
@@ -57,6 +64,30 @@ class CompiledQuery:
     groups: list[TermGroup] = field(default_factory=list)
     boolean_expr: object | None = None  # tree for boolean queries
     quoted_runs: list[list[int]] = field(default_factory=list)  # group idx runs
+    bigram_strs: list[str] = field(default_factory=list)  # display only
+    # numeric operators (BF_NUMBER termlists, PosdbTable.cpp:34,
+    # 4282-4321): sort_spec = (numeric termId, ascending); num_filters =
+    # {numeric termId: [min, max]} with None = unbounded
+    sort_spec: tuple | None = None
+    num_filters: dict = field(default_factory=dict)
+
+    def expanded_terms(self) -> list[str]:
+        """queryInfo.terms[].termStr parity surface
+        (test/system/test_search_terms.py asserts membership): bigram
+        phrase strings, then each term word, then synonym strings."""
+        out: list[str] = list(self.bigram_strs)
+        for g in self.groups:
+            out.append(g.word)
+        for g in self.groups:
+            out.extend(g.syn_words)
+            out.extend(g.syn_display)
+        seen: set[str] = set()
+        uniq = []
+        for t in out:
+            if t not in seen:
+                seen.add(t)
+                uniq.append(t)
+        return uniq
 
     @property
     def positive_groups(self) -> list[TermGroup]:
@@ -82,10 +113,17 @@ def _field_tid(fieldname: str, value: str) -> int:
     return fielded_term_id(hash64_lower_utf8(value), pfx)
 
 
+def _numeric_tid(fieldname: str) -> int:
+    """termId of a numeric sort-by field (same hash at index time,
+    index.build PFX_SORTBY)."""
+    return fielded_term_id(hash64_lower_utf8(fieldname),
+                           prefix_hash("gbsortby"))
+
+
 _BOOL_OPS = {"AND", "OR", "NOT"}
 
 
-def compile_query(q: str) -> CompiledQuery:
+def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
     cq = CompiledQuery(raw=q)
     # boolean query? (uppercase operators, Query.cpp:1310)
     if any(f" {op} " in f" {q} " for op in _BOOL_OPS) or "(" in q:
@@ -126,7 +164,22 @@ def compile_query(q: str) -> CompiledQuery:
             continue
         if ":" in u:
             fieldname, _, value = u.partition(":")
-            if fieldname.lower() in FIELD_PREFIXES:
+            fl = fieldname.lower()
+            # numeric operators: gbsortby:<field> / gbrevsortby:<field>
+            # (desc/asc sort on the field's numeric termlist) and
+            # gbmin:<field>:<v> / gbmax:<field>:<v> range filters
+            # (Query.h:33-83 field codes; value lives in the position
+            # slot, hashNumberForSorting XmlDoc_Indexing.cpp:2348)
+            if fl in ("gbsortby", "gbrevsortby"):
+                cq.sort_spec = (_numeric_tid(value), fl == "gbrevsortby")
+                continue
+            if fl in ("gbmin", "gbmax"):
+                fld, _, num = value.partition(":")
+                tid = _numeric_tid(fld)
+                lohi = cq.num_filters.setdefault(tid, [None, None])
+                lohi[0 if fl == "gbmin" else 1] = float(num)
+                continue
+            if fl in FIELD_PREFIXES:
                 cq.groups.append(
                     TermGroup(
                         word=u,
@@ -152,6 +205,8 @@ def compile_query(q: str) -> CompiledQuery:
             qpos += 2
 
     _add_query_bigrams(cq)
+    if synonyms:
+        _add_synonyms(cq)
     return cq
 
 
@@ -174,6 +229,38 @@ def _add_query_bigrams(cq: CompiledQuery) -> None:
             bid = pid & TERMID_MASK
             g.term_ids.append(bid)
             eligible[gi + 1].term_ids.append(bid)
+            cq.bigram_strs.append(f"{g.word} {eligible[gi + 1].word}")
+
+
+def _add_synonyms(cq: CompiledQuery) -> None:
+    """Synonym expansion (Query.cpp:414-441, Synonyms.cpp:59): each
+    positive unquoted unfielded word group also matches its synonyms'
+    termIds at syn_weight^2 (SearchInput.cpp:74). 1-word synonyms use the
+    body termId, 2-word synonyms the indexed bigram termId; longer ones
+    are display-only (see functions/synonyms.py)."""
+    from ..functions.synonyms import synonyms_of
+
+    for g in cq.groups:
+        if g.negative or g.quoted or g.field is not None:
+            continue
+        for syn in synonyms_of(g.word):
+            toks = tokenize(syn)
+            words = [toks.words[k] for k in range(len(toks))
+                     if toks.kinds[k] == ALNUM]
+            if len(words) == 1:
+                g.syn_term_ids.append(_body_term_id(words[0]))
+                g.syn_words.append(syn)
+            elif len(words) == 2:
+                pids = phrase_ids(toks)
+                first = next(k for k in range(len(toks))
+                             if toks.kinds[k] == ALNUM)
+                if pids[first]:
+                    g.syn_term_ids.append(pids[first] & TERMID_MASK)
+                    g.syn_words.append(syn)
+                else:
+                    g.syn_display.append(syn)
+            else:
+                g.syn_display.append(syn)
 
 
 # ---------------------------------------------------------------------------

@@ -309,15 +309,19 @@ def search(
     k: int | None = 10,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
+    synonyms: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
     (score DESC, doc_id ASC). k=None returns every matching doc
     (no LIMIT) — used by correctness oracles where a top-k boundary
-    would be float-rounding sensitive."""
+    would be float-rounding sensitive. synonyms=True expands query words
+    with their synonym termIds at syn_weight^2 (Query.cpp:414-441)."""
     rd = reader or IndexReader(spark, index_dir, conf)
-    cq = compile_query(query)
+    cq = compile_query(query, synonyms=synonyms)
     if cq.boolean_expr is not None:
         return _search_boolean(spark, rd, cq, k, conf)
+    if cq.sort_spec is not None or cq.num_filters:
+        return _search_numeric(spark, rd, cq, k, conf)
     if conf.scorer == "reference":
         return _search_reference(spark, rd, cq, k, conf)
     return _search_default(spark, rd, cq, k, conf)
@@ -329,9 +333,11 @@ def search_all(
     query: str,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
+    synonyms: bool = False,
 ) -> DataFrame:
     """All matching docs with scores (no top-k cutoff)."""
-    return search(spark, index_dir, query, k=None, conf=conf, reader=reader)
+    return search(spark, index_dir, query, k=None, conf=conf, reader=reader,
+                  synonyms=synonyms)
 
 
 def search_clustered(
@@ -379,7 +385,25 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         return spark.createDataFrame(
             [], "doc_id long, score double")
     need_positions = bool(cq.quoted_runs)
-    tids = [g.term_ids[0] for g in pos_groups]
+    # term -> group mapping: primaries first (weight 1.0, own group),
+    # then synonym termIds (syn_weight^2, mapped to their base group;
+    # Query.cpp:414-441). Duplicate query words share one group id, so
+    # coverage semantics match countDistinct(term_id) when no synonyms.
+    tid_gid: dict[int, int] = {}
+    tid_w: dict[int, float] = {}
+    prim_gid: dict[int, int] = {}
+    for gi, g in enumerate(pos_groups):
+        pt = int(g.term_ids[0])
+        gid = prim_gid.setdefault(pt, gi)
+        tid_gid[pt] = gid
+        tid_w[pt] = 1.0
+    for g in pos_groups:
+        gid = prim_gid[int(g.term_ids[0])]
+        for st in g.syn_term_ids:
+            tid_gid.setdefault(int(st), gid)
+            tid_w.setdefault(int(st), conf.syn_weight ** 2)
+    has_syn = any(g.syn_term_ids for g in pos_groups)
+    tids = sorted(tid_gid) if has_syn else [g.term_ids[0] for g in pos_groups]
     dfs = rd.df_of(tids)
 
     # block-max WAND fast path: single-term top-k on a compacted index
@@ -387,17 +411,19 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     # the general pipeline; multi-gen/tombstoned indexes fall back since
     # pruning before newest-wins resolution would be unsound.
     if (k is not None and len(pos_groups) == 1 and not neg_groups
-            and not need_positions and len(rd.gens) == 1
+            and not need_positions and not has_syn and len(rd.gens) == 1
             and rd.tombstones is None):
         return _search_single_wand(spark, rd, tids[0], dfs[tids[0]], k, conf)
 
     # rarest-first candidate pruning (PosdbTable.cpp:5374): prefetching
     # the rarest term's doc set pays off only when it is much smaller
     # than the other lists (it costs one extra decode of that list); on
-    # flat-df queries skip straight to the joint decode
+    # flat-df queries skip straight to the joint decode. Unsound with
+    # synonyms (a doc may satisfy the rarest group via a synonym term).
     rarest_tid = min(tids, key=lambda t: dfs[t])
     candidates = None
-    selective = (len(tids) > 1 and 0 < dfs[rarest_tid] <= 200_000
+    selective = (not has_syn and len(tids) > 1
+                 and 0 < dfs[rarest_tid] <= 200_000
                  and dfs[rarest_tid] * 10 <= max(dfs.values()))
     if selective:
         cand_rows = (
@@ -432,16 +458,37 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     if need_positions:
         scored = _apply_phrase_filter(scored, cq)
 
-    n_req = len(set(tids))
-    agg = (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("tscore").alias("score"),
-            F.countDistinct("term_id").alias("n_matched"),
+    if has_syn:
+        # weight synonym contributions and count coverage per GROUP, not
+        # per term: a doc satisfies a group via the word or any synonym
+        w_expr = F.create_map(
+            *[x for t in tids for x in (F.lit(int(t)), F.lit(tid_w[t]))])
+        gid_expr = F.create_map(
+            *[x for t in tids for x in (F.lit(int(t)), F.lit(tid_gid[t]))])
+        n_req = len(set(prim_gid.values()))
+        agg = (
+            scored.withColumn("tscore",
+                              F.col("tscore") * w_expr[F.col("term_id")])
+            .withColumn("gid", gid_expr[F.col("term_id")])
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tscore").alias("score"),
+                F.countDistinct("gid").alias("n_matched"),
+            )
+            .where(F.col("n_matched") == F.lit(n_req))
+            .drop("n_matched")
         )
-        .where(F.col("n_matched") == F.lit(n_req))
-        .drop("n_matched")
-    )
+    else:
+        n_req = len(set(tids))
+        agg = (
+            scored.groupBy("doc_id")
+            .agg(
+                F.sum("tscore").alias("score"),
+                F.countDistinct("term_id").alias("n_matched"),
+            )
+            .where(F.col("n_matched") == F.lit(n_req))
+            .drop("n_matched")
+        )
 
     # negative terms: LEFT ANTI JOIN (PosdbTable.cpp:5086 delDocIdVotes)
     if neg_groups:
@@ -507,6 +554,52 @@ def _search_single_wand(spark, rd: IndexReader, tid: int, df_t: int,
 
     rows = seg.mapInPandas(decode_topk, schema="doc_id long, score double")
     return rows.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def _numeric_values(rd: IndexReader, tid: int) -> DataFrame:
+    """(doc_id, value) for a numeric sort-by termlist: the value is
+    stored in the posting's position slot (hashNumberForSorting,
+    XmlDoc_Indexing.cpp:2348; Posdb.h:165-176)."""
+    return (
+        rd.postings([int(tid)], with_positions=True)
+        .select("doc_id",
+                F.col("positions")[0].cast("double").alias("value"))
+    )
+
+
+def _search_numeric(spark, rd: IndexReader, cq: CompiledQuery,
+                    k: int | None, conf: EngineConf) -> DataFrame:
+    """gbsortby:/gbrevsortby:/gbmin:/gbmax: path (BF_NUMBER,
+    PosdbTable.cpp:34, 4282-4321): range filters intersect the candidate
+    set; the sort field's value replaces BM25 rank order (ties ->
+    doc_id asc). Returns (doc_id, score[, sort_value])."""
+    base = None  # (doc_id, score)
+    if cq.positive_groups:
+        base = _search_default(spark, rd, cq, None, conf)
+    for tid, (lo, hi) in cq.num_filters.items():
+        v = _numeric_values(rd, tid)
+        if lo is not None:
+            v = v.where(F.col("value") >= F.lit(float(lo)))
+        if hi is not None:
+            v = v.where(F.col("value") <= F.lit(float(hi)))
+        docs_ok = v.select("doc_id")
+        base = (docs_ok.withColumn("score", F.lit(0.0)) if base is None
+                else base.join(docs_ok, "doc_id", "left_semi"))
+    if cq.sort_spec is not None:
+        tid, asc = cq.sort_spec
+        vals = _numeric_values(rd, tid).withColumnRenamed("value",
+                                                          "sort_value")
+        if base is None:
+            base = vals.withColumn("score", F.lit(0.0)) \
+                .select("doc_id", "score", "sort_value")
+        else:
+            base = base.join(vals, "doc_id", "inner")
+        order = (F.col("sort_value").asc() if asc
+                 else F.col("sort_value").desc())
+        out = base.orderBy(order, F.col("doc_id").asc())
+    else:
+        out = base.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k is not None else out
 
 
 def _apply_phrase_filter(scored: DataFrame, cq: CompiledQuery) -> DataFrame:

@@ -20,7 +20,11 @@ def get_spark(app: str = "osse-spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # large Arrow batches amortize per-batch python/pandas overhead in
+        # the vectorized UDF stages (parse/encode/merge are all
+        # mapInPandas); 32k rows of parsed docs ~ 40MB decompressed,
+        # well within executor memory at 32 concurrent tasks
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")

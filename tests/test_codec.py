@@ -228,3 +228,45 @@ def test_wand_prune_blocks_bound():
     assert sel.tolist() == [1]  # weak block pruned
     sel_all = wand_prune_blocks(meta, idf, k1, b, avgdl, threshold=0.0)
     assert sel_all.tolist() == [0, 1]
+
+
+def test_encode_postings_many_byte_identical():
+    """Bulk single-block encoder must produce byte-identical blobs to
+    the per-run reference encoder."""
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codec import (
+        encode_postings,
+        encode_postings_many,
+    )
+
+    rng = np.random.RandomState(7)
+    runs = []
+    for nd in (1, 1, 2, 5, 128, 1, 37):
+        docs = np.sort(np.unique(
+            rng.randint(0, 1 << 38, size=nd * 3).astype(np.uint64)))[:nd]
+        nd = len(docs)
+        tfs = rng.randint(1, 5, size=nd).astype(np.uint64)
+        dls = rng.randint(1, 5000, size=nd).astype(np.uint64)
+        rks = rng.randint(0, 1024, size=nd).astype(np.uint64)
+        npos = int(tfs.sum())
+        pos = np.concatenate([
+            np.sort(rng.randint(0, 1 << 18, size=int(t))) for t in tfs
+        ]).astype(np.uint64)
+        ctx = rng.randint(0, 1 << 19, size=npos).astype(np.uint64)
+        runs.append((docs, tfs, dls, rks, pos, ctx))
+
+    want = [encode_postings(d, t, dl, p, c, r)
+            for d, t, dl, r, p, c in runs]
+    got = encode_postings_many(
+        np.array([len(r[0]) for r in runs], dtype=np.int64),
+        np.concatenate([r[0] for r in runs]),
+        np.concatenate([r[1] for r in runs]),
+        np.concatenate([r[2] for r in runs]),
+        np.concatenate([r[3] for r in runs]),
+        np.concatenate([r[4] for r in runs]),
+        np.concatenate([r[5] for r in runs]),
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w

@@ -71,3 +71,38 @@ def test_boolean_not():
 def test_plus_sign_required():
     cq = compile_query("+key value")
     assert all(g.required for g in cq.positive_groups)
+
+
+def test_expanded_terms_the_one_golden():
+    # test/system/test_search_terms.py:4-9 golden: 'the one' ->
+    # ['the one', 'the', 'one', '1'] ('1' via the number-word synonym)
+    terms = compile_query("the one", synonyms=True).expanded_terms()
+    for t in ("the one", "the", "one", "1"):
+        assert t in terms
+
+
+def test_expanded_terms_bigram_chain_golden():
+    # 'to be or not to be' -> bigram chain + unigrams (same golden file)
+    terms = compile_query("to be or not to be").expanded_terms()
+    for t in ("to be", "be or", "or not", "not to", "to", "be", "or"):
+        assert t in terms
+
+
+def test_expanded_terms_html_synonym_golden():
+    # 'html' -> 'Hypertext Markup Language' (Wiktionary synonym golden);
+    # 3-word synonym is display-only (no single indexed termId)
+    cq = compile_query("html", synonyms=True)
+    assert "Hypertext Markup Language" in cq.expanded_terms()
+    assert not cq.groups[0].syn_term_ids
+
+
+def test_synonym_term_ids_single_word():
+    from open_source_search_engine_spark.functions.gbhash import (
+        TERMID_MASK,
+        hash64_lower_utf8,
+    )
+
+    cq = compile_query("one", synonyms=True)
+    assert (hash64_lower_utf8("1") & TERMID_MASK) in cq.groups[0].syn_term_ids
+    # off by default
+    assert not compile_query("one").groups[0].syn_term_ids

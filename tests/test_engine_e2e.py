@@ -31,6 +31,7 @@ DOCS = {
     5: "the one ranking",
     6: "unrelated words entirely here",
     7: "spark merge",
+    8: "1 ranking score",
 }
 
 
@@ -142,6 +143,68 @@ def test_field_site_query(built, spark, small_conf):
            search_all(spark, built, "site:s1.example",
                       conf=small_conf).collect()}
     assert got == {1, 4, 7}
+
+
+def test_synonym_search(built, spark, small_conf):
+    """'one' with synonyms also matches the doc containing only '1'
+    (number-word alias, Synonyms.cpp analog), weighted syn_weight^2."""
+    base = {r["doc_id"]: r["score"]
+            for r in search_all(spark, built, "one",
+                                conf=small_conf).collect()}
+    assert set(base) == {5}
+    got = {r["doc_id"]: r["score"]
+           for r in search_all(spark, built, "one", conf=small_conf,
+                               synonyms=True).collect()}
+    assert set(got) == {5, 8}
+    assert got[5] == pytest.approx(base[5], abs=1e-9)
+    want_8 = _bm25_expected(DOCS, ["1"])[8] * small_conf.syn_weight ** 2
+    assert got[8] == pytest.approx(want_8, abs=1e-9)
+
+
+def test_snippets_and_titles(built, spark, small_conf):
+    """Msg20 analog: title fallback = first tokens, snippet = best
+    window by distinct query-word count, leftmost tie-break."""
+    from open_source_search_engine_spark.query.summary import (
+        search_with_snippets,
+        snippet_of,
+        title_of,
+    )
+
+    # pure rules first
+    assert snippet_of("a b c spark merge d", {"spark", "merge"},
+                      window_tokens=3) == "spark merge d"
+    assert title_of(None, "alpha beta gamma delta", title_tokens=2) == \
+        "alpha beta"
+    assert title_of("Real Title", "x y", title_tokens=2) == "Real Title"
+
+    texts = _webtext_df(spark).select("doc_id", "text")
+    rows = search_with_snippets(
+        spark, built, "spark merge", texts, k=3, conf=small_conf).collect()
+    assert rows, "query matches docs 1, 3, 7"
+    for r in rows:
+        assert "spark" in r["snippet"] and "merge" in r["snippet"]
+        assert r["title"]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_numeric_sortby_and_range(built, spark, small_conf):
+    """gbsortby:/gbrevsortby:/gbmin:/gbmax: numeric termlist operators
+    (BF_NUMBER, PosdbTable.cpp:4282-4321). warc_ts of the fixture is
+    2024-01-01 + minutes(doc_id)."""
+    base = 28401120  # 2024-01-01T00:00Z in minutes since epoch
+    rows = search(spark, built, "ranking gbsortby:warc_ts", k=10,
+                  conf=small_conf).collect()
+    assert [r["doc_id"] for r in rows] == [8, 5, 3]
+    assert int(rows[0]["sort_value"]) == base + 8
+    rows = search(spark, built, "ranking gbrevsortby:warc_ts", k=10,
+                  conf=small_conf).collect()
+    assert [r["doc_id"] for r in rows] == [3, 5, 8]
+    rows = search_all(
+        spark, built,
+        f"gbmin:warc_ts:{base + 2} gbmax:warc_ts:{base + 5}",
+        conf=small_conf).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2, 3, 4, 5]
 
 
 def test_unknown_term_empty(built, spark, small_conf):

@@ -70,6 +70,8 @@ def run_one(cpus: int, input_dir: str, out_path: str) -> None:
             "build_secs": round(secs, 2),
             "docs_per_sec": round(n_docs / secs, 1),
             "query_secs": round(q_secs, 3),
+            "stage_secs": {k: round(v, 2)
+                           for k, v in meta.get("secs", {}).items()},
         }, f)
 
 
