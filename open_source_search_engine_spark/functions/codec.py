@@ -470,12 +470,14 @@ def wand_prune_blocks(meta: BlockMeta, idf: float, k1: float, b: float,
 
 
 def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
-    """Merge same-term blobs whose docId sets are DISJOINT (mini-segments
-    of one build generation: each doc is parsed in exactly one input
-    partition, so its postings live in exactly one mini-blob). This is
-    the fast path of the k-way segment merge (RdbList.cpp:2154
-    posdbMerge_r) — no newest-wins resolution, fully numpy-vectorized
-    span gather (no per-doc python loop)."""
+    """Merge same-term mini-segment blobs of ONE build generation
+    (RdbList.cpp:2154 posdbMerge_r fast path): no newest-wins
+    resolution, fully numpy-vectorized span gather. A doc MAY appear in
+    more than one source blob (its body postings come from its own
+    partition, its incoming-link-text postings from the linkers'
+    partitions): duplicate docs are combined — tf summed, positions
+    re-sorted ascending within the doc (the reference's mini-merge keeps
+    each docId's positions sorted, PosdbTable.cpp:2879)."""
     decoded = [decode_postings(b) for b in blobs]
     docs = np.concatenate([d["doc_ids"] for d in decoded])
     tfs = np.concatenate([d["tfs"] for d in decoded]).astype(np.int64)
@@ -497,6 +499,7 @@ def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
             off += int(t.sum())
             i += n
     order = np.argsort(docs, kind="stable")
+    s_docs = docs[order]
     s_start = starts[order]
     s_tf = tfs[order]
     total = int(s_tf.sum())
@@ -505,19 +508,35 @@ def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
         idx = (np.arange(total, dtype=np.int64)
                - np.repeat(ends - s_tf, s_tf)
                + np.repeat(s_start, s_tf))
-        pos_out = pos[idx]
-        ctx_out = ctx[idx]
+        pos_out = pos[idx].astype(np.uint64)
+        ctx_out = ctx[idx].astype(np.uint64)
     else:
         pos_out = np.empty(0, dtype=np.uint64)
         ctx_out = np.empty(0, dtype=np.uint64)
+
+    dup = len(s_docs) > 1 and bool((s_docs[1:] == s_docs[:-1]).any())
+    if not dup:
+        return encode_postings(
+            s_docs.astype(np.uint64), s_tf.astype(np.uint64),
+            dls[order].astype(np.uint64), pos_out, ctx_out,
+            ranks[order].astype(np.uint64))
+
+    # combine duplicate docs: sum tf, keep first dl/rank (same doc ->
+    # same attrs), re-sort the doc's positions ascending
+    first = np.empty(len(s_docs), dtype=bool)
+    first[0] = True
+    first[1:] = s_docs[1:] != s_docs[:-1]
+    dstarts = np.flatnonzero(first)
+    u_docs = s_docs[dstarts]
+    u_tf = np.add.reduceat(s_tf.astype(np.int64), dstarts)
+    u_dl = dls[order][dstarts]
+    u_rk = ranks[order][dstarts]
+    doc_of_post = np.repeat(np.cumsum(first) - 1, s_tf.astype(np.int64))
+    porder = np.lexsort((pos_out, doc_of_post))
     return encode_postings(
-        docs[order].astype(np.uint64),
-        s_tf.astype(np.uint64),
-        dls[order].astype(np.uint64),
-        pos_out.astype(np.uint64),
-        ctx_out.astype(np.uint64),
-        ranks[order].astype(np.uint64),
-    )
+        u_docs.astype(np.uint64), u_tf.astype(np.uint64),
+        u_dl.astype(np.uint64), pos_out[porder], ctx_out[porder],
+        u_rk.astype(np.uint64))
 
 
 def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -> bytes:

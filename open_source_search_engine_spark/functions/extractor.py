@@ -218,6 +218,58 @@ def extract_headings(html_bytes: bytes, charset: str = "utf-8") -> list[str]:
     return [h for h in out if h]
 
 
+_HREF_RE = re.compile(
+    r"href\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
+
+
+def extract_links(html_bytes: bytes, charset: str = "utf-8"
+                  ) -> list[tuple[str, str]]:
+    """``<a href>`` outlinks with their anchor text (Links.cpp analog —
+    feeds the linkdb analog and incoming-link-text hashing,
+    Linkdb.h:90-110, XmlDoc_Indexing.cpp:745 hashLinks /
+    1269 hashIncomingLinkText)."""
+    s = normalize_html(html_bytes, charset)
+    out: list[tuple[str, str]] = []
+    href: str | None = None
+    buf: list[str] = []
+    for is_tag, name, closing, text in iter_nodes(s):
+        if is_tag and name == "a":
+            if closing:
+                if href is not None:
+                    out.append((href, "".join(buf).strip()))
+                href = None
+                buf = []
+            else:
+                m = _HREF_RE.search(text)
+                href = ((m.group(1) or m.group(2) or m.group(3) or "")
+                        if m else "")
+            continue
+        if href is not None and not is_tag:
+            buf.append(text)
+    return out
+
+
+def absolute_url(base: str, href: str) -> str:
+    """Resolve an href against the page url (Url.cpp normalization,
+    minimal deterministic subset: absolute / protocol-relative /
+    root-relative / relative; fragments stripped)."""
+    href = href.split("#", 1)[0].strip()
+    if not href:
+        return ""
+    if "://" in href:
+        return href
+    scheme, _, rest = base.partition("://")
+    host = rest.split("/", 1)[0]
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}://{host}{href}"
+    basedir = rest.split("/", 1)[1] if "/" in rest else ""
+    basedir = basedir.rsplit("/", 1)[0] if "/" in basedir else ""
+    prefix = f"{scheme}://{host}/{basedir}/" if basedir else f"{scheme}://{host}/"
+    return prefix + href
+
+
 def extract_meta(html_bytes: bytes, name: str, charset: str = "utf-8") -> str:
     """<meta name=... content=...> (Xml.cpp getMetaContentPointer)."""
     s = to_utf8_text(html_bytes, charset)

@@ -57,7 +57,9 @@ from ..config import DEFAULT_CONF, EngineConf
 from ..functions import gbhash
 from ..functions.codec import encode_postings
 from ..functions.extractor import (
+    absolute_url,
     extract_headings,
+    extract_links,
     extract_meta,
     extract_title,
     extract_text,
@@ -72,6 +74,7 @@ from ..functions.gbhash import (
 from ..functions.posdb import (
     HASHGROUP_BODY,
     HASHGROUP_HEADING,
+    HASHGROUP_INLINKTEXT,
     HASHGROUP_INMETATAG,
     HASHGROUP_INURL,
     HASHGROUP_TITLE,
@@ -113,6 +116,10 @@ PARSED_SCHEMA = T.StructType(
         # Posdb.h:3 — ours is a debug/oracle aid, deduped by Catalyst)
         T.StructField("lex_words", T.ArrayType(T.StringType())),
         T.StructField("lex_ids", T.ArrayType(T.LongType())),
+        # outlinks (absolute url + anchor text) — feed the linkdb analog
+        # and incoming-link-text hashing (Linkdb.h:90-110)
+        T.StructField("out_hrefs", T.ArrayType(T.StringType())),
+        T.StructField("out_texts", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -128,12 +135,13 @@ PFX_URL = prefix_hash("url")
 PFX_SITE = prefix_hash("site")
 PFX_LANG = prefix_hash("gblang")
 PFX_SORTBY = prefix_hash("gbsortby")
+PFX_LINK = prefix_hash("link")
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -262,6 +270,23 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
                              MAXDIVERSITYRANK, MAXWORDSPAMRANK,
                              SYN_ORIGINAL))
 
+    # outlinks: absolutized; linker-side ``link:<url>`` probe term per
+    # outlink (hashLinks, XmlDoc_Indexing.cpp:745) — query-time
+    # ``link:http://...`` finds docs LINKING to the url (linkdb analog)
+    out_hrefs: list[str] = []
+    out_texts: list[str] = []
+    for href, atext in extract_links(html):
+        absu = absolute_url(url, href)
+        if not absu:
+            continue
+        out_hrefs.append(absu)
+        out_texts.append(atext)
+        terms.append(fielded_term_id(hash64_lower_utf8(absu), PFX_LINK))
+        poss.append(0)
+        ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
+                             MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                             SYN_ORIGINAL))
+
     return {
         "doc_id": doc_id,
         "url": url,
@@ -275,6 +300,8 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "ctxs": ctxs,
         "lex_words": list(lex.keys()),
         "lex_ids": list(lex.values()),
+        "out_hrefs": out_hrefs,
+        "out_texts": out_texts,
     }
 
 
@@ -479,6 +506,61 @@ def make_lex_partials():
     return lex_partials
 
 
+def make_anchor_rows():
+    """mapInPandas body over (doc_id, n_tokens, site_rank, lang_id,
+    atext): hashes each inlink's anchor text into INLINKTEXT-group
+    postings for the LINKEE doc (hashIncomingLinkText,
+    XmlDoc_Indexing.cpp:1269; reference weight hgw=16 makes this its
+    strongest ranking signal). Yields PARSED_SCHEMA-compatible rows that
+    union with the parse output ahead of the mini-segment encode."""
+    cols = [f.name for f in PARSED_SCHEMA.fields]
+
+    def anchor_rows(iterator):
+        for pdf in iterator:
+            recs = []
+            for doc_id, ntok, srank, lang_id, atext in zip(
+                    pdf["doc_id"], pdf["n_tokens"], pdf["site_rank"],
+                    pdf["lang_id"], pdf["atext"]):
+                terms: list[int] = []
+                poss: list[int] = []
+                ctxs: list[int] = []
+                hash_string_group(tokenize(atext or ""),
+                                  HASHGROUP_INLINKTEXT, terms, poss, ctxs)
+                if not terms:
+                    continue
+                recs.append({
+                    "doc_id": int(doc_id), "url": None, "site_id": 0,
+                    "site_rank": int(srank), "lang_id": int(lang_id),
+                    "title": None, "n_tokens": int(ntok),
+                    "warc_ts": None, "term_ids": terms, "poss": poss,
+                    "ctxs": ctxs, "lex_words": [], "lex_ids": [],
+                    "out_hrefs": [], "out_texts": [],
+                })
+            if recs:
+                yield pd.DataFrame(recs)[cols]
+
+    return anchor_rows
+
+
+def anchor_parsed(parsed: DataFrame) -> DataFrame:
+    """Linkdb-analog dataflow: explode outlinks, resolve linkees by URL
+    join against the docs of this generation (only in-corpus targets
+    get link-text postings — Msg25's linkdb lookup analog), hash anchor
+    text for the linkee. One anchors-sized shuffle."""
+    links = (
+        parsed.select(F.explode(F.arrays_zip(
+            F.col("out_hrefs").alias("href"),
+            F.col("out_texts").alias("atext"))).alias("z"))
+        .select(F.col("z.href").alias("href"),
+                F.col("z.atext").alias("atext"))
+        .where(F.length("atext") > 0)
+    )
+    dim = parsed.select("url", "doc_id", "n_tokens", "site_rank",
+                        "lang_id")
+    joined = links.join(dim, links.href == dim.url).drop("href", "url")
+    return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
+
+
 def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
     """mapInPandas body over the PARSED rows (narrow — no posting-row
     shuffle): sorts the partition's postings in numpy and encodes one
@@ -529,19 +611,20 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     multi_starts = starts[~single]
     multi_lens = run_len[~single]
     if len(multi_starts):
+        from ..functions.codec import BlockMeta
+
         recs = []
         blobs_col = pdf["postings"]
-        df_col = pdf["df"].to_numpy(np.int64)
-        cf_col = pdf["cf"].to_numpy(np.int64)
-        mt_col = pdf["max_tf"].to_numpy(np.int64)
         bucket_col = pdf["bucket"].to_numpy(np.int64)
         for s, n in zip(multi_starts, multi_lens):
             blob = merge_disjoint_blobs(
                 [bytes(blobs_col.iloc[s + j]) for j in range(n)])
+            # stats from the merged block directory (docs can overlap
+            # across sources: body vs inlink-text partitions)
+            m = BlockMeta(blob)
             recs.append((int(bucket_col[s]), int(term[s]), int(salt[s]),
-                         int(df_col[s:s + n].sum()),
-                         int(cf_col[s:s + n].sum()),
-                         int(mt_col[s:s + n].max()),
+                         int(m.n_docs), int(m.npos.sum()),
+                         int(m.bmax_tf.max()) if m.nblocks else 0,
                          len(blob), blob))
         out_frames.append(pd.DataFrame(
             recs, columns=["bucket", "term_id", "salt", "df", "cf",
@@ -615,32 +698,33 @@ def build_index(
             .parquet(p_lex)
         )
 
-    if not resume or not _parquet_exists(p_stats):
-        # numpy partial counts per partition -> tiny shuffle (one row per
-        # distinct term per partition, not per posting)
-        (
-            parsed.mapInPandas(make_stats_partials(),
-                               schema="term_id long, df long, cf long")
-            .groupBy("term_id")
-            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-            .write.mode("overwrite")
-            .parquet(p_stats)
-        )
-    term_stats = spark.read.parquet(p_stats)
-    n_docs = spark.read.parquet(p_docs).count()
-    t_stats = time.time()
+    # indexed rows = parse output + incoming-link-text rows (linkdb
+    # analog: anchors hashed for the linkee, anchors-sized shuffle)
+    indexed = parsed.unionByName(anchor_parsed(parsed))
 
-    # ---- stage C: mini-segment encode (narrow) + blob-level merge ----
-    # C1 encodes each map partition's postings into sorted compressed
-    # mini-blobs (RdbDump memtable dump); the wide shuffle then carries
-    # blobs (~10x fewer bytes than posting rows) and C2 k-way merges
-    # each (term_id, salt) run (posdbMerge_r). Hot-term decision uses
-    # cumulative df over ALL generations so a doc's (term, salt)
-    # assignment is stable across incremental builds; the threshold
-    # adapts to corpus size so stopword lists split at any scale.
-    stats_dirs = _glob_gens(paths.term_stats)
-    all_stats = (spark.read.parquet(*stats_dirs)
-                 if stats_dirs else term_stats)
+    # df partials for HOT-term detection only (salting); exact stats are
+    # recomputed from the merged segments after stage C (strictly better
+    # than the reference's RdbMap-size upper-bound estimate,
+    # Posdb.cpp:301 — and the partial-count estimate here may overcount
+    # a doc whose body and inlink-text postings split across partitions)
+    cur_stats = (
+        indexed.mapInPandas(make_stats_partials(),
+                            schema="term_id long, df long, cf long")
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    )
+    n_docs = spark.read.parquet(p_docs).count()
+
+    # Hot-term decision uses cumulative df over ALL generations so a
+    # doc's (term, salt) assignment is stable across incremental builds;
+    # the threshold adapts to corpus size so stopword lists split at any
+    # scale.
+    prior_stats = [d for d in _glob_gens(paths.term_stats)
+                   if d != p_stats]
+    all_stats = cur_stats.select("term_id", "df")
+    if prior_stats:
+        all_stats = all_stats.unionByName(
+            spark.read.parquet(*prior_stats).select("term_id", "df"))
     eff_thresh = min(conf.salt_df_threshold,
                      max(1000, int(conf.salt_df_frac * n_docs)))
     hot_rows = (
@@ -648,12 +732,18 @@ def build_index(
         .where(F.col("df") > eff_thresh).select("term_id").collect()
     )
     hot_ids = np.array([r["term_id"] for r in hot_rows], dtype=np.int64)
+    t_stats = time.time()
 
+    # ---- stage C: mini-segment encode (narrow) + blob-level merge ----
+    # C1 encodes each map partition's postings into sorted compressed
+    # mini-blobs (RdbDump memtable dump); the wide shuffle then carries
+    # blobs (~10x fewer bytes than posting rows) and C2 k-way merges
+    # each (term_id, salt) run (posdbMerge_r).
     all_buckets = buckets if buckets is not None else list(range(conf.n_buckets))
     todo = [b for b in all_buckets
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
-        mini = parsed.mapInPandas(
+        mini = indexed.mapInPandas(
             make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids),
             schema=SEGMENT_SCHEMA)
         if len(todo) < conf.n_buckets:
@@ -704,6 +794,16 @@ def build_index(
                     },
                     f,
                 )
+    # exact per-term stats from the merged segments (one row per
+    # (term, salt) blob, column-pruned — blobs never read)
+    if not resume or not _parquet_exists(p_stats):
+        seg_dir = paths.gen("segments", gen)
+        src = (spark.read.parquet(seg_dir)
+               .groupBy("term_id")
+               .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+               if os.path.isdir(seg_dir) else cur_stats)
+        src.write.mode("overwrite").parquet(p_stats)
+    term_stats = spark.read.parquet(p_stats)
     t_seg = time.time()
 
     meta = {

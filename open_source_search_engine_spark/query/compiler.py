@@ -33,6 +33,8 @@ FIELD_PREFIXES = {
     "site": "site",
     "lang": "gblang",
     "gblang": "gblang",
+    # docs LINKING to the url (linkdb analog; linker-side link: terms)
+    "link": "link",
 }
 
 

@@ -96,6 +96,20 @@ def test_expanded_terms_html_synonym_golden():
     assert not cq.groups[0].syn_term_ids
 
 
+def test_numeric_operators_parse():
+    from open_source_search_engine_spark.query.compiler import _numeric_tid
+
+    cq = compile_query("ranking gbsortby:warc_ts")
+    assert cq.sort_spec == (_numeric_tid("warc_ts"), False)
+    assert [g.word for g in cq.positive_groups] == ["ranking"]
+    cq = compile_query("gbrevsortby:warc_ts")
+    assert cq.sort_spec[1] is True
+    cq = compile_query("gbmin:warc_ts:100 gbmax:warc_ts:200")
+    tid = _numeric_tid("warc_ts")
+    assert cq.num_filters[tid] == [100.0, 200.0]
+    assert not cq.groups
+
+
 def test_synonym_term_ids_single_word():
     from open_source_search_engine_spark.functions.gbhash import (
         TERMID_MASK,

@@ -207,6 +207,68 @@ def test_numeric_sortby_and_range(built, spark, small_conf):
     assert sorted(r["doc_id"] for r in rows) == [2, 3, 4, 5]
 
 
+def test_inlink_text_and_link_field(spark, small_conf, tmp_path_factory):
+    """Incoming-link-text indexing (hashIncomingLinkText analog): anchor
+    words match the LINKEE; link:<url> matches the LINKER; external
+    targets are dropped."""
+    import datetime as dtm
+
+    rows = []
+    urls = {d: f"http://s0.example/p/{d}.html" for d in (1, 2, 3)}
+    bodies = {1: "alpha beta", 2: "gamma delta", 3: "epsilon zeta"}
+    anchors = {
+        1: f'<a href="{urls[2]}">wonderful zebra engine</a> '
+           '<a href="http://elsewhere.example/x">offsite anchor</a>',
+        2: '<a href="/p/3.html">relative quokka</a>',
+        3: "",
+    }
+    for d in (1, 2, 3):
+        html = (f"<html><body><p>{bodies[d]}</p>"
+                f"{anchors[d]}</body></html>").encode()
+        rows.append({"url": urls[d],
+                     "warc_ts": dtm.datetime(2024, 1, 1),
+                     "html": html, "text": None, "lang": "en",
+                     "doc_id": d})
+    wt = spark.createDataFrame(pd.DataFrame(rows))
+    idx = str(tmp_path_factory.mktemp("linkidx"))
+    build_index(spark, wt, idx, conf=small_conf, gen=0)
+
+    # anchor word 'zebra': visible body text of the LINKER doc1 AND
+    # inlink-text posting on the LINKEE doc2 (reference indexes both)
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "zebra", conf=small_conf).collect()}
+    assert got == {1, 2}
+    # the linkee's posting must carry HASHGROUP_INLINKTEXT
+    from open_source_search_engine_spark.functions.gbhash import term_id
+    from open_source_search_engine_spark.functions.posdb import (
+        HASHGROUP_BODY,
+        HASHGROUP_INLINKTEXT,
+        unpack_ctx,
+    )
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    rd = IndexReader(spark, idx, small_conf)
+    rows = {r["doc_id"]: r for r in
+            rd.postings([term_id("zebra")], with_positions=True).collect()}
+    hg2 = {unpack_ctx(c)[0] for c in rows[2]["ctxs"]}
+    assert hg2 == {HASHGROUP_INLINKTEXT}
+    assert HASHGROUP_BODY in {unpack_ctx(c)[0] for c in rows[1]["ctxs"]}
+    # relative href resolves against s0.example: doc2 -> doc3
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "quokka", conf=small_conf).collect()}
+    assert got == {2, 3}
+    # 'offsite' anchor targets a non-corpus url: linker body only, no
+    # linkee postings anywhere
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "offsite", conf=small_conf).collect()}
+    assert got == {1}
+    # link:<url of doc2> matches the LINKER doc1
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, f"link:{urls[2]}",
+                      conf=small_conf).collect()}
+    assert got == {1}
+
+
 def test_unknown_term_empty(built, spark, small_conf):
     assert search_all(spark, built, "zzznothere", conf=small_conf).count() == 0
 

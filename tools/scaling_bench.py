@@ -81,6 +81,8 @@ def main() -> int:
         return 0
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    lv1 = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    lv2 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     # materialize the deterministic corpus once (shared input bytes)
     from open_source_search_engine_spark.session import get_spark
@@ -96,7 +98,7 @@ def main() -> int:
         spark.stop()
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lv1, lv2):
         out = os.path.join(tempfile.gettempdir(), f"osse_scale_{cpus}.json")
         subprocess.run(
             [sys.executable, __file__, "--one", str(cpus), input_dir, out],
@@ -105,16 +107,16 @@ def main() -> int:
         with open(out) as f:
             results[cpus] = json.load(f)
 
-    thr8 = results[8]["docs_per_sec"]
-    thr32 = results[32]["docs_per_sec"]
-    eff = (thr32 / thr8) / (32 / 8)
+    thr1 = results[lv1]["docs_per_sec"]
+    thr2 = results[lv2]["docs_per_sec"]
+    eff = (thr2 / thr1) / (lv2 / lv1)
     summary = {
         "n_docs": n_docs,
-        "local8": results[8],
-        "local32": results[32],
-        "speedup_32_vs_8": round(thr32 / thr8, 2),
+        f"local{lv1}": results[lv1],
+        f"local{lv2}": results[lv2],
+        f"speedup_{lv2}_vs_{lv1}": round(thr2 / thr1, 2),
         "scaling_efficiency": round(eff, 3),
-        "criterion": ">=0.8 between N and 4N parallelism",
+        "criterion": f">=0.8 between N={lv1} and {lv2 // lv1}N cores",
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
