@@ -263,6 +263,31 @@ def q_search_snippets(spark, sf_dir):
     )
 
 
+def q_search_docid(spark, sf_dir):
+    """gbdocid: direct doc lookup (PageGet /get analog)."""
+    return _search_ids(spark, sf_dir, "gbdocid:42")
+
+
+def q_search_ext(spark, sf_dir):
+    """ext: url-extension field (webtext wrapper urls end .html)."""
+    return _search_ids(spark, sf_dir, "ext:html")
+
+
+def q_search_dedup_content(spark, sf_dir):
+    """Site clustering + content-hash dedup (Msg40 dedup analog)."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_clustered(spark, d, "key", k=None, max_per_site=2,
+                         dedup_content=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 # warc_ts of the webtext wrapper = 2024-01-01 + minutes(doc_id % 100000);
 # the indexed numeric value is minutes since the unix epoch
 _TS_BASE_MIN = 28401120  # 2024-01-01T00:00Z / 60
@@ -407,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_snippets": q_search_snippets,
         "search_sortby": q_search_sortby,
         "search_range": q_search_range,
+        "search_docid": q_search_docid,
+        "search_ext": q_search_ext,
+        "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -705,6 +733,36 @@ group by tf.doc_id
         "search_range": f"""
 select doc_id::bigint as doc_id from documents
 where doc_id % 100000 between 50 and 300
+""",
+        "search_docid": """
+select doc_id::bigint as doc_id from documents where doc_id = 42
+""",
+        "search_ext": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_dedup_content": f"""{_bm25_cte()},
+scored as (
+  select tf.doc_id as doc_id, sum({_bm25_score()}) as score
+  from tf
+  join stats on stats.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok in ('key')
+  group by tf.doc_id
+),
+with_text as (
+  select s.doc_id, s.score, md5(d.text) as ch, s.doc_id % 97 as site
+  from scored s join documents d on d.doc_id = s.doc_id
+),
+deduped as (
+  select doc_id, score, site from with_text
+  qualify row_number() over (partition by ch
+                             order by score desc, doc_id asc) = 1
+)
+select doc_id::bigint as doc_id, round(score, 6) as score
+from deduped
+qualify row_number() over (partition by site
+                           order by score desc, doc_id asc) <= 2
 """,
         "dedup_exact": """
 select md5(text) as text_md5, count(*)::bigint as n_dups,

@@ -120,6 +120,10 @@ PARSED_SCHEMA = T.StructType(
         # and incoming-link-text hashing (Linkdb.h:90-110)
         T.StructField("out_hrefs", T.ArrayType(T.StringType())),
         T.StructField("out_texts", T.ArrayType(T.StringType())),
+        # content checksum of the extracted text (clusterdb contentHash /
+        # hashNoSplit dedup terms, XmlDoc_Indexing.cpp:156): query-time
+        # duplicate-content removal keys on this
+        T.StructField("content_hash", T.LongType()),
     ]
 )
 
@@ -136,12 +140,13 @@ PFX_SITE = prefix_hash("site")
 PFX_LANG = prefix_hash("gblang")
 PFX_SORTBY = prefix_hash("gbsortby")
 PFX_LINK = prefix_hash("link")
+PFX_EXT = prefix_hash("ext")
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 3
+INDEX_FORMAT_VERSION = 4
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -251,6 +256,16 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     poss.append(0)
     ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK, MAXDIVERSITYRANK,
                          MAXWORDSPAMRANK, SYN_ORIGINAL))
+    # url-extension probe term (ext: field, Query.h:33-83)
+    last_seg = url.rstrip("/").rsplit("/", 1)[-1]
+    if "." in last_seg and "://" not in last_seg:
+        ext = last_seg.rsplit(".", 1)[1].lower()
+        if 0 < len(ext) <= 6:
+            terms.append(fielded_term_id(hash64_lower_utf8(ext), PFX_EXT))
+            poss.append(0)
+            ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
+                                 MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                                 SYN_ORIGINAL))
     # language probe term (hashLanguage, XmlDoc_Indexing.cpp:1577)
     terms.append(fielded_term_id(hash64_lower_utf8(lang or "xx"), PFX_LANG))
     poss.append(0)
@@ -302,6 +317,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "lex_ids": list(lex.values()),
         "out_hrefs": out_hrefs,
         "out_texts": out_texts,
+        "content_hash": hash64_lower_utf8(text or "") & TERMID_MASK,
     }
 
 
@@ -535,6 +551,7 @@ def make_anchor_rows():
                     "warc_ts": None, "term_ids": terms, "poss": poss,
                     "ctxs": ctxs, "lex_words": [], "lex_ids": [],
                     "out_hrefs": [], "out_texts": [],
+                    "content_hash": 0,
                 })
             if recs:
                 yield pd.DataFrame(recs)[cols]
@@ -686,7 +703,7 @@ def build_index(
 
     # ---- stage B: docs + term stats + lexicon (Catalyst only) ----
     doc_cols = ["doc_id", "url", "site_id", "site_rank", "lang_id", "title",
-                "n_tokens", "warc_ts"]
+                "n_tokens", "warc_ts", "content_hash"]
     if not resume or not _parquet_exists(p_docs):
         parsed.select(*doc_cols).write.mode("overwrite").parquet(p_docs)
     if not resume or not _parquet_exists(p_lex):

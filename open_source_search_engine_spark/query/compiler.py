@@ -35,6 +35,8 @@ FIELD_PREFIXES = {
     "gblang": "gblang",
     # docs LINKING to the url (linkdb analog; linker-side link: terms)
     "link": "link",
+    # url extension (ext:html, ext:pdf — Query.h:33-83)
+    "ext": "ext",
 }
 
 
@@ -72,6 +74,9 @@ class CompiledQuery:
     # {numeric termId: [min, max]} with None = unbounded
     sort_spec: tuple | None = None
     num_filters: dict = field(default_factory=dict)
+    # gbdocid:<N> — restrict to one docId (Query.h:33-83 field list;
+    # PageGet /get docid lookup path)
+    docid_filter: int | None = None
 
     def expanded_terms(self) -> list[str]:
         """queryInfo.terms[].termStr parity surface
@@ -174,6 +179,9 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
             # slot, hashNumberForSorting XmlDoc_Indexing.cpp:2348)
             if fl in ("gbsortby", "gbrevsortby"):
                 cq.sort_spec = (_numeric_tid(value), fl == "gbrevsortby")
+                continue
+            if fl == "gbdocid":
+                cq.docid_filter = int(value)
                 continue
             if fl in ("gbmin", "gbmax"):
                 fld, _, num = value.partition(":")

@@ -318,13 +318,25 @@ def search(
     with their synonym termIds at syn_weight^2 (Query.cpp:414-441)."""
     rd = reader or IndexReader(spark, index_dir, conf)
     cq = compile_query(query, synonyms=synonyms)
+    if cq.docid_filter is not None and not cq.groups:
+        # bare gbdocid:<N> — direct doc lookup (PageGet /get analog)
+        return (rd.docs().where(F.col("doc_id") == int(cq.docid_filter))
+                .select("doc_id", F.lit(0.0).alias("score")))
+    # with a docid filter, score unlimited then filter, then cut to k
+    sub_k = None if cq.docid_filter is not None else k
     if cq.boolean_expr is not None:
-        return _search_boolean(spark, rd, cq, k, conf)
-    if cq.sort_spec is not None or cq.num_filters:
-        return _search_numeric(spark, rd, cq, k, conf)
-    if conf.scorer == "reference":
-        return _search_reference(spark, rd, cq, k, conf)
-    return _search_default(spark, rd, cq, k, conf)
+        out = _search_boolean(spark, rd, cq, sub_k, conf)
+    elif cq.sort_spec is not None or cq.num_filters:
+        out = _search_numeric(spark, rd, cq, sub_k, conf)
+    elif conf.scorer == "reference":
+        out = _search_reference(spark, rd, cq, sub_k, conf)
+    else:
+        out = _search_default(spark, rd, cq, sub_k, conf)
+    if cq.docid_filter is not None:
+        out = out.where(F.col("doc_id") == int(cq.docid_filter))
+        if k is not None:
+            out = out.limit(k)
+    return out
 
 
 def search_all(
@@ -346,28 +358,37 @@ def search_clustered(
     query: str,
     k: int | None = 10,
     max_per_site: int = 2,
+    dedup_content: bool = False,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
 ) -> DataFrame:
     """Site-clustered search: at most max_per_site results per site,
     ranked (score DESC, doc_id ASC) within and across sites — the
     query-time site clustering of Msg51/clusterdb (Msg51.h:20-92;
-    'row_number over site' per SURVEY.md §2.5). k=None returns every
+    'row_number over site' per SURVEY.md §2.5). dedup_content=True also
+    keeps only the best-ranked doc per content checksum (Msg40's
+    content-hash dedup over clusterdb records). k=None returns every
     surviving doc."""
     from pyspark.sql import Window
 
     rd = reader or IndexReader(spark, index_dir, conf)
     base = search(spark, index_dir, query, k=None, conf=conf, reader=rd)
-    sites = rd.docs().select("doc_id", "site_id")
+    sites = rd.docs().select("doc_id", "site_id", "content_hash")
+    joined = base.join(sites, "doc_id")
+    if dedup_content:
+        wc = (Window.partitionBy("content_hash")
+              .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        joined = (joined.withColumn("_crn", F.row_number().over(wc))
+                  .where(F.col("_crn") == 1).drop("_crn"))
     w = (
         Window.partitionBy("site_id")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     out = (
-        base.join(sites, "doc_id")
+        joined
         .withColumn("site_rn", F.row_number().over(w))
         .where(F.col("site_rn") <= max_per_site)
-        .drop("site_rn", "site_id")
+        .drop("site_rn", "site_id", "content_hash")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     return out.limit(k) if k is not None else out

@@ -269,6 +269,46 @@ def test_inlink_text_and_link_field(spark, small_conf, tmp_path_factory):
     assert got == {1}
 
 
+def test_gbdocid_and_ext_fields(built, spark, small_conf):
+    """gbdocid:<N> direct lookup + combined filter; ext: url-extension
+    term (Query.h:33-83 field list)."""
+    got = search_all(spark, built, "gbdocid:3", conf=small_conf).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    got = search_all(spark, built, "spark gbdocid:2",
+                     conf=small_conf).collect()
+    assert [r["doc_id"] for r in got] == [2]
+    got = search_all(spark, built, "spark gbdocid:6",
+                     conf=small_conf).collect()
+    assert got == []  # doc6 has no 'spark'
+    # fixture urls end .html
+    got = {r["doc_id"] for r in
+           search_all(spark, built, "ext:html", conf=small_conf).collect()}
+    assert got == set(DOCS)
+
+
+def test_content_dedup(spark, small_conf, tmp_path_factory):
+    """Query-time duplicate-content removal (Msg40 content-hash dedup):
+    identical texts collapse to the best-ranked doc."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    docs = {1: "same words here", 2: "same words here",
+            3: "other spark text"}
+    idx = str(tmp_path_factory.mktemp("dedupidx"))
+    build_index(spark, _webtext_df(spark, docs), idx, conf=small_conf,
+                gen=0)
+    got = {r["doc_id"] for r in
+           search_clustered(spark, idx, "words", k=None, max_per_site=99,
+                            dedup_content=True,
+                            conf=small_conf).collect()}
+    assert got == {1}
+    got = {r["doc_id"] for r in
+           search_clustered(spark, idx, "words", k=None, max_per_site=99,
+                            conf=small_conf).collect()}
+    assert got == {1, 2}
+
+
 def test_unknown_term_empty(built, spark, small_conf):
     assert search_all(spark, built, "zzznothere", conf=small_conf).count() == 0
 
