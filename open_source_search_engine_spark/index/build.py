@@ -716,8 +716,13 @@ def build_index(
         )
 
     # indexed rows = parse output + incoming-link-text rows (linkdb
-    # analog: anchors hashed for the linkee, anchors-sized shuffle)
-    indexed = parsed.unionByName(anchor_parsed(parsed))
+    # analog: anchors hashed for the linkee, anchors-sized shuffle).
+    # Probe first (limit-1 early-exit scan): link-free corpora skip the
+    # anchor join entirely.
+    has_links = bool(
+        parsed.where(F.size("out_hrefs") > 0).limit(1).count())
+    indexed = (parsed.unionByName(anchor_parsed(parsed)) if has_links
+               else parsed)
 
     # df partials for HOT-term detection only (salting); exact stats are
     # recomputed from the merged segments after stage C (strictly better
