@@ -650,6 +650,128 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(["term_id", "salt"], kind="mergesort")
 
 
+def make_compact_merge(edocs: np.ndarray, egens: np.ndarray):
+    """mapInPandas body for COMPACTION (cross-generation k-way merge,
+    RdbList.cpp:2154 posdbMerge_r + negative-key annihilation
+    RdbList.cpp:1945-2043): input mini rows sorted by (term_id, salt,
+    gen). Doc-event resolution (RdbIndex semantics): a posting at gen g
+    is live iff its doc has no event or its newest event is a re-index
+    at exactly g (keep_gen == g); keep_gen == -1 means tombstoned.
+    Fully vectorized: dead-filter + newest-wins dedup + position span
+    gather, no per-doc python loop."""
+    from ..functions.codec import decode_postings, encode_postings
+
+    has_events = len(edocs) > 0
+
+    def merge_run(blobs: list[bytes], blob_gens: list[int]):
+        decoded = [decode_postings(b) for b in blobs]
+        docs = np.concatenate([d["doc_ids"] for d in decoded])
+        if not len(docs):
+            return None
+        tfs = np.concatenate([d["tfs"] for d in decoded]).astype(np.int64)
+        dls = np.concatenate([d["doclens"] for d in decoded])
+        rks = np.concatenate([d["ranks"] for d in decoded])
+        pos = np.concatenate([d["positions"] for d in decoded])
+        ctx = np.concatenate([d["ctxs"] for d in decoded])
+        gens_arr = np.concatenate(
+            [np.full(len(d["doc_ids"]), g, dtype=np.int64)
+             for g, d in zip(blob_gens, decoded)])
+        starts = np.empty(len(docs), dtype=np.int64)
+        off = i = 0
+        for d in decoded:
+            t = d["tfs"].astype(np.int64)
+            n = len(t)
+            if n:
+                s = np.concatenate(([0], np.cumsum(t[:-1])))
+                starts[i:i + n] = s + off
+                off += int(t.sum())
+                i += n
+        keep = np.arange(len(docs), dtype=np.int64)
+        if has_events:
+            ei = np.searchsorted(edocs, docs)
+            eic = np.clip(ei, 0, len(edocs) - 1)
+            in_map = edocs[eic] == docs
+            dead = in_map & (egens[eic] != gens_arr)
+            keep = keep[~dead]
+        # newest-gen-wins for residual duplicates, then doc order
+        order = keep[np.lexsort((gens_arr[keep], docs[keep]))]
+        if len(order):
+            last = np.empty(len(order), dtype=bool)
+            last[-1] = True
+            last[:-1] = docs[order][:-1] != docs[order][1:]
+            keep = order[last]
+        else:
+            return None
+        if not len(keep):
+            return None
+        k_tf = tfs[keep]
+        total = int(k_tf.sum())
+        ends = np.cumsum(k_tf)
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(ends - k_tf, k_tf)
+               + np.repeat(starts[keep], k_tf))
+        blob = encode_postings(
+            docs[keep].astype(np.uint64), k_tf.astype(np.uint64),
+            dls[keep].astype(np.uint64), pos[idx].astype(np.uint64),
+            ctx[idx].astype(np.uint64), rks[keep].astype(np.uint64))
+        return blob, int(len(keep)), total, int(k_tf.max())
+
+    def _runs(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term_id"].to_numpy(np.int64)
+        salt = pdf["salt"].to_numpy(np.int64)
+        key_change = np.empty(len(term), dtype=bool)
+        key_change[0] = True
+        key_change[1:] = (term[1:] != term[:-1]) | (salt[1:] != salt[:-1])
+        starts = np.flatnonzero(key_change)
+        run_len = np.diff(np.append(starts, len(term)))
+        single = (run_len == 1) & (not has_events)
+        out_frames = []
+        if single.any():
+            out_frames.append(
+                pdf.iloc[starts[single]].drop(columns=["gen"]))
+        recs = []
+        blobs_col = pdf["postings"]
+        gen_col = pdf["gen"].to_numpy(np.int64)
+        bucket_col = pdf["bucket"].to_numpy(np.int64)
+        for s, n in zip(starts[~single], run_len[~single]):
+            r = merge_run([bytes(blobs_col.iloc[s + j]) for j in range(n)],
+                          [int(g) for g in gen_col[s:s + n]])
+            if r is None:
+                continue
+            blob, df, cf, mtf = r
+            recs.append((int(bucket_col[s]), int(term[s]), int(salt[s]),
+                         df, cf, mtf, len(blob), blob))
+        if recs:
+            out_frames.append(pd.DataFrame(
+                recs, columns=["bucket", "term_id", "salt", "df", "cf",
+                               "max_tf", "n_bytes", "postings"]))
+        if not out_frames:
+            return pd.DataFrame(
+                columns=["bucket", "term_id", "salt", "df", "cf",
+                         "max_tf", "n_bytes", "postings"])
+        out = pd.concat(out_frames, ignore_index=True)
+        return out.sort_values(["term_id", "salt"], kind="mergesort")
+
+    def go(iterator):
+        carry: pd.DataFrame | None = None
+        for pdf in iterator:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_t = pdf["term_id"].iloc[-1]
+            last_s = pdf["salt"].iloc[-1]
+            tail = (pdf["term_id"] == last_t) & (pdf["salt"] == last_s)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _runs(body)
+        if carry is not None and len(carry):
+            yield _runs(carry)
+
+    return go
+
+
 def make_merge_partition():
     """mapInPandas body over mini-segment rows hash-shuffled on
     (term_id, salt) and sorted within: merges runs, carrying the
@@ -878,90 +1000,15 @@ def compact_index(spark: SparkSession, index_dir: str,
     events = compute_doc_events(spark, paths, gens)
     ev_map = ({int(r["doc_id"]): int(r["keep_gen"])
                for r in events.collect()} if events is not None else {})
-    ev_bc = spark.sparkContext.broadcast(ev_map)
-
-    merged_schema = T.StructType(
-        [f for f in SEGMENT_SCHEMA.fields] + [T.StructField("gen", T.IntegerType())]
-    )
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.codec import decode_postings, encode_postings
-
-        pdf = pdf.sort_values("gen", kind="mergesort")
-        decoded = [decode_postings(bytes(b)) for b in pdf["postings"]]
-        blob_gens = pdf["gen"].to_list()
-        max_gen = int(blob_gens[-1])
-        # concatenate per-doc arrays with their gen tags
-        docs = np.concatenate([d["doc_ids"] for d in decoded])
-        gens_arr = np.concatenate(
-            [np.full(len(d["doc_ids"]), g, dtype=np.int64)
-             for g, d in zip(blob_gens, decoded)])
-        tfs = np.concatenate([d["tfs"] for d in decoded])
-        dls = np.concatenate([d["doclens"] for d in decoded])
-        rks = np.concatenate([d["ranks"] for d in decoded])
-        # per-doc slices into the flattened position/ctx streams
-        pos_all = [d["positions"] for d in decoded]
-        ctx_all = [d["ctxs"] for d in decoded]
-        src = np.concatenate(
-            [np.full(len(d["doc_ids"]), i, dtype=np.int64)
-             for i, d in enumerate(decoded)])
-        local_start = np.concatenate(
-            [np.concatenate(([0], np.cumsum(d["tfs"][:-1]))).astype(np.int64)
-             if len(d["tfs"]) else np.empty(0, dtype=np.int64)
-             for d in decoded])
-        # doc-level latest-event resolution (RdbIndex semantics): a
-        # posting at gen g is live iff its doc has no later event or the
-        # latest event is a re-index at exactly g; keep_gen -1 = deleted
-        emap = ev_bc.value
-        keep = np.arange(len(docs), dtype=np.int64)
-        if emap:
-            edocs = np.array(sorted(emap), dtype=np.uint64)
-            egens = np.array([emap[int(d)] for d in edocs], dtype=np.int64)
-            ei = np.searchsorted(edocs, docs)
-            ei_c = np.clip(ei, 0, len(edocs) - 1)
-            in_map = (len(edocs) > 0) & (edocs[ei_c] == docs)
-            dead = in_map & (egens[ei_c] != gens_arr)
-            keep = keep[~dead]
-        # safety: newest-gen-wins per doc for any residual duplicates
-        order = keep[np.lexsort((gens_arr[keep], docs[keep]))]
-        if len(order):
-            keep = order[np.concatenate(
-                (docs[order][:-1] != docs[order][1:], [True]))]
-        else:
-            keep = order
-        if len(keep) == 0:
-            return pd.DataFrame(columns=[f.name for f in merged_schema.fields])
-        keep = keep[np.argsort(docs[keep], kind="stable")]
-        k_tf = tfs[keep].astype(np.uint64)
-        pos_out = np.concatenate(
-            [pos_all[src[i]][local_start[i]: local_start[i] + int(tfs[i])]
-             for i in keep]) if k_tf.sum() else np.empty(0, dtype=np.uint64)
-        ctx_out = np.concatenate(
-            [ctx_all[src[i]][local_start[i]: local_start[i] + int(tfs[i])]
-             for i in keep]) if k_tf.sum() else np.empty(0, dtype=np.uint64)
-        blob = encode_postings(docs[keep], k_tf, dls[keep], pos_out,
-                               ctx_out, rks[keep])
-        return pd.DataFrame(
-            [
-                {
-                    "bucket": int(pdf["bucket"].iloc[0]),
-                    "term_id": int(pdf["term_id"].iloc[0]),
-                    "salt": int(pdf["salt"].iloc[0]),
-                    "df": int(len(keep)),
-                    "cf": int(k_tf.sum()),
-                    "max_tf": int(k_tf.max()),
-                    "n_bytes": len(blob),
-                    "postings": blob,
-                    "gen": max_gen,
-                }
-            ]
-        )
+    edocs = np.array(sorted(ev_map), dtype=np.uint64)
+    egens = np.array([ev_map[int(d)] for d in edocs], dtype=np.int64)
 
     out_dir = paths.gen("segments", new_gen)
     (
-        seg.groupBy("bucket", "term_id", "salt")
-        .applyInPandas(merge_group, schema=merged_schema)
-        .drop("gen")
+        seg.repartition(F.col("term_id"), F.col("salt"))
+        .sortWithinPartitions("term_id", "salt", "gen")
+        .mapInPandas(make_compact_merge(edocs, egens),
+                     schema=SEGMENT_SCHEMA)
         .repartition("bucket")
         .sortWithinPartitions("term_id", "salt")
         .write.mode("overwrite")
