@@ -60,6 +60,12 @@ class TermGroup:
     syn_display: list[str] = field(default_factory=list)
     field: str | None = None
     is_bigram: bool = False
+    # shared id when this word sits inside a known Wikipedia title
+    # (Wiki.cpp; PosdbTable.cpp:799-830 wikiPhraseId) — qdist preserved
+    # via qpos. The reference feeds this into its pair weighting
+    # (WIKI_BIGRAM_WEIGHT); our reference-scorer hook for it is a
+    # documented phase-2 item (rank-identity suite pins current scope)
+    wiki_phrase_id: int = 0
 
 
 @dataclass
@@ -215,9 +221,23 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
             qpos += 2
 
     _add_query_bigrams(cq)
+    _assign_wiki_phrases(cq)
     if synonyms:
         _add_synonyms(cq)
     return cq
+
+
+def _assign_wiki_phrases(cq: CompiledQuery) -> None:
+    """Consecutive unquoted unfielded positive words forming a known
+    Wikipedia title share a wikiPhraseId (Wiki.cpp; greedy longest
+    match)."""
+    from ..functions.wikiphrases import detect_wiki_spans
+
+    eligible = [g for g in cq.groups
+                if not g.negative and not g.quoted and g.field is None]
+    for s, e, wid in detect_wiki_spans([g.word for g in eligible]):
+        for g in eligible[s:e]:
+            g.wiki_phrase_id = wid
 
 
 def _add_query_bigrams(cq: CompiledQuery) -> None:

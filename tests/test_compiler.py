@@ -120,3 +120,17 @@ def test_synonym_term_ids_single_word():
     assert (hash64_lower_utf8("1") & TERMID_MASK) in cq.groups[0].syn_term_ids
     # off by default
     assert not compile_query("one").groups[0].syn_term_ids
+
+
+def test_wiki_phrase_assignment():
+    # Wiki.cpp analog: consecutive words matching a known title share a
+    # wikiPhraseId; others get none; greedy longest match wins
+    cq = compile_query("new york city pizza")
+    g = cq.positive_groups
+    assert g[0].wiki_phrase_id and \
+        g[0].wiki_phrase_id == g[1].wiki_phrase_id == g[2].wiki_phrase_id
+    assert g[3].wiki_phrase_id == 0
+    cq2 = compile_query("machine learning spark")
+    g2 = cq2.positive_groups
+    assert g2[0].wiki_phrase_id == g2[1].wiki_phrase_id != 0
+    assert g2[2].wiki_phrase_id == 0

@@ -117,3 +117,38 @@ def test_idempotent_invariant():
                       .encode("utf-8"))
     # entity-inert forms survive unchanged
     assert t2.split() == t.split()
+
+
+def test_extract_links_and_anchor_text():
+    from open_source_search_engine_spark.functions.extractor import (
+        extract_links,
+    )
+
+    html = (b'<html><body>'
+            b'<a href="http://a.example/x">first anchor</a>'
+            b'<a href=\'/rel/path\'>second</a>'
+            b'<a href=bare>third one</a>'
+            b'<a>no href</a></body></html>')
+    links = extract_links(html)
+    assert links[0] == ("http://a.example/x", "first anchor")
+    assert links[1] == ("/rel/path", "second")
+    assert links[2] == ("bare", "third one")
+    assert len(links) == 4  # hrefless anchor yields empty href
+    assert links[3][0] == ""
+
+
+def test_absolute_url_resolution():
+    from open_source_search_engine_spark.functions.extractor import (
+        absolute_url,
+    )
+
+    base = "http://host.example/dir/page.html"
+    assert absolute_url(base, "http://other.example/a") == \
+        "http://other.example/a"
+    assert absolute_url(base, "//cdn.example/x") == "http://cdn.example/x"
+    assert absolute_url(base, "/root.html") == "http://host.example/root.html"
+    assert absolute_url(base, "sib.html") == \
+        "http://host.example/dir/sib.html"
+    assert absolute_url(base, "#frag") == ""
+    assert absolute_url("http://host.example", "a.html") == \
+        "http://host.example/a.html"
