@@ -157,18 +157,21 @@ class IndexReader:
         found = {r["term_id"]: r["df"] for r in rows}
         return {t: found.get(t, 0) for t in term_ids}
 
-    def segments_for(self, term_ids: list[int]) -> DataFrame:
-        """Bucket-pruned, termId-pushed-down segment scan (Msg2::getLists
-        analog: per query term, fetch the posting lists of every file
-        generation)."""
-        tids = [int(t) for t in term_ids]
-        buckets = sorted({t % self.conf.n_buckets for t in tids})
+    def _seg_paths(self, term_ids: list[int]) -> list[str]:
+        buckets = sorted({int(t) % self.conf.n_buckets for t in term_ids})
         paths = [
             os.path.join(self.paths.segments, f"gen={g}", f"bucket={b}")
             for g in self.gens
             for b in buckets
         ]
-        paths = [p for p in paths if os.path.exists(p)]
+        return [p for p in paths if os.path.exists(p)]
+
+    def segments_for(self, term_ids: list[int]) -> DataFrame:
+        """Bucket-pruned, termId-pushed-down segment scan (Msg2::getLists
+        analog: per query term, fetch the posting lists of every file
+        generation)."""
+        tids = [int(t) for t in term_ids]
+        paths = self._seg_paths(tids)
         if not paths:
             return self.spark.createDataFrame([], schema=_seg_schema_gen())
         df = (
@@ -188,6 +191,20 @@ class IndexReader:
         keep_cols = [c for c in ("term_id", "postings", "gen")
                      if c in seg.columns]
         seg = seg.select(*keep_cols)
+        # decode-parallelism: bucket dirs of hot terms hold few large
+        # files, so the scan yields fewer splits than cores and the
+        # python decode serializes on them (measured 8 tasks / 17s wall
+        # at 0.8s JVM cpu on a 500k-doc index). A blob-row repartition
+        # is ~bytes-cheap next to the decode; skip it for small scans
+        # (driver-side file-size estimate, no extra job).
+        est = sum(
+            os.path.getsize(os.path.join(p, f))
+            for p in self._seg_paths([int(t) for t in term_ids])
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        par = self.spark.sparkContext.defaultParallelism
+        if est > 32 << 20:
+            seg = seg.repartition(par)
         bc = (
             self.spark.sparkContext.broadcast(
                 candidate_docs.astype(np.uint64))
