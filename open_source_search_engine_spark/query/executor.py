@@ -259,11 +259,13 @@ class IndexReader:
                         starts = ends - tfs
                         pos = d["positions"].astype(np.int32)
                         cxs = d["ctxs"].astype(np.int32)
+                        # numpy slices, not .tolist(): Arrow list-ifies
+                        # them without a per-doc python materialization
                         frame["positions"] = [
-                            pos[s:e].tolist() for s, e in zip(starts, ends)
+                            pos[s:e] for s, e in zip(starts, ends)
                         ]
                         frame["ctxs"] = [
-                            cxs[s:e].tolist() for s, e in zip(starts, ends)
+                            cxs[s:e] for s, e in zip(starts, ends)
                         ]
                     if mask is not None:
                         frame = frame[mask]
