@@ -1,0 +1,162 @@
+"""Multi-term block-max WAND tests: the per-salt DAAT bound-pruned
+intersection must return the exact same top-k as the full-decode path
+(PosdbTable.cpp:4494 getMaxPossibleScore analog at block granularity),
+and its stats surface must prove blocks can be skipped without decode."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from open_source_search_engine_spark.index.build import build_index
+from open_source_search_engine_spark.query.executor import (
+    IndexReader,
+    _all_hot_salts,
+    multi_wand_stats,
+    search,
+    search_all,
+)
+
+N_DOCS = 1300  # > adaptive hot threshold (1000) so query words are salted
+
+
+def _corpus(spark):
+    rows = []
+    fillers = ["lorem", "ipsum", "dolor", "sit", "amet", "quartz", "zinc"]
+    for d in range(1, N_DOCS + 1):
+        # every doc has alpha+beta+gamma with varying tf so BM25 varies
+        body = ("alpha " * (1 + d % 7) + "beta " * (1 + d % 5)
+                + "gamma " * (1 + d % 3)
+                + " ".join(fillers[: 1 + d % len(fillers)]))
+        rows.append({
+            "url": f"http://h{d % 9}.example/w/{d}.html",
+            "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=d),
+            "html": f"<html><body><p>{body}</p></body></html>".encode(),
+            "text": body,
+            "lang": "en",
+            "doc_id": d,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.fixture(scope="module")
+def wand_index(spark, small_conf, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wand_idx"))
+    build_index(spark, _corpus(spark), d, conf=small_conf)
+    return d
+
+
+def test_all_hot_salts_detects_salted_terms(wand_index, spark, small_conf):
+    rd = IndexReader(spark, wand_index, small_conf)
+    from open_source_search_engine_spark.query.compiler import compile_query
+
+    tids = [g.term_ids[0]
+            for g in compile_query("alpha beta gamma").positive_groups]
+    assert _all_hot_salts(rd, tids)
+
+
+def _assert_topk_equiv(got, full_rows, k):
+    """Compare a top-k result against the full-decode ground truth
+    tolerating last-ulp float-summation-order tie flips (the two paths
+    add per-term scores in different orders; driver oracles round to 6
+    decimals for the same reason)."""
+    truth = sorted(full_rows, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+    full = {r["doc_id"]: r["score"] for r in full_rows}
+    assert len(got) == len(truth)
+    kth = truth[-1]["score"]
+    for g, t in zip(got, truth):
+        assert abs(g["score"] - t["score"]) < 1e-9
+        # every returned doc is a genuine match whose true score ties or
+        # beats the k-th best
+        assert full[g["doc_id"]] >= kth - 1e-9
+
+
+def test_multi_wand_matches_full_path(wand_index, spark, small_conf):
+    # k=None forces the general full-decode pipeline: ground truth
+    full = search_all(spark, wand_index, "alpha beta gamma",
+                      conf=small_conf).collect()
+    got = search(spark, wand_index, "alpha beta gamma", k=10,
+                 conf=small_conf).collect()
+    _assert_topk_equiv(got, full, 10)
+
+
+def test_multi_wand_two_terms(wand_index, spark, small_conf):
+    full = search_all(spark, wand_index, "alpha gamma",
+                      conf=small_conf).collect()
+    got = search(spark, wand_index, "alpha gamma", k=5,
+                 conf=small_conf).collect()
+    _assert_topk_equiv(got, full, 5)
+
+
+def test_multi_wand_phrase(wand_index, spark, small_conf):
+    # every doc has "... alpha beta ..." adjacency; quoted query through
+    # the WAND phrase path must agree with the full pipeline
+    full = search_all(spark, wand_index, '"alpha beta"',
+                      conf=small_conf).collect()
+    assert len(full) > 10  # the phrase filter keeps a large subset
+    got = search(spark, wand_index, '"alpha beta"', k=10,
+                 conf=small_conf).collect()
+    _assert_topk_equiv(got, full, 10)
+
+
+def test_multi_wand_phrase_reversed_empty(wand_index, spark, small_conf):
+    # reversed order never occurs: the in-WAND adjacency must reject all
+    got = search(spark, wand_index, '"beta alpha"', k=10,
+                 conf=small_conf).collect()
+    assert got == []
+
+
+def test_wand_stats_counts_blocks(wand_index, spark, small_conf):
+    st = multi_wand_stats(spark, wand_index, "alpha beta gamma", k=10,
+                          conf=small_conf)
+    assert len(st) == 1
+    assert st["blocks_total"].iloc[0] > 0
+    assert 0 < st["blocks_decoded"].iloc[0] <= st["blocks_total"].iloc[0]
+
+
+def test_wand_prunes_blocks_on_skewed_scores(spark, small_conf,
+                                             tmp_path_factory):
+    """Corpus where the first docs carry spiked tf for every query term:
+    once the heap warms on the early (low-docId) blocks, the flat tail
+    blocks' upper bounds can't reach the threshold and must be skipped
+    WITHOUT stream decoding (blocks_decoded < blocks_total)."""
+    rows = []
+    for d in range(1, N_DOCS + 1):
+        rep = 40 if d <= 40 else 1
+        # vary the interleaving so the repeated-fragment filter
+        # (XmlDoc.cpp:20574 analog) doesn't suppress the spiked tf
+        body = (" ".join(f"alpha w{i}a beta w{i}b gamma w{i}c"
+                         for i in range(rep))
+                + " lorem ipsum dolor")
+        rows.append({
+            "url": f"http://h{d % 9}.example/s/{d}.html",
+            "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=d),
+            "html": f"<html><body><p>{body}</p></body></html>".encode(),
+            "text": body,
+            "lang": "en",
+            "doc_id": d,
+        })
+    idx = str(tmp_path_factory.mktemp("wand_skew_idx"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), idx,
+                conf=small_conf)
+    st = multi_wand_stats(spark, idx, "alpha beta gamma", k=10,
+                          conf=small_conf)
+    assert st["blocks_decoded"].iloc[0] < st["blocks_total"].iloc[0]
+    # and the pruned path still returns the true top-k
+    full = search_all(spark, idx, "alpha beta gamma",
+                      conf=small_conf).collect()
+    got = search(spark, idx, "alpha beta gamma", k=10,
+                 conf=small_conf).collect()
+    _assert_topk_equiv(got, full, 10)
+
+
+def test_mixed_hot_cold_falls_back(wand_index, spark, small_conf):
+    # "quartz" is rare (df ~ N/7*...) => not salted; the gate must fall
+    # back to the candidate/full pipeline and still return correct docs
+    got = search(spark, wand_index, "alpha quartz", k=10,
+                 conf=small_conf).collect()
+    full = search_all(spark, wand_index, "alpha quartz",
+                      conf=small_conf).collect()
+    _assert_topk_equiv(got, full, 10)
