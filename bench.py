@@ -98,6 +98,17 @@ def main() -> int:
     timed("q_not",
           lambda: search(spark, idx_dir, "window -customer", k=10,
                          reader=rd).collect())
+    # reference-scorer path (the engine's heaviest query pipeline:
+    # positions + ctx decode, sliding-window proximity scoring)
+    from open_source_search_engine_spark.config import EngineConf
+
+    ref_conf = EngineConf(scorer="reference")
+    timed("q_reference_2term",
+          lambda: search(spark, idx_dir, "key window", k=10,
+                         conf=ref_conf, reader=rd).collect())
+    timed("q_reference_3term",
+          lambda: search(spark, idx_dir, "key window stream", k=10,
+                         conf=ref_conf, reader=rd).collect())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

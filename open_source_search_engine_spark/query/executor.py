@@ -1001,23 +1001,46 @@ def _phrase_ok_udf(cq: CompiledQuery):
 def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
                       k: int | None, conf: EngineConf) -> DataFrame:
     """Reference-scorer path (SURVEY.md §4.6): decode positions + context
-    bytes, score each candidate doc with the Gigablast position/context
-    formula (refscore.score_doc) inside a grouped pandas stage, combine
-    with the site-rank multiplier, global top-k. AND semantics over the
-    positive groups (the reference's docid-vote intersection,
-    PosdbTable.cpp:2110-2196)."""
-    from .refscore import ScoringWeights, score_doc, term_freq_weight
+    bytes, score each candidate doc with the full Gigablast formula chain
+    (refscore.score_doc: non-body matrix -> singles -> sliding window ->
+    window-restricted pair scan -> min-combine + siterank). AND semantics
+    over the positive groups (docid-vote intersection,
+    PosdbTable.cpp:2110-2196). Docs are batched ~hundreds per pandas
+    group (doc_id mod shuffle-width) so the per-group python overhead
+    amortizes — no per-doc applyInPandas calls."""
+    from .refscore import (
+        ScoringWeights,
+        TermList,
+        score_doc,
+        term_freq_weight,
+    )
 
     pos_groups = cq.positive_groups
     if not pos_groups:
         return spark.createDataFrame([], "doc_id long, score double")
-    tids = [g.term_ids[0] for g in pos_groups]
-    qpos = {int(g.term_ids[0]): g.qpos for g in pos_groups}
+    tids = [int(g.term_ids[0]) for g in pos_groups]
     dfs = rd.df_of(tids)
     n = rd.n_docs
-    tfw = {int(t): term_freq_weight(dfs[t], n, conf) for t in tids}
+    # per-group query metadata, in group order (term slot order)
+    slot_of = {}
+    for g in pos_groups:
+        slot_of.setdefault(int(g.term_ids[0]), len(slot_of))
+    n_req = len(slot_of)
+    tfws = [0.0] * n_req
+    qpos = [0] * n_req
+    wiki_ids = [0] * n_req
+    quote_ids = [-1] * n_req
+    for g in pos_groups:
+        s = slot_of[int(g.term_ids[0])]
+        tfws[s] = term_freq_weight(dfs[int(g.term_ids[0])], n, conf)
+        qpos[s] = int(g.qpos)
+        wiki_ids[s] = int(g.wiki_phrase_id)
+    for qi, run in enumerate(cq.quoted_runs):
+        for gi in run:
+            t = int(cq.groups[gi].term_ids[0])
+            if t in slot_of:
+                quote_ids[slot_of[t]] = qi
     weights = ScoringWeights(conf)
-    n_req = len(set(tids))
 
     posts = rd.postings(tids, with_positions=True)
     if cq.negative_groups:
@@ -1025,23 +1048,47 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
         neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
         posts = posts.join(neg_docs, "doc_id", "left_anti")
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        if pdf["term_id"].nunique() < n_req:
+    def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
             return pd.DataFrame(columns=["doc_id", "score"])
-        term_data, tfws, qdists = [], [], []
-        for tid, sub in pdf.groupby("term_id"):
-            pos = np.concatenate([np.asarray(p) for p in sub["positions"]])
-            ctx = np.concatenate([np.asarray(c) for c in sub["ctxs"]])
-            term_data.append((pos, ctx))
-            tfws.append(tfw[int(tid)])
-            qdists.append(qpos[int(tid)])
-        site_rank = int(pdf["rank"].iloc[0]) >> 6
-        s = score_doc(term_data, tfws, qdists, site_rank, weights)
-        return pd.DataFrame(
-            [{"doc_id": int(pdf["doc_id"].iloc[0]), "score": float(s)}])
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_arr = pdf["doc_id"].to_numpy()
+        tid_arr = pdf["term_id"].to_numpy()
+        rank_arr = pdf["rank"].to_numpy()
+        pos_col = pdf["positions"].to_numpy()
+        ctx_col = pdf["ctxs"].to_numpy()
+        bounds = np.flatnonzero(
+            np.concatenate(([True], doc_arr[1:] != doc_arr[:-1])))
+        bounds = np.append(bounds, len(doc_arr))
+        out_docs, out_scores = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < n_req:
+                continue
+            terms: list = [None] * n_req
+            for r in range(s, e):
+                slot = slot_of.get(int(tid_arr[r]))
+                if slot is not None and terms[slot] is None:
+                    terms[slot] = TermList(
+                        np.asarray(pos_col[r], dtype=np.int64),
+                        np.asarray(ctx_col[r], dtype=np.int64),
+                        weights)
+            if any(t is None for t in terms):
+                continue
+            site_rank = int(rank_arr[s]) >> 6
+            sc = score_doc(terms, tfws, qpos, site_rank, weights,
+                           wiki_ids=wiki_ids, quote_ids=quote_ids)
+            if sc is None:
+                continue  # minScore <= 0: reference skips the doc
+            out_docs.append(int(doc_arr[s]))
+            out_scores.append(sc)
+        return pd.DataFrame({"doc_id": out_docs, "score": out_scores})
 
-    scored = posts.groupBy("doc_id").applyInPandas(
-        score_group, schema="doc_id long, score double")
+    nb = max(spark.sparkContext.defaultParallelism * 4, 8)
+    scored = (
+        posts.withColumn("_g", F.pmod(F.col("doc_id"), F.lit(nb)))
+        .groupBy("_g")
+        .applyInPandas(score_batch, schema="doc_id long, score double")
+    )
     out = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(k) if k is not None else out
 

@@ -1,168 +1,700 @@
-"""Reference-scorer mode: the Gigablast position/context-weight ranking
-formula (SURVEY.md §4.6), reproduced from the reference semantics so our
-engine can return rank-identical results when configured identically.
+"""Reference-scorer mode: the Gigablast position/context ranking formula
+(SURVEY.md §4.6) reproduced operation-for-operation so our engine returns
+rank-identical results when configured identically.
 
-Formula (reference citations):
+Algorithm per candidate doc (PosdbTable.cpp intersectLists_real scoring
+block, :4140-4280):
 
-  tfw_i    = scale_linear(df_i/N, 0.0, 0.5, 1.0, 0.5)    Msg3a.cpp:1003-1033
-  ctx(p)   = 100 · divW² · hgW² · denW² · spamW² [· synW²]
-                                                  PosdbTable.cpp:210-461
-  single_i = (Σ top-10 ctx, one per distinct hash-group) · tfw_i²
-                                                  PosdbTable.cpp:3245
-  pair(i,j)= Σ top-10 [100·denW·denW·hgW·hgW·spamW·spamW/(dist+1)]
-             · tfw_i·tfw_j                        PosdbTable.cpp:715-792
-  dist     = max(|p1-p2|, 2) - qdist, +1 if out of query order
-  minScore = min(min_i single_i, min_{i<j} pair(i,j))
-                                                  PosdbTable.cpp:4207-4216
-  score    = minScore · (siteRank·0.3333 + 1)     PosdbTable.cpp:4237-4244,
-                                                  SITERANKMULTIPLIER PosdbTable.h:16
+  1. non-body pair score matrix       createNonBodyTermPairScoreMatrix :3162
+     per pair (i,j): co-advancing scan over the two full lists scoring
+     only s_isCompatible (both non-body) postings; matrix = wiki_wts ·
+     max · tfw_i · tfw_j                getMaxScoreForNonBodyTermPair :467
+  2. min single-term score            getMinSingleTermScoreSum :3245
+     per term: per-posting ctx score 100·divW²·hgW²·denW²·spamW²[·synW²],
+     top-MAX_TOP one-per-modified-hashgroup (INLINKTEXT exempt), wiki
+     half-stop bigram entries ×1.4², sum × tfw²
+                                       getBestScoreSumForSingleTerm :210
+     also records the highest-scoring NON-body position per term
+  3. sliding window over body positions
+                                       getMinTermPairScoreSlidingWindow :3514
+     window = current body position per term; per pair max of
+     {in-window pair, sub-outs vs the best non-body position at
+     FIXED_DISTANCE} · wiki · tfw_i·tfw_j, clamped up by the matrix,
+     quoted-phrase constrained; window score = min over pairs; the
+     best (strictly greater) window's positions are recorded
+                                       findMinTermPairScoreInWindow :3332
+  4. final pair score ("Zak"): per pair, co-advancing scan over the full
+     lists with body positions restricted to the winning window,
+     FIXED_DISTANCE for cross-hashgroup/ inlink pairs, out-of-order
+     penalty, top-MAX_TOP one-per-mhg-pair slots, × wiki · tfw_i·tfw_j
+                                       getTermPairScoreForAny :799
+  5. minScore = min(min pair, min single); skip if <= 0; score =
+     minScore · (adjustedSiteRank·0.33333333 + 1) where adjustedSiteRank
+     adds (highestInlinkerSiteRank - siteRank)/3 when an inlinker
+     outranks the site                 :4199-4245, PosdbTable.h:16
 
-Weight tables (ScoringWeights.cpp:1-50, Parms.cpp:3638-3665): density and
-diversity weights interpolate quadratically from conf min->max over the
-rank range; word-spam interpolates linearly; hash-group weights are the
-Parms.cpp:4067-4167 defaults (config.EngineConf.hashgroup_weights);
-synonym-flagged occurrences weigh conf.syn_weight (0.9,
-SearchInput.cpp:74).
+Weight tables (ScoringWeights.cpp:1-53): density/diversity are
+scale_quadratic(((r+1)²-1)/3, ScalingFunctions.cpp:29-40) over the conf
+min→max range; word-spam is scale_linear bottoming at 1/MAXWORDSPAMRANK;
+INLINKTEXT postings read the LINKER's siteRank from the word-spam field
+and weigh sqrt(1+rank) (m_linkerWeights). Hash-group weights are the
+Parms.cpp:4067-4167 defaults. All kernels run in float32 matching the
+reference's float op order (scores differ only where C float and IEEE
+numpy float32 differ: nowhere).
 
-Round-1 scope note (documented deviation): for queries of 3+ terms the
-reference evaluates pair scores inside a sliding window over body
-positions (PosdbTable.cpp:3514 getMinTermPairScoreSlidingWindow); here
-each pair's best position combination is taken independently, which is
-exact for 1- and 2-term queries and an upper-bound approximation beyond.
-Inlink-text repeatability, wiki-bigram boosts, language boosts and page
-temperature are not modeled (no link graph / wiki data in scope).
-
-All kernels are numpy over the decoded position/ctx arrays.
+Scope notes: each query term group carries ONE posting list (the primary
+termId) — the reference's per-group synonym/bigram sublists merge at
+mini-merge time; our bigram/synonym variants run in BM25 mode only.
+Build-side positions of non-body hash groups restart at 0 rather than
+continuing the document word stream (functions/extractor.py), which the
+FIXED_DISTANCE >50 rule mostly absorbs; documented deviation.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
 from ..config import DEFAULT_CONF, EngineConf
 from ..functions.posdb import (
+    HASHGROUP_BODY,
+    HASHGROUP_HEADING,
+    HASHGROUP_INLINKTEXT,
+    HASHGROUP_INLIST,
+    HASHGROUP_INMENU,
     MAXDENSITYRANK,
     MAXDIVERSITYRANK,
     MAXWORDSPAMRANK,
 )
 
-MAX_TOP = 10  # m_realMaxTop default (Parms.cpp "real max top")
-SITERANK_MULTIPLIER = 0.33333333  # PosdbTable.h:16
+MAX_TOP = 10                     # m_realMaxTop default
+FIXED_DISTANCE = 400             # PosdbTable.h:258
+WIKI_WEIGHT = np.float32(0.10)   # PosdbTable.h:14
+WIKI_BIGRAM_WEIGHT = np.float32(1.40)  # PosdbTable.h:21
+SITERANK_MULTIPLIER = np.float32(0.33333333)  # PosdbTable.h:16
+
+_IN_BODY = np.zeros(16, dtype=bool)  # s_inBody (PosdbTable.cpp:6035-6041)
+for _hg in (HASHGROUP_BODY, HASHGROUP_HEADING, HASHGROUP_INLIST,
+            HASHGROUP_INMENU):
+    _IN_BODY[_hg] = True
+
+F32 = np.float32
 
 
-def term_freq_weight(df: float, n_docs: float, conf: EngineConf = DEFAULT_CONF) -> float:
-    """scale_linear(df/N, termfreq_min, termfreq_max, w_min, w_max)
-    (Msg3a.cpp:1003-1008, ScalingFunctions.h:8-10): linear IDF analog."""
+def scale_linear(x, min_x, max_x, min_y, max_y):
+    """ScalingFunctions.cpp:4-14."""
+    x = min(max(x, min_x), max_x)
+    if max_x == min_x:
+        return min_y
+    r = (x - min_x) / (max_x - min_x)
+    return min_y + r * (max_y - min_y)
+
+
+def scale_quadratic(x, min_x, max_x, min_y, max_y):
+    """ScalingFunctions.cpp:29-40 — NOT r²: ((r+1)²-1)/3."""
+    x = min(max(x, min_x), max_x)
+    if max_x == min_x:
+        return min_y
+    r = (x - min_x) / (max_x - min_x)
+    return ((r + 1.0) * (r + 1.0) - 1.0) / 3.0 * (max_y - min_y) + min_y
+
+
+def term_freq_weight(df: float, n_docs: float,
+                     conf: EngineConf = DEFAULT_CONF) -> float:
+    """m_termFreqWeight = scale_linear(termFreq/numDocs, ...)
+    (Msg3a.cpp:1003-1008 analog; Posdb.cpp getTermFreqWeight)."""
     x = df / max(n_docs, 1.0)
-    lo, hi = conf.termfreq_min, conf.termfreq_max
-    wlo, whi = conf.termfreq_weight_min, conf.termfreq_weight_max
-    if x <= lo:
-        return wlo
-    if x >= hi:
-        return whi
-    return wlo + (whi - wlo) * (x - lo) / (hi - lo)
+    return float(F32(scale_linear(x, conf.termfreq_min, conf.termfreq_max,
+                                  conf.termfreq_weight_min,
+                                  conf.termfreq_weight_max)))
 
 
 class ScoringWeights:
-    """Precomputed rank->weight tables (ScoringWeights.cpp analog)."""
+    """Precomputed rank->weight float32 tables (ScoringWeights.cpp)."""
 
     def __init__(self, conf: EngineConf = DEFAULT_CONF):
         self.conf = conf
-        r = np.arange(MAXDENSITYRANK + 1, dtype=np.float64)
-        self.density = (
-            conf.density_weight_min
-            + (conf.density_weight_max - conf.density_weight_min)
-            * (r / MAXDENSITYRANK) ** 2
-        )
-        d = np.arange(MAXDIVERSITYRANK + 1, dtype=np.float64)
-        self.diversity = (
-            conf.diversity_weight_min
-            + (conf.diversity_weight_max - conf.diversity_weight_min)
-            * (d / MAXDIVERSITYRANK) ** 2
-        )
-        s = np.arange(MAXWORDSPAMRANK + 1, dtype=np.float64)
-        self.wordspam = s / MAXWORDSPAMRANK  # linear (ScoringWeights.cpp)
-        self.hashgroup = np.asarray(conf.hashgroup_weights, dtype=np.float64)
-        self.syn = getattr(conf, "syn_weight", 0.9)
+        self.diversity = np.array(
+            [scale_quadratic(i, 0, MAXDIVERSITYRANK,
+                             conf.diversity_weight_min,
+                             conf.diversity_weight_max)
+             for i in range(MAXDIVERSITYRANK + 1)], dtype=np.float32)
+        self.density = np.array(
+            [scale_quadratic(i, 0, MAXDENSITYRANK,
+                             conf.density_weight_min,
+                             conf.density_weight_max)
+             for i in range(MAXDENSITYRANK + 1)], dtype=np.float32)
+        # "make sure if word spam is 0 that the weight is not 0"
+        self.wordspam = np.array(
+            [scale_linear(i, 0, MAXWORDSPAMRANK, 1.0 / MAXWORDSPAMRANK, 1.0)
+             for i in range(MAXWORDSPAMRANK + 1)], dtype=np.float32)
+        # siterank of the inlinker, stored in the spam field of
+        # INLINKTEXT postings (ScoringWeights.cpp:35-37)
+        self.linker = np.array(
+            [math.sqrt(1.0 + i) for i in range(MAXWORDSPAMRANK + 1)],
+            dtype=np.float32)
+        self.hashgroup = np.asarray(conf.hashgroup_weights, dtype=np.float32)
+        self.syn = np.float32(getattr(conf, "syn_weight", 0.9))
 
 
-def _unpack(ctx: np.ndarray):
-    hg = (ctx >> 15) & 0xF
-    den = (ctx >> 10) & 0x1F
-    div = (ctx >> 6) & 0xF
-    spam = (ctx >> 2) & 0xF
-    syn = ctx & 0x3
-    return hg, den, div, spam, syn
+class TermList:
+    """One query term group's postings within one doc, decoded to parallel
+    arrays (the mini-merged list analog, positions ascending)."""
+
+    __slots__ = ("pos", "hg", "den", "div", "spam", "syn", "denw", "hgw",
+                 "spamw", "synm", "wikib", "mhg", "inbody")
+
+    def __init__(self, pos: np.ndarray, ctx: np.ndarray, w: ScoringWeights,
+                 half_stop_wiki_bigram: bool = False):
+        ctx = ctx.astype(np.int64)
+        self.pos = pos.astype(np.int64)
+        self.hg = (ctx >> 15) & 0xF
+        self.den = (ctx >> 10) & 0x1F
+        self.div = (ctx >> 6) & 0xF
+        self.spam = (ctx >> 2) & 0xF
+        self.syn = ctx & 0x3
+        hgc = np.clip(self.hg, 0, len(w.hashgroup) - 1)
+        self.hgw = w.hashgroup[hgc]
+        self.denw = w.density[self.den]
+        self.spamw = np.where(self.hg == HASHGROUP_INLINKTEXT,
+                              w.linker[self.spam],
+                              w.wordspam[self.spam]).astype(np.float32)
+        self.synm = np.where(self.syn != 0, w.syn,
+                             np.float32(1.0)).astype(np.float32)
+        self.wikib = (np.full(len(pos), half_stop_wiki_bigram, dtype=bool))
+        self.inbody = _IN_BODY[np.clip(self.hg, 0, 15)]
+        self.mhg = np.where(self.inbody, HASHGROUP_BODY, self.hg)
+
+    def __len__(self):
+        return len(self.pos)
 
 
-def single_term_score(ctx: np.ndarray, tfw: float,
-                      w: ScoringWeights) -> float:
-    """getBestScoreSumForSingleTerm (PosdbTable.cpp:210-461): best ctx
-    score per distinct hash-group, top-MAX_TOP summed, × tfw²."""
-    hg, den, div, spam, syn = _unpack(ctx.astype(np.int64))
-    scores = (
-        100.0
-        * w.diversity[div] ** 2
-        * w.hashgroup[np.clip(hg, 0, len(w.hashgroup) - 1)] ** 2
-        * w.density[den] ** 2
-        * w.wordspam[spam] ** 2
-    )
-    scores = np.where(syn != 0, scores * (w.syn ** 2), scores)
-    best_per_hg = {}
-    for g, s in zip(hg, scores):
-        if s > best_per_hg.get(int(g), -1.0):
-            best_per_hg[int(g)] = float(s)
-    top = sorted(best_per_hg.values(), reverse=True)[:MAX_TOP]
-    return float(sum(top)) * tfw * tfw
+def _merge_states(p1: np.ndarray, p2: np.ndarray):
+    """(i_k, j_k) index pairs of the states visited by the reference's
+    co-advancing two-pointer pair scans (getMaxScoreForNonBodyTermPair /
+    getTermPairScoreForAny loop structure): at each state the current
+    pair is scored, then the list whose current position is smaller
+    advances (ties advance list 1: `if (p1 <= p2)`); the scan ends when
+    either list is exhausted."""
+    n1, n2 = len(p1), len(p2)
+    if n1 == 0 or n2 == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    src = np.concatenate([np.zeros(n1, dtype=np.int64),
+                          np.ones(n2, dtype=np.int64)])
+    pos = np.concatenate([p1, p2])
+    order = np.lexsort((src, pos))
+    s = src[order]
+    ci = np.cumsum(s == 0)
+    cj = np.cumsum(s == 1)
+    i_prior = np.concatenate(([0], ci[:-1]))
+    j_prior = np.concatenate(([0], cj[:-1]))
+    valid = (i_prior < n1) & (j_prior < n2)
+    return i_prior[valid], j_prior[valid]
 
 
-def pair_score(pos_i: np.ndarray, ctx_i: np.ndarray,
-               pos_j: np.ndarray, ctx_j: np.ndarray,
-               qdist: int, tfw_i: float, tfw_j: float,
-               w: ScoringWeights) -> float:
-    """getScoreForTermPair (PosdbTable.cpp:715-792) over all position
-    combinations; top-MAX_TOP summed, × tfw_i·tfw_j."""
-    hg_i, den_i, _, spam_i, _ = _unpack(ctx_i.astype(np.int64))
-    hg_j, den_j, _, spam_j, _ = _unpack(ctx_j.astype(np.int64))
-    wi = (w.density[den_i] * w.hashgroup[np.clip(hg_i, 0, len(w.hashgroup) - 1)]
-          * w.wordspam[spam_i])
-    wj = (w.density[den_j] * w.hashgroup[np.clip(hg_j, 0, len(w.hashgroup) - 1)]
-          * w.wordspam[spam_j])
-    p1 = pos_i.astype(np.int64)[:, None]
-    p2 = pos_j.astype(np.int64)[None, :]
-    raw = np.abs(p1 - p2)
-    dist = np.maximum(raw, 2) - qdist
-    dist = dist + (p2 < p1)  # out-of-order penalty (PosdbTable.cpp:762)
-    dist = np.maximum(dist, 0)
-    mat = 100.0 * (wi[:, None] * wj[None, :]) / (dist + 1.0)
-    flat = np.sort(mat.ravel())[::-1][:MAX_TOP]
-    return float(flat.sum()) * tfw_i * tfw_j
+def single_term_score(tl: TermList, tfw: float, w: ScoringWeights):
+    """getBestScoreSumForSingleTerm (PosdbTable.cpp:210-461). Returns
+    (sum, highest_scoring_nonbody_index or -1). Vectorized when the slot
+    count fits MAX_TOP (the common case: <= 7 distinct modified
+    hashgroups + INLINKTEXT entries); exact sequential otherwise."""
+    n = len(tl)
+    if n == 0:
+        return F32(-1.0), -1
+    # per-posting score, float op order: 100 *divw *divw *hgw *hgw
+    # *denw *denw *spamw *spamw [*synW *synW]
+    s = np.full(n, 100.0, dtype=np.float32)
+    divw = w.diversity[tl.div]
+    s *= divw
+    s *= divw
+    s *= tl.hgw
+    s *= tl.hgw
+    s *= tl.denw
+    s *= tl.denw
+    s *= tl.spamw
+    s *= tl.spamw
+    issyn = tl.syn != 0
+    s = np.where(issyn, s * w.syn * w.syn, s).astype(np.float32)
+
+    nonbody = ~tl.inbody
+    if nonbody.any():
+        nb_ix = np.flatnonzero(nonbody)
+        hs = nb_ix[int(np.argmax(s[nonbody]))]  # first max (strict >)
+    else:
+        hs = -1
+
+    is_link = tl.hg == HASHGROUP_INLINKTEXT
+    n_slots = len(np.unique(tl.mhg[~is_link])) + int(is_link.sum())
+    if n_slots <= MAX_TOP:
+        # slot per distinct mhg (first-occurrence creation order), each
+        # holding its max score (first max on ties: `score > best[bro]`),
+        # plus one slot per INLINKTEXT posting; summed in creation order
+        slots: dict = {}   # key -> [creation_index, score, posting_ix]
+        order_keys = []
+        for ix in range(n):
+            if is_link[ix]:
+                key = ("L", ix)
+                slots[key] = [len(order_keys), s[ix], ix]
+                order_keys.append(key)
+            else:
+                key = ("G", int(tl.mhg[ix]))
+                cur = slots.get(key)
+                if cur is None:
+                    slots[key] = [len(order_keys), s[ix], ix]
+                    order_keys.append(key)
+                elif s[ix] > cur[1]:
+                    cur[1] = s[ix]
+                    cur[2] = ix
+        total = F32(0.0)
+        for key in order_keys:
+            _, sc, ix = slots[key]
+            if tl.wikib[ix]:
+                total = F32(total + F32(F32(sc * WIKI_BIGRAM_WEIGHT)
+                                        * WIKI_BIGRAM_WEIGHT))
+            else:
+                total = F32(total + sc)
+    else:
+        # exact sequential replacement semantics incl. lowest-slot
+        # eviction (rare: > MAX_TOP-7 INLINKTEXT entries)
+        best = np.zeros(MAX_TOP, dtype=np.float32)
+        bestmhg = np.full(MAX_TOP, -1, dtype=np.int64)
+        bestix = np.full(MAX_TOP, -1, dtype=np.int64)
+        num_top = 0
+        lowest = 0
+        for ix in range(n):
+            sc = s[ix]
+            mhg = int(tl.mhg[ix])
+            bro = -1
+            if not is_link[ix]:
+                for kk in range(num_top):
+                    if bestmhg[kk] == mhg:
+                        bro = kk
+                        break
+            if bro >= 0:
+                if sc > best[bro]:
+                    best[bro] = sc
+                    bestix[bro] = ix
+            elif num_top < MAX_TOP:
+                best[num_top] = sc
+                bestmhg[num_top] = mhg
+                bestix[num_top] = ix
+                num_top += 1
+            elif sc > best[lowest]:
+                best[lowest] = sc
+                bestmhg[lowest] = mhg
+                bestix[lowest] = ix
+            if num_top >= MAX_TOP:
+                lowest = 0
+                for kk in range(1, MAX_TOP):
+                    if best[kk] <= best[lowest]:
+                        lowest = kk
+        total = F32(0.0)
+        for kk in range(num_top):
+            if tl.wikib[bestix[kk]]:
+                total = F32(total + F32(F32(best[kk] * WIKI_BIGRAM_WEIGHT)
+                                        * WIKI_BIGRAM_WEIGHT))
+            else:
+                total = F32(total + best[kk])
+    total = F32(total * F32(tfw))
+    total = F32(total * F32(tfw))
+    return total, hs
 
 
-def combine_score(singles: list[float], pairs: list[float],
-                  site_rank: int) -> float:
-    """min-combine + site-rank multiplier (PosdbTable.cpp:4207-4275)."""
-    m = min(singles)
-    if pairs:
-        m = min(m, min(pairs))
-    return m * (site_rank * SITERANK_MULTIPLIER + 1.0)
+def _finish_pair_scores(s, syn_i, syn_j, spam_i, spam_j, dist,
+                        wikib_i, wikib_j, syn_w):
+    """Shared tail of the pair-score formulas: synonym multipliers,
+    optional wiki-bigram multipliers (getTermPairScoreForAny in-order
+    branch only), spam product, distance division — float32 op order."""
+    s = s.astype(np.float32, copy=True)
+    s[syn_i] *= syn_w
+    s[syn_j] *= syn_w
+    if wikib_i is not None:
+        s[wikib_i] *= WIKI_BIGRAM_WEIGHT
+    if wikib_j is not None:
+        s[wikib_j] *= WIKI_BIGRAM_WEIGHT
+    s *= (spam_i * spam_j).astype(np.float32)
+    s = (s.astype(np.float64) / (dist + 1.0)).astype(np.float32)
+    return s
 
 
-def score_doc(term_data: list[tuple[np.ndarray, np.ndarray]],
-              tfws: list[float], qdists: list[int],
-              site_rank: int, w: ScoringWeights) -> float:
-    """Full per-doc reference score. term_data[i] = (positions, ctxs) of
-    query term i in this doc; qdists[i] = query position of term i."""
-    singles = [
-        single_term_score(ctx, tfws[i], w)
-        for i, (_, ctx) in enumerate(term_data)
-    ]
-    pairs = []
-    for i in range(len(term_data)):
-        for j in range(i + 1, len(term_data)):
-            qd = abs(qdists[j] - qdists[i])
-            pairs.append(
-                pair_score(term_data[i][0], term_data[i][1],
-                           term_data[j][0], term_data[j][1],
-                           qd, tfws[i], tfws[j], w))
-    return combine_score(singles, pairs, site_rank)
+def nonbody_pair_max(ti: TermList, tj: TermList, qdist: int,
+                     w: ScoringWeights) -> np.float32:
+    """getMaxScoreForNonBodyTermPair (PosdbTable.cpp:467-712): max score
+    over the co-advancing scan of the FULL lists, scoring only states
+    where both postings are non-body (s_isCompatible). -1 if none."""
+    ii, jj = _merge_states(ti.pos, tj.pos)
+    if len(ii) == 0:
+        return F32(-1.0)
+    compat = (~ti.inbody[ii]) & (~tj.inbody[jj])
+    if not compat.any():
+        return F32(-1.0)
+    ii, jj = ii[compat], jj[compat]
+    p1 = ti.pos[ii]
+    p2 = tj.pos[jj]
+    in_order = p1 <= p2
+    dist = np.abs(p2 - p1)
+    np.maximum(dist, 2, out=dist)
+    dist = np.where(dist > 50, FIXED_DISTANCE, dist)
+    ge = dist >= qdist
+    # in-order: dist -= qdist when >= qdist
+    # out-of-order (:632-648): dist-qdist+qdist-1 = dist-1 when >= qdist,
+    # else dist+1
+    dist = np.where(in_order, np.where(ge, dist - qdist, dist),
+                    np.where(ge, dist - 1, dist + 1))
+    s = np.full(len(ii), 100.0, dtype=np.float32)
+    s *= ti.denw[ii]
+    s *= tj.denw[jj]
+    s *= ti.hgw[ii]
+    s *= tj.hgw[jj]
+    s = _finish_pair_scores(s, ti.syn[ii] != 0, tj.syn[jj] != 0,
+                            ti.spamw[ii], tj.spamw[jj], dist,
+                            None, None, w.syn)
+    return s.max()
+
+
+def _g_pair(pA, dA, hA, sA, yA, pB, dB, hB, sB, yB, fixed, qdist, syn_w):
+    """getScoreForTermPair (PosdbTable.cpp:715-792), vectorized over
+    states. Null postings are signalled by the caller via masks; here
+    every element is a real posting pair. fixed != 0 pins the distance
+    (FIXED_DISTANCE sub-out variants)."""
+    if fixed:
+        dist = np.full(len(pA), fixed, dtype=np.int64)
+    else:
+        dist = np.abs(pB - pA)
+        np.maximum(dist, 2, out=dist)
+        ge = dist >= qdist
+        dist = np.where(ge, dist - qdist, dist)
+        dist = dist + (pB < pA)
+    s = np.full(len(pA), 100.0, dtype=np.float32)
+    s *= dA
+    s *= dB
+    s *= hA
+    s *= hB
+    s[yA] *= syn_w
+    s[yB] *= syn_w
+    s *= (sA * sB).astype(np.float32)
+    s = (s.astype(np.float64) / (dist + 1.0)).astype(np.float32)
+    return s
+
+
+def sliding_window(terms: list[TermList], qpos: list[int],
+                   wiki_ids: list[int], quote_ids: list[int],
+                   tfws: list[float], nonbody_ix: list[int],
+                   matrix: np.ndarray, w: ScoringWeights):
+    """getMinTermPairScoreSlidingWindow's window-advance loop +
+    findMinTermPairScoreInWindow (PosdbTable.cpp:3332-3705), fully
+    vectorized over window states. Returns the per-term winning body
+    posting index (-1 = NULL) of the best window.
+
+    State enumeration: advancing the minimum body position one step at a
+    time visits body positions in global (pos, term) order, so the k-th
+    state's per-term pointer is the count of that term's body positions
+    among the first k events — a cumsum, no loop."""
+    T = len(terms)
+    body_ix = [np.flatnonzero(t.inbody) for t in terms]
+    E = sum(len(b) for b in body_ix)
+    if E == 0:
+        return [-1] * T  # allNull: no sliding window ran
+    ev_pos = np.concatenate([terms[i].pos[body_ix[i]] for i in range(T)])
+    ev_src = np.concatenate(
+        [np.full(len(body_ix[i]), i, dtype=np.int64) for i in range(T)])
+    order = np.lexsort((ev_src, ev_pos))
+    src_sorted = ev_src[order]
+    # per-term pointer BEFORE each event = prior count of its events
+    cnt = np.zeros((T, E), dtype=np.int64)
+    for i in range(T):
+        cnt[i] = np.cumsum(src_sorted == i)
+    prior = np.concatenate((np.zeros((T, 1), dtype=np.int64),
+                            cnt[:, :-1]), axis=1)
+    # current full-list posting index per term per state; -1 = NULL
+    cur = np.full((T, E), -1, dtype=np.int64)
+    for i in range(T):
+        ok = prior[i] < len(body_ix[i])
+        cur[i, ok] = body_ix[i][prior[i, ok]]
+    # evaluation points: the reference's advance cycle
+    # (PosdbTable.cpp:3640-3700 do/while(advanceMin)) rolls exhausting
+    # advances together and only evaluates a window after an advance
+    # that LANDED on a position — state k is evaluated iff k == 0 or
+    # event k-1 did not exhaust its term's list
+    exhausting = np.zeros(E, dtype=bool)
+    for i in range(T):
+        exhausting |= (src_sorted == i) & (cnt[i] == len(body_ix[i]))
+    evals = np.concatenate(([True], ~exhausting[:-1]))
+
+    best_of = np.full(E, np.float32(2e9), dtype=np.float32)
+    any_pair = np.zeros(E, dtype=bool)
+    for i in range(T):
+        for j in range(i + 1, T):
+            if wiki_ids[i] == wiki_ids[j] and wiki_ids[j] != 0:
+                qd = qpos[j] - qpos[i]
+                ww = WIKI_WEIGHT
+            else:
+                qd = 2
+                ww = np.float32(1.0)
+            live = (cur[i] >= 0) & (cur[j] >= 0)
+            if not live.any():
+                continue
+            li = cur[i][live]
+            lj = cur[j][live]
+            ti, tj = terms[i], terms[j]
+            nb_i, nb_j = nonbody_ix[i], nonbody_ix[j]
+            variants = []
+            variants.append(_g_pair(
+                ti.pos[li], ti.denw[li], ti.hgw[li], ti.spamw[li],
+                ti.syn[li] != 0,
+                tj.pos[lj], tj.denw[lj], tj.hgw[lj], tj.spamw[lj],
+                tj.syn[lj] != 0, 0, qd, w.syn))
+            n = int(live.sum())
+            if nb_i >= 0:
+                variants.append(_g_pair(
+                    np.full(n, ti.pos[nb_i]),
+                    np.full(n, ti.denw[nb_i], dtype=np.float32),
+                    np.full(n, ti.hgw[nb_i], dtype=np.float32),
+                    np.full(n, ti.spamw[nb_i], dtype=np.float32),
+                    np.full(n, ti.syn[nb_i] != 0, dtype=bool),
+                    tj.pos[lj], tj.denw[lj], tj.hgw[lj], tj.spamw[lj],
+                    tj.syn[lj] != 0, FIXED_DISTANCE, qd, w.syn))
+                if nb_j >= 0:
+                    one = _g_pair(
+                        ti.pos[nb_i:nb_i + 1], ti.denw[nb_i:nb_i + 1],
+                        ti.hgw[nb_i:nb_i + 1], ti.spamw[nb_i:nb_i + 1],
+                        ti.syn[nb_i:nb_i + 1] != 0,
+                        tj.pos[nb_j:nb_j + 1], tj.denw[nb_j:nb_j + 1],
+                        tj.hgw[nb_j:nb_j + 1], tj.spamw[nb_j:nb_j + 1],
+                        tj.syn[nb_j:nb_j + 1] != 0,
+                        FIXED_DISTANCE, qd, w.syn)
+                    variants.append(np.full(n, one[0], dtype=np.float32))
+            if nb_j >= 0:
+                variants.append(_g_pair(
+                    ti.pos[li], ti.denw[li], ti.hgw[li], ti.spamw[li],
+                    ti.syn[li] != 0,
+                    np.full(n, tj.pos[nb_j]),
+                    np.full(n, tj.denw[nb_j], dtype=np.float32),
+                    np.full(n, tj.hgw[nb_j], dtype=np.float32),
+                    np.full(n, tj.spamw[nb_j], dtype=np.float32),
+                    np.full(n, tj.syn[nb_j] != 0, dtype=bool),
+                    FIXED_DISTANCE, qd, w.syn))
+            mx = variants[0]
+            for v in variants[1:]:
+                mx = np.maximum(mx, v)
+            if ww != np.float32(1.0):
+                mx = (mx * ww).astype(np.float32)
+            mx = (mx * F32(F32(tfws[i]) * F32(tfws[j]))).astype(np.float32)
+            # "use score from scoreMatrix if bigger"
+            mx = np.maximum(mx, F32(matrix[i, j]))
+            # same quoted phrase: exact order + distance or the pair dies
+            if quote_ids[i] >= 0 and quote_ids[i] == quote_ids[j]:
+                qd2 = qpos[j] - qpos[i]
+                dd = tj.pos[lj] - ti.pos[li]
+                bad = (dd < 0) | ((dd > qd2) & (dd - qd2 > 1)) \
+                    | ((dd < qd2) & (qd2 - dd > 1))
+                mx = np.where(bad, np.float32(-1.0), mx)
+            pair_sc = np.full(E, np.float32(2e9), dtype=np.float32)
+            pair_sc[live] = mx
+            np.minimum(best_of, pair_sc, out=best_of)
+            any_pair |= live
+    scores = np.where(any_pair, best_of, np.float32(-1.0))
+    scores = np.where(evals, scores, np.float32(-2e9))
+    k_star = int(np.argmax(scores))  # first max: later ties don't replace
+    return [int(cur[i, k_star]) for i in range(T)]
+
+
+def pair_score_for_any(ti: TermList, tj: TermList, qpos_i: int, qpos_j: int,
+                       wiki_i: int, wiki_j: int, quote_i: int, quote_j: int,
+                       win_i: int, win_j: int, tfw_i: float, tfw_j: float,
+                       w: ScoringWeights) -> np.float32:
+    """getTermPairScoreForAny (PosdbTable.cpp:799-1330): co-advancing
+    scan over the full lists with body positions restricted to the
+    winning window position, FIXED_DISTANCE for cross-modified-hashgroup
+    or inlink-inlink pairs at dist>=50, out-of-order penalty, quoted
+    constraints, top-MAX_TOP one-per-mhg-pair slots (INLINKTEXT exempt),
+    x wiki weight x tfw_i x tfw_j."""
+    same_wiki = wiki_i == wiki_j and wiki_j != 0
+    if same_wiki:
+        qdist = qpos_j - qpos_i
+        wts = WIKI_WEIGHT
+    else:
+        qdist = 2
+        wts = np.float32(1.0)
+    in_quote = quote_i >= 0 and quote_i == quote_j
+    if in_quote:
+        qdist = qpos_j - qpos_i
+
+    # body positions other than the window winner are skipped without
+    # scoring (PosdbTable.cpp:904-910) == filtering them out up front
+    keep_i = np.flatnonzero(~ti.inbody
+                            | (np.arange(len(ti)) == win_i))
+    keep_j = np.flatnonzero(~tj.inbody
+                            | (np.arange(len(tj)) == win_j))
+    ii, jj = _merge_states(ti.pos[keep_i], tj.pos[keep_j])
+    if len(ii) == 0:
+        # the reference's scan degenerates to skip-advances and returns
+        # the empty-slot sum 0.0 (NOT -1): a pair whose winning window
+        # excluded one term zeroes the doc's min pair score
+        return F32(0.0)
+    ii = keep_i[ii]
+    jj = keep_j[jj]
+    p1 = ti.pos[ii]
+    p2 = tj.pos[jj]
+    in_order = p1 <= p2
+    raw = np.where(in_order, p2 - p1, p1 - p2)
+    scorable = np.ones(len(ii), dtype=bool)
+    if in_quote:
+        d0 = p2 - p1
+        bad_in = in_order & (((d0 > qdist) & (d0 - qdist >= 2))
+                             | ((d0 < qdist) & (qdist - d0 >= 2)))
+        scorable &= ~bad_in
+        scorable &= in_order  # out-of-order quoted pairs never score
+    dist = np.maximum(raw, 2)
+    mhg1 = ti.mhg[ii]
+    mhg2 = tj.mhg[jj]
+    fixedm = (dist >= 50) & ((mhg1 != mhg2)
+                             | (mhg1 == HASHGROUP_INLINKTEXT))
+    dist = np.where(fixedm, FIXED_DISTANCE, dist)
+    ge = dist >= qdist
+    dist = np.where(in_order, np.where(ge, dist - qdist, dist),
+                    np.where(ge, dist - 1, dist + 1))
+    s = np.full(len(ii), 100.0, dtype=np.float32)
+    s *= ti.denw[ii]
+    s *= tj.denw[jj]
+    s *= ti.hgw[ii]
+    s *= tj.hgw[jj]
+    s[ti.syn[ii] != 0] *= w.syn
+    s[tj.syn[jj] != 0] *= w.syn
+    # wiki half-stop bigram boost: IN-ORDER branch only (the reference's
+    # out-of-order branch omits it, :1160-1200 — quirk reproduced)
+    s[in_order & ti.wikib[ii]] *= WIKI_BIGRAM_WEIGHT
+    s[in_order & tj.wikib[jj]] *= WIKI_BIGRAM_WEIGHT
+    s *= (ti.spamw[ii] * tj.spamw[jj]).astype(np.float32)
+    s = (s.astype(np.float64) / (dist + 1.0)).astype(np.float32)
+
+    hg1 = ti.hg[ii]
+    hg2 = tj.hg[jj]
+    # sequential top-MAX_TOP slots (short: lists are non-body + 1 winner)
+    best = np.zeros(MAX_TOP, dtype=np.float32)
+    bm1 = np.full(MAX_TOP, -1, dtype=np.int64)
+    bm2 = np.full(MAX_TOP, -1, dtype=np.int64)
+    num_top = 0
+    lowest = -1
+    for st in range(len(ii)):
+        if not scorable[st]:
+            continue
+        sc = s[st]
+        m1 = int(mhg1[st])
+        m2 = int(mhg2[st])
+        h1_link = hg1[st] == HASHGROUP_INLINKTEXT
+        h2_link = hg2[st] == HASHGROUP_INLINKTEXT
+        bro = -1
+        for kk in range(num_top):
+            if bm1[kk] == m1 and not h1_link:
+                bro = kk
+                break
+            if bm2[kk] == m2 and not h2_link:
+                bro = kk
+                break
+        if bro >= 0:
+            if sc > best[bro]:
+                best[bro] = sc
+                bm1[bro] = m1
+                bm2[bro] = m2
+        elif num_top < MAX_TOP:
+            best[num_top] = sc
+            bm1[num_top] = m1
+            bm2[num_top] = m2
+            num_top += 1
+        elif lowest >= 0 and sc > best[lowest]:
+            best[lowest] = sc
+            bm1[lowest] = m1
+            bm2[lowest] = m2
+        if num_top >= MAX_TOP:
+            lowest = 0
+            for kk in range(1, MAX_TOP):
+                if best[kk] <= best[lowest]:
+                    lowest = kk
+    total = F32(0.0)
+    for kk in range(num_top):
+        total = F32(total + best[kk])
+    total = F32(total * wts)
+    total = F32(total * F32(tfw_i))
+    total = F32(total * F32(tfw_j))
+    return total
+
+
+def score_doc(terms: list[TermList], tfws: list[float], qpos: list[int],
+              site_rank: int, w: ScoringWeights,
+              wiki_ids: list[int] | None = None,
+              quote_ids: list[int] | None = None) -> float | None:
+    """Full per-doc reference score (intersectLists_real scoring block,
+    PosdbTable.cpp:4140-4280). None = doc skipped (minScore <= 0)."""
+    T = len(terms)
+    wiki_ids = wiki_ids or [0] * T
+    quote_ids = quote_ids if quote_ids is not None else [-1] * T
+
+    # 2. singles + per-term highest-scoring non-body position
+    singles = []
+    nonbody_ix = []
+    for i in range(T):
+        sc, nb = single_term_score(terms[i], tfws[i], w)
+        singles.append(sc)
+        nonbody_ix.append(nb)
+    min_single = F32(2e9)
+    for sc in singles:
+        if sc < min_single:
+            min_single = sc
+
+    # 1. non-body pair score matrix
+    matrix = np.full((T, T), np.float32(-1.0), dtype=np.float32)
+    for i in range(T):
+        for j in range(i + 1, T):
+            if wiki_ids[i] == wiki_ids[j] and wiki_ids[j] != 0:
+                qd = qpos[j] - qpos[i]
+                wts = WIKI_WEIGHT
+            else:
+                qd = 2
+                wts = np.float32(1.0)
+            m = nonbody_pair_max(terms[i], terms[j], qd, w)
+            if m < 0:
+                matrix[i, j] = np.float32(-1.0)
+            else:
+                v = F32(wts * m)
+                v = F32(v * F32(tfws[i]))
+                v = F32(v * F32(tfws[j]))
+                matrix[i, j] = v
+
+    # 3. sliding window -> winning body position per term
+    winners = sliding_window(terms, qpos, wiki_ids, quote_ids, tfws,
+                             nonbody_ix, matrix, w)
+
+    # 4. Zak: min pair score over full lists restricted to the window
+    min_pair = F32(-1.0)
+    for i in range(T):
+        for j in range(i + 1, T):
+            tp = pair_score_for_any(
+                terms[i], terms[j], qpos[i], qpos[j], wiki_ids[i],
+                wiki_ids[j], quote_ids[i], quote_ids[j], winners[i],
+                winners[j], tfws[i], tfws[j], w)
+            if min_pair >= 0 and tp >= min_pair:
+                continue
+            min_pair = tp
+
+    # 5. combine + siterank (+ inlinker adjustment)
+    min_score = F32(999999999.0)
+    if 0.0 <= min_pair < min_score:
+        min_score = min_pair
+    if min_single < min_score:
+        min_score = min_single
+    if min_score <= 0.0:
+        return None
+    highest_inlinker = -1
+    for t in terms:
+        link = t.hg == HASHGROUP_INLINKTEXT
+        if link.any():
+            highest_inlinker = max(highest_inlinker,
+                                   int(t.spam[link].max()))
+    adjusted = np.float32(site_rank)
+    if highest_inlinker > site_rank:
+        adjusted = np.float32(site_rank
+                              + (highest_inlinker - site_rank) / 3.0)
+    return float(F32(min_score
+                     * (adjusted * SITERANK_MULTIPLIER + np.float32(1.0))))

@@ -1,5 +1,7 @@
-"""Reference-scorer tests (SURVEY.md §4.6 formula, PosdbTable.cpp
-semantics) — unit kernels hand-checked + e2e ranking behavior."""
+"""Reference-scorer tests (SURVEY.md §4.6): exact PosdbTable semantics —
+weight-table formulas, single-term slot dedup, pair distance rules,
+sliding-window winner restriction (incl. the window-excludes-a-term
+doc-skip artifact), siterank/inlinker combine — plus e2e ranking."""
 
 from __future__ import annotations
 
@@ -9,6 +11,8 @@ import pytest
 from open_source_search_engine_spark.config import DEFAULT_CONF, EngineConf
 from open_source_search_engine_spark.functions.posdb import (
     HASHGROUP_BODY,
+    HASHGROUP_HEADING,
+    HASHGROUP_INLINKTEXT,
     HASHGROUP_TITLE,
     MAXDENSITYRANK,
     MAXDIVERSITYRANK,
@@ -19,8 +23,8 @@ from open_source_search_engine_spark.query.refscore import (
     MAX_TOP,
     SITERANK_MULTIPLIER,
     ScoringWeights,
-    combine_score,
-    pair_score,
+    TermList,
+    scale_quadratic,
     score_doc,
     single_term_score,
     term_freq_weight,
@@ -34,6 +38,11 @@ def ctx(hg=HASHGROUP_BODY, den=MAXDENSITYRANK, div=MAXDIVERSITYRANK,
     return pack_ctx(hg, den, div, spam, syn)
 
 
+def tl(poss, ctxs, **kw):
+    return TermList(np.asarray(poss, dtype=np.int64),
+                    np.asarray(ctxs, dtype=np.int64), W, **kw)
+
+
 def test_term_freq_weight_linear():
     # scale_linear(x, 0.0, 0.5, 1.0, 0.5): Msg3a.cpp:1003-1008
     assert term_freq_weight(0, 100) == 1.0
@@ -42,89 +51,184 @@ def test_term_freq_weight_linear():
     assert term_freq_weight(25, 100) == pytest.approx(0.75)
 
 
+def test_weight_tables_reference_formulas():
+    # density: scale_quadratic ((r+1)^2-1)/3 (ScalingFunctions.cpp:29),
+    # NOT r^2 — midpoint check pins the exact curve
+    assert W.density[0] == pytest.approx(0.35)
+    assert W.density[MAXDENSITYRANK] == pytest.approx(1.0)
+    r = 16 / MAXDENSITYRANK
+    exp = 0.35 + ((r + 1) ** 2 - 1) / 3 * 0.65
+    assert W.density[16] == pytest.approx(exp, rel=1e-6)
+    assert W.density[16] != pytest.approx(0.35 + r * r * 0.65, rel=1e-3)
+    # wordspam bottoms at 1/MAXWORDSPAMRANK, not 0 (ScoringWeights.cpp:27)
+    assert W.wordspam[0] == pytest.approx(1.0 / MAXWORDSPAMRANK)
+    assert W.wordspam[MAXWORDSPAMRANK] == pytest.approx(1.0)
+    # linker weight = sqrt(1 + inlinker siterank) (ScoringWeights.cpp:36)
+    assert W.linker[3] == pytest.approx(2.0)
+
+
 def test_single_term_max_ranks():
-    # one body occurrence at max ranks: 100 · 1²·1²·1²·1² · tfw²
-    c = np.array([ctx()], dtype=np.int64)
-    s = single_term_score(c, 1.0, W)
+    s, nb = single_term_score(tl([10], [ctx()]), 1.0, W)
     assert s == pytest.approx(100.0)
+    assert nb == -1  # body posting: no non-body position
 
 
-def test_single_term_title_beats_body():
-    body = single_term_score(np.array([ctx(HASHGROUP_BODY)]), 1.0, W)
-    title = single_term_score(np.array([ctx(HASHGROUP_TITLE)]), 1.0, W)
-    # title weight 8.0 (Parms.cpp:4067) -> 64x body
-    assert title == pytest.approx(body * 64.0)
+def test_single_term_title_beats_body_and_nonbody_pos():
+    sb, _ = single_term_score(tl([10], [ctx(HASHGROUP_BODY)]), 1.0, W)
+    st, nb = single_term_score(tl([3], [ctx(HASHGROUP_TITLE)]), 1.0, W)
+    assert st == pytest.approx(sb * 64.0)  # title weight 8.0 squared
+    assert nb == 0
 
 
 def test_single_term_distinct_hashgroups_sum():
-    both = single_term_score(
-        np.array([ctx(HASHGROUP_BODY), ctx(HASHGROUP_TITLE)]), 1.0, W)
-    assert both == pytest.approx(100.0 + 6400.0)
-    # repeats within one hash-group don't add (best-per-group)
-    rep = single_term_score(
-        np.array([ctx(HASHGROUP_BODY), ctx(HASHGROUP_BODY)]), 1.0, W)
-    assert rep == pytest.approx(100.0)
+    s, _ = single_term_score(
+        tl([3, 10], [ctx(HASHGROUP_TITLE), ctx(HASHGROUP_BODY)]), 1.0, W)
+    assert s == pytest.approx(6400.0 + 100.0)
+    # body repeats share ONE modified-hashgroup slot (best kept)
+    s2, _ = single_term_score(
+        tl([10, 20], [ctx(HASHGROUP_BODY), ctx(HASHGROUP_BODY)]), 1.0, W)
+    assert s2 == pytest.approx(100.0)
+    # heading collapses into the BODY slot too (s_inBody -> mhg BODY),
+    # best of the two wins: heading weight 1.5 -> 225
+    s3, _ = single_term_score(
+        tl([10, 20], [ctx(HASHGROUP_BODY), ctx(HASHGROUP_HEADING)]),
+        1.0, W)
+    assert s3 == pytest.approx(225.0)
 
 
-def test_single_term_density_weight():
-    lo = single_term_score(np.array([ctx(den=0)]), 1.0, W)
-    hi = single_term_score(np.array([ctx(den=MAXDENSITYRANK)]), 1.0, W)
-    # density weight interpolates conf.density_weight_min..max (0.35..1.0)
+def test_single_term_density_syn_tfw():
+    lo, _ = single_term_score(tl([10], [ctx(den=0)]), 1.0, W)
     assert lo == pytest.approx(100.0 * 0.35 ** 2)
-    assert hi == pytest.approx(100.0)
-
-
-def test_single_term_syn_weight():
-    syn = single_term_score(np.array([ctx(syn=1)]), 1.0, W)
+    syn, _ = single_term_score(tl([10], [ctx(syn=1)]), 1.0, W)
     assert syn == pytest.approx(100.0 * 0.9 ** 2)
+    half, _ = single_term_score(tl([10], [ctx()]), 0.5, W)
+    assert half == pytest.approx(25.0)
 
 
-def test_single_term_tfw_squared():
-    s = single_term_score(np.array([ctx()]), 0.5, W)
-    assert s == pytest.approx(100.0 * 0.25)
+def test_single_term_inlinktext_slots_unlimited_and_linker_weight():
+    # 12 INLINKTEXT postings (> MAX_TOP non-dedup slots) with ascending
+    # linker siteranks in the spam field: lowest-slot eviction keeps the
+    # top MAX_TOP = ranks 2..11; linker weight sqrt(1+r) squared = 1+r
+    n = 12
+    ctxs = [ctx(HASHGROUP_INLINKTEXT, spam=r) for r in range(n)]
+    s, _ = single_term_score(tl(list(range(0, 2 * n, 2)), ctxs), 1.0, W)
+    hgw2 = 16.0 ** 2
+    expect = sum(100.0 * hgw2 * (1.0 + r) for r in range(2, 12))
+    assert s == pytest.approx(expect, rel=1e-5)
 
 
-def test_pair_score_adjacent_beats_far():
-    c = np.array([ctx()])
-    near = pair_score(np.array([10]), c, np.array([12]), c, 2, 1.0, 1.0, W)
-    far = pair_score(np.array([10]), c, np.array([200]), c, 2, 1.0, 1.0, W)
-    assert near > far
-    # adjacent at exactly qdist: dist=max(2,2)-2=0 -> 100/(0+1)
-    assert near == pytest.approx(100.0)
-
-
-def test_pair_score_out_of_order_penalty():
-    c = np.array([ctx()])
-    in_order = pair_score(np.array([10]), c, np.array([14]), c, 2, 1.0, 1.0, W)
-    out_order = pair_score(np.array([14]), c, np.array([10]), c, 2, 1.0, 1.0, W)
-    assert in_order > out_order
-
-
-def test_pair_top10_cap():
-    c20 = np.array([ctx()] * 20)
-    p = np.arange(20) * 2 + 10
-    s = pair_score(p, c20, p + 2, c20, 2, 1.0, 1.0, W)
-    # 400 combinations but only MAX_TOP count
-    assert s <= MAX_TOP * 100.0 + 1e-9
-
-
-def test_combine_min_semantics_and_siterank():
-    base = combine_score([50.0, 80.0], [60.0], 0)
-    assert base == 50.0
-    boosted = combine_score([50.0, 80.0], [60.0], 9)
-    assert boosted == pytest.approx(50.0 * (9 * SITERANK_MULTIPLIER + 1.0))
-    pair_min = combine_score([80.0], [30.0], 0)
-    assert pair_min == 30.0
-
-
-def test_score_doc_integration():
-    td = [
-        (np.array([10]), np.array([ctx()])),
-        (np.array([12]), np.array([ctx()])),
-    ]
-    s = score_doc(td, [1.0, 1.0], [0, 2], 0, W)
-    # singles 100 each; pair 100 -> min = 100
+def test_pair_adjacent_exact_qdist():
+    # body positions 10,12, qdist defaults to 2: dist = max(2,2)-2 = 0
+    s = score_doc([tl([10], [ctx()]), tl([12], [ctx()])],
+                  [1.0, 1.0], [0, 2], 0, W)
     assert s == pytest.approx(100.0)
+
+
+def test_pair_in_order_vs_out_of_order():
+    s_in = score_doc([tl([10], [ctx()]), tl([14], [ctx()])],
+                     [1.0, 1.0], [0, 2], 0, W)
+    # in-order: dist 4-2=2 -> 100/3
+    assert s_in == pytest.approx(100.0 / 3.0, rel=1e-6)
+    s_out = score_doc([tl([14], [ctx()]), tl([10], [ctx()])],
+                      [1.0, 1.0], [0, 2], 0, W)
+    # out-of-order: dist 4 -> -1 => 3 -> 100/4 (PosdbTable.cpp:1160)
+    assert s_out == pytest.approx(25.0, rel=1e-6)
+
+
+def test_siterank_multiplier():
+    s = score_doc([tl([10], [ctx()])], [1.0], [0], 9, W)
+    assert s == pytest.approx(100.0 * (9 * float(SITERANK_MULTIPLIER) + 1.0),
+                              rel=1e-6)
+
+
+def test_inlinker_siterank_adjustment():
+    # INLINKTEXT posting with linker siterank 12 in the spam field on a
+    # siterank-0 site: adjustedSiteRank = 0 + (12-0)/3 = 4
+    terms = [tl([10, 50], [ctx(), ctx(HASHGROUP_INLINKTEXT, spam=12)])]
+    s = score_doc(terms, [1.0], [0], 0, W)
+    base_single = 100.0 + 100.0 * 256.0 * 13.0  # body slot + inlink slot
+    assert s == pytest.approx(
+        base_single * (4.0 * float(SITERANK_MULTIPLIER) + 1.0), rel=1e-5)
+
+
+def test_exhausting_advances_skip_window_eval():
+    """A=[10,100], B=[12], C=[102]: after B's single body position is
+    consumed the advance cycle (do/while(advanceMin),
+    PosdbTable.cpp:3640-3700) exhausts B and keeps advancing WITHOUT
+    evaluating the B-less window — so the best evaluated window is
+    (100,12,102) and the doc survives with min pair = B-C = 100/89."""
+    terms = [tl([10, 100], [ctx(), ctx()]),
+             tl([12], [ctx()]),
+             tl([102], [ctx()])]
+    s = score_doc(terms, [1.0, 1.0, 1.0], [0, 2, 4], 0, W)
+    assert s == pytest.approx(100.0 / 89.0, rel=1e-6)
+
+
+def test_window_excluding_term_kills_doc():
+    """A=[10], B=[12,100], C=[14,102]: A exhausts in the FIRST advance
+    cycle, later cycles land on valid positions, so windows WITHOUT A
+    are evaluated and (B=100,C=102) wins with pair score 100. A's
+    winner is then NULL, the A-B scan degenerates to the empty-slot sum
+    0.0, and the doc is skipped (minScore <= 0, PosdbTable.cpp:4225) —
+    a faithful reference artifact the round-1 scorer missed."""
+    terms = [tl([10], [ctx()]),
+             tl([12, 100], [ctx(), ctx()]),
+             tl([14, 102], [ctx(), ctx()])]
+    s = score_doc(terms, [1.0, 1.0, 1.0], [0, 2, 4], 0, W)
+    assert s is None
+
+
+def test_window_subout_keeps_doc_alive():
+    # same doc-kill shape but A also has a title occurrence: the
+    # FIXED_DISTANCE sub-out keeps the A-B and A-C pairs scoreable
+    terms = [tl([0, 10], [ctx(HASHGROUP_TITLE), ctx()]),
+             tl([12, 100], [ctx(), ctx()]),
+             tl([14, 102], [ctx(), ctx()])]
+    s = score_doc(terms, [1.0, 1.0, 1.0], [0, 2, 4], 0, W)
+    assert s is not None and s > 0
+
+
+def test_three_term_window_consistency():
+    """3-term doc with two position clusters: the window forces ONE
+    shared body position per term, so the min pair score comes from one
+    consistent window, not from independently-optimal pairs."""
+    terms = [tl([10, 100], [ctx(), ctx()]),
+             tl([12, 102], [ctx(), ctx()]),
+             tl([104], [ctx()])]
+    s = score_doc(terms, [1.0, 1.0, 1.0], [0, 2, 4], 0, W)
+    # best window (100,102,104): A-C dist |104-100|=4-2=2 -> 100/3 is the
+    # min pair (A-B and B-C are adjacent -> 100)
+    assert s == pytest.approx(100.0 / 3.0, rel=1e-6)
+
+
+def test_wiki_bigram_flag_boosts_single():
+    s_plain, _ = single_term_score(tl([10], [ctx()]), 1.0, W)
+    s_wiki, _ = single_term_score(
+        tl([10], [ctx()], half_stop_wiki_bigram=True), 1.0, W)
+    assert s_wiki == pytest.approx(s_plain * 1.4 * 1.4, rel=1e-6)
+
+
+def test_wiki_phrase_pair_weight():
+    # same wiki phrase: qdist = qpos delta and WIKI_WEIGHT 0.10 applies
+    # (PosdbTable.cpp:814-830); positions exactly at qdist -> dist 0
+    terms = [tl([10], [ctx()]), tl([12], [ctx()])]
+    s_plain = score_doc(terms, [1.0, 1.0], [0, 2], 0, W)
+    s_wiki = score_doc(terms, [1.0, 1.0], [0, 2], 0, W,
+                       wiki_ids=[7, 7])
+    # pair 100*0.1 = 10 -> min beats singles
+    assert s_wiki == pytest.approx(s_plain * 0.1, rel=1e-6)
+
+
+def test_quoted_pair_exact_distance_required():
+    terms_ok = [tl([10], [ctx()]), tl([12], [ctx()])]
+    s_ok = score_doc(terms_ok, [1.0, 1.0], [0, 2], 0, W,
+                     quote_ids=[0, 0])
+    assert s_ok is not None
+    # off by 3 from qdist: quoted constraint kills the pair -> doc dies
+    terms_far = [tl([10], [ctx()]), tl([15], [ctx()])]
+    s_far = score_doc(terms_far, [1.0, 1.0], [0, 2], 0, W,
+                      quote_ids=[0, 0])
+    assert s_far is None
 
 
 @pytest.fixture(scope="module")
@@ -156,13 +260,17 @@ def ref_index(spark, small_conf, tmp_path_factory):
     return d
 
 
+def _ref_conf(small_conf):
+    return EngineConf(scorer="reference", n_buckets=small_conf.n_buckets,
+                      n_salts=small_conf.n_salts,
+                      salt_df_threshold=small_conf.salt_df_threshold)
+
+
 def test_e2e_reference_density_ranking(ref_index, spark, small_conf):
     from open_source_search_engine_spark.query.executor import search
 
-    conf = EngineConf(scorer="reference", n_buckets=small_conf.n_buckets,
-                      n_salts=small_conf.n_salts,
-                      salt_df_threshold=small_conf.salt_df_threshold)
-    rows = search(spark, ref_index, "needle", k=10, conf=conf).collect()
+    rows = search(spark, ref_index, "needle", k=10,
+                  conf=_ref_conf(small_conf)).collect()
     ids = [r["doc_id"] for r in rows]
     assert set(ids) == {1, 2, 3, 4}
     # doc 1 (short sentence, high density) must outrank doc 2 (diluted)
@@ -172,11 +280,8 @@ def test_e2e_reference_density_ranking(ref_index, spark, small_conf):
 def test_e2e_reference_proximity(ref_index, spark, small_conf):
     from open_source_search_engine_spark.query.executor import search
 
-    conf = EngineConf(scorer="reference", n_buckets=small_conf.n_buckets,
-                      n_salts=small_conf.n_salts,
-                      salt_df_threshold=small_conf.salt_df_threshold)
     rows = search(spark, ref_index, "needle thread", k=10,
-                  conf=conf).collect()
+                  conf=_ref_conf(small_conf)).collect()
     ids = [r["doc_id"] for r in rows]
     assert set(ids) == {3, 4}
     assert ids[0] == 3  # adjacent pair beats distant pair
