@@ -1010,7 +1010,6 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
     amortizes — no per-doc applyInPandas calls."""
     from .refscore import (
         ScoringWeights,
-        TermList,
         score_doc,
         term_freq_weight,
     )
@@ -1048,7 +1047,12 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
         neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
         posts = posts.join(neg_docs, "doc_id", "left_anti")
 
+    from .refscore import SITERANK_MULTIPLIER, WIKI_BIGRAM_WEIGHT, \
+        precompute_postings, termlist_from_slices
+
     def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        import heapq
+
         if not len(pdf):
             return pd.DataFrame(columns=["doc_id", "score"])
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -1057,30 +1061,73 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
         rank_arr = pdf["rank"].to_numpy()
         pos_col = pdf["positions"].to_numpy()
         ctx_col = pdf["ctxs"].to_numpy()
+        # batch-global precompute: unpack + weights + per-posting single
+        # scores over the concatenated postings of EVERY row at once
+        lens = np.fromiter((len(p) for p in pos_col), dtype=np.int64,
+                           count=len(pdf))
+        row_off = np.concatenate(([0], np.cumsum(lens)))
+        pos_all = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_col])
+        ctx_all = np.concatenate(
+            [np.asarray(c, dtype=np.int64) for c in ctx_col])
+        pre = precompute_postings(pos_all, ctx_all, weights)
+        row_sum = np.add.reduceat(
+            pre["s_single"].astype(np.float64), row_off[:-1])
+
         bounds = np.flatnonzero(
             np.concatenate(([True], doc_arr[1:] != doc_arr[:-1])))
         bounds = np.append(bounds, len(doc_arr))
+        n_docs_b = len(bounds) - 1
+        # per-doc sound upper bound (getMaxPossibleScore analog,
+        # PosdbTable.cpp:4064 prefilter): the final score is
+        # min-combined, so every term's single-score sum bounds it;
+        # siterank adjustment bounded by the max inlinker rank 15
+        stids = np.array(sorted(slot_of), dtype=np.int64)
+        sslots = np.array([slot_of[t] for t in stids], dtype=np.int64)
+        six = np.searchsorted(stids, tid_arr)
+        slot_arr = sslots[np.clip(six, 0, len(stids) - 1)]
+        tfw_of = np.zeros(n_req)
+        for t, sidx in slot_of.items():
+            tfw_of[sidx] = tfws[sidx]
+        u_row = (row_sum * tfw_of[slot_arr] * tfw_of[slot_arr]
+                 * float(WIKI_BIGRAM_WEIGHT) ** 2)
+        is_start = np.concatenate(([True], doc_arr[1:] != doc_arr[:-1]))
+        doc_of_row = np.cumsum(is_start) - 1
+        covered = np.bincount(doc_of_row, minlength=n_docs_b)
+        ub = np.minimum.reduceat(u_row, bounds[:-1])
+        sr_doc = (rank_arr[bounds[:-1]].astype(np.int64) >> 6)
+        adj = sr_doc + np.maximum(15 - sr_doc, 0) / 3.0
+        ub = ub * (adj * float(SITERANK_MULTIPLIER) + 1.0) * 1.001 + 1e-12
+
+        order = (np.argsort(-ub) if k is not None
+                 else np.arange(n_docs_b))
+        heap: list[float] = []
         out_docs, out_scores = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < n_req:
+        for d in order:
+            if covered[d] < n_req:
                 continue
+            if k is not None and len(heap) >= k and ub[d] < heap[0]:
+                break  # docs are ub-descending: none below can enter
+            s, e = bounds[d], bounds[d + 1]
             terms: list = [None] * n_req
             for r in range(s, e):
-                slot = slot_of.get(int(tid_arr[r]))
-                if slot is not None and terms[slot] is None:
-                    terms[slot] = TermList(
-                        np.asarray(pos_col[r], dtype=np.int64),
-                        np.asarray(ctx_col[r], dtype=np.int64),
-                        weights)
+                sidx = slot_of.get(int(tid_arr[r]))
+                if sidx is not None and terms[sidx] is None:
+                    terms[sidx] = termlist_from_slices(
+                        pre, slice(row_off[r], row_off[r + 1]))
             if any(t is None for t in terms):
                 continue
-            site_rank = int(rank_arr[s]) >> 6
-            sc = score_doc(terms, tfws, qpos, site_rank, weights,
+            sc = score_doc(terms, tfws, qpos, int(sr_doc[d]), weights,
                            wiki_ids=wiki_ids, quote_ids=quote_ids)
             if sc is None:
                 continue  # minScore <= 0: reference skips the doc
             out_docs.append(int(doc_arr[s]))
             out_scores.append(sc)
+            if k is not None:
+                if len(heap) < k:
+                    heapq.heappush(heap, sc)
+                elif sc > heap[0]:
+                    heapq.heapreplace(heap, sc)
         return pd.DataFrame({"doc_id": out_docs, "score": out_scores})
 
     nb = max(spark.sparkContext.defaultParallelism * 4, 8)

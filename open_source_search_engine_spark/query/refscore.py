@@ -143,31 +143,79 @@ class TermList:
     arrays (the mini-merged list analog, positions ascending)."""
 
     __slots__ = ("pos", "hg", "den", "div", "spam", "syn", "denw", "hgw",
-                 "spamw", "synm", "wikib", "mhg", "inbody")
+                 "spamw", "synm", "wikib", "mhg", "inbody", "s_single")
 
     def __init__(self, pos: np.ndarray, ctx: np.ndarray, w: ScoringWeights,
                  half_stop_wiki_bigram: bool = False):
         ctx = ctx.astype(np.int64)
-        self.pos = pos.astype(np.int64)
-        self.hg = (ctx >> 15) & 0xF
-        self.den = (ctx >> 10) & 0x1F
-        self.div = (ctx >> 6) & 0xF
-        self.spam = (ctx >> 2) & 0xF
-        self.syn = ctx & 0x3
-        hgc = np.clip(self.hg, 0, len(w.hashgroup) - 1)
-        self.hgw = w.hashgroup[hgc]
-        self.denw = w.density[self.den]
-        self.spamw = np.where(self.hg == HASHGROUP_INLINKTEXT,
-                              w.linker[self.spam],
-                              w.wordspam[self.spam]).astype(np.float32)
-        self.synm = np.where(self.syn != 0, w.syn,
-                             np.float32(1.0)).astype(np.float32)
-        self.wikib = (np.full(len(pos), half_stop_wiki_bigram, dtype=bool))
-        self.inbody = _IN_BODY[np.clip(self.hg, 0, 15)]
-        self.mhg = np.where(self.inbody, HASHGROUP_BODY, self.hg)
+        pre = precompute_postings(pos.astype(np.int64), ctx, w)
+        sl = slice(0, len(pos))
+        _fill_termlist(self, pre, sl, half_stop_wiki_bigram)
 
     def __len__(self):
         return len(self.pos)
+
+
+def precompute_postings(pos_all: np.ndarray, ctx_all: np.ndarray,
+                        w: ScoringWeights) -> dict:
+    """Batch-global unpack + weight lookup + per-posting single score for
+    MANY (term, doc) rows at once — the per-doc TermList construction
+    then just slices these arrays (numpy-call overhead amortizes across
+    the whole pandas batch instead of 15+ calls per doc)."""
+    hg = (ctx_all >> 15) & 0xF
+    den = (ctx_all >> 10) & 0x1F
+    div = (ctx_all >> 6) & 0xF
+    spam = (ctx_all >> 2) & 0xF
+    syn = ctx_all & 0x3
+    hgc = np.clip(hg, 0, len(w.hashgroup) - 1)
+    hgw = w.hashgroup[hgc]
+    denw = w.density[den]
+    spamw = np.where(hg == HASHGROUP_INLINKTEXT, w.linker[spam],
+                     w.wordspam[spam]).astype(np.float32)
+    synm = np.where(syn != 0, w.syn, np.float32(1.0)).astype(np.float32)
+    inbody = _IN_BODY[np.clip(hg, 0, 15)]
+    mhg = np.where(inbody, HASHGROUP_BODY, hg)
+    # per-posting single-term ctx score, float32 op order of
+    # getBestScoreSumForSingleTerm (:233-268)
+    s = np.full(len(pos_all), 100.0, dtype=np.float32)
+    divw = w.diversity[div]
+    s *= divw
+    s *= divw
+    s *= hgw
+    s *= hgw
+    s *= denw
+    s *= denw
+    s *= spamw
+    s *= spamw
+    s = np.where(syn != 0, s * w.syn * w.syn, s).astype(np.float32)
+    return {"pos": pos_all, "hg": hg, "den": den, "div": div, "spam": spam,
+            "syn": syn, "hgw": hgw, "denw": denw, "spamw": spamw,
+            "synm": synm, "inbody": inbody, "mhg": mhg, "s_single": s}
+
+
+def _fill_termlist(tl, pre: dict, sl: slice, half_stop: bool):
+    tl.pos = pre["pos"][sl]
+    tl.hg = pre["hg"][sl]
+    tl.den = pre["den"][sl]
+    tl.div = pre["div"][sl]
+    tl.spam = pre["spam"][sl]
+    tl.syn = pre["syn"][sl]
+    tl.hgw = pre["hgw"][sl]
+    tl.denw = pre["denw"][sl]
+    tl.spamw = pre["spamw"][sl]
+    tl.synm = pre["synm"][sl]
+    tl.inbody = pre["inbody"][sl]
+    tl.mhg = pre["mhg"][sl]
+    tl.s_single = pre["s_single"][sl]
+    n = tl.pos.shape[0]
+    tl.wikib = np.full(n, half_stop, dtype=bool)
+    return tl
+
+
+def termlist_from_slices(pre: dict, sl: slice,
+                         half_stop: bool = False) -> TermList:
+    tl = TermList.__new__(TermList)
+    return _fill_termlist(tl, pre, sl, half_stop)
 
 
 def _merge_states(p1: np.ndarray, p2: np.ndarray):
@@ -202,20 +250,8 @@ def single_term_score(tl: TermList, tfw: float, w: ScoringWeights):
     n = len(tl)
     if n == 0:
         return F32(-1.0), -1
-    # per-posting score, float op order: 100 *divw *divw *hgw *hgw
-    # *denw *denw *spamw *spamw [*synW *synW]
-    s = np.full(n, 100.0, dtype=np.float32)
-    divw = w.diversity[tl.div]
-    s *= divw
-    s *= divw
-    s *= tl.hgw
-    s *= tl.hgw
-    s *= tl.denw
-    s *= tl.denw
-    s *= tl.spamw
-    s *= tl.spamw
-    issyn = tl.syn != 0
-    s = np.where(issyn, s * w.syn * w.syn, s).astype(np.float32)
+    # per-posting ctx score, precomputed batch-wide (precompute_postings)
+    s = tl.s_single
 
     nonbody = ~tl.inbody
     if nonbody.any():
