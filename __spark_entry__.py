@@ -46,9 +46,12 @@ def _index_dir(sf_dir: str, flavor: str) -> str:
         INDEX_FORMAT_VERSION,
     )
 
+    # wrapper version: bump when webtext_from_documents changes the
+    # rendered url/html grammar (cache must not serve pre-change indexes)
+    wrapper_v = 2
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{flavor}:v{CODEC_VERSION}"
-        f".{INDEX_FORMAT_VERSION}".encode()
+        f".{INDEX_FORMAT_VERSION}.w{wrapper_v}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"osse_idx_{flavor}_{key}")
 
@@ -227,8 +230,12 @@ def q_search_incremental(spark, sf_dir):
 
 
 def q_search_after_delete(spark, sf_dir):
-    """Same, but tombstoned docs (doc_id%100==0, gen2) must be gone."""
-    return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
+    """Tombstone coverage independent of the re-crawl term: ext:html
+    matches EVERY doc in the generational index, so the result must be
+    exactly the corpus minus the gen2 tombstones (doc_id%100==0) —
+    a broken tombstone path can't hide behind the incremental query
+    (ADVICE r1)."""
+    return _search_ids(spark, sf_dir, "ext:html", flavor="incr")
 
 
 def q_search_site_clustered(spark, sf_dir):
@@ -271,6 +278,32 @@ def q_search_docid(spark, sf_dir):
 def q_search_ext(spark, sf_dir):
     """ext: url-extension field (webtext wrapper urls end .html)."""
     return _search_ids(spark, sf_dir, "ext:html")
+
+
+def q_search_suburl(spark, sf_dir):
+    """suburl:/inurl: tokenized-url-word field (Query.cpp:1662 maps
+    suburl to the inurl termlists; XmlDoc_Indexing.cpp:337-420 hashUrl):
+    every 7th wrapper doc lives under /about/."""
+    return _search_ids(spark, sf_dir, "suburl:about")
+
+
+def q_search_permalink(spark, sf_dir):
+    """gbpermalink: url-format permalink flag (Msg25.cpp:4546
+    isPermalink; XmlDoc_Indexing.cpp:1642): the /p/<digits>.html wrapper
+    urls are permalinks, the /about/ ones are not."""
+    return _search_ids(spark, sf_dir, "gbpermalink:0")
+
+
+def q_search_country(spark, sf_dir):
+    """gbcountry: TLD-derived country (XmlDoc_Indexing.cpp:1618
+    hashCountry; CountryCode.cpp): .example is generic -> us."""
+    return _search_ids(spark, sf_dir, "gbcountry:us")
+
+
+def q_search_type(spark, sf_dir):
+    """type:/filetype: sniffed content type (Query.cpp:1666;
+    HttpMime/XmlDoc getContentType): the wrapper renders html."""
+    return _search_ids(spark, sf_dir, "type:html")
 
 
 def q_search_dedup_content(spark, sf_dir):
@@ -434,6 +467,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range": q_search_range,
         "search_docid": q_search_docid,
         "search_ext": q_search_ext,
+        "search_suburl": q_search_suburl,
+        "search_permalink": q_search_permalink,
+        "search_country": q_search_country,
+        "search_type": q_search_type,
         "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
@@ -679,8 +716,7 @@ select doc_id::bigint as doc_id from documents
 where doc_id % 10 = 0 and doc_id % 100 != 0
 """,
         "search_after_delete": """
-select doc_id::bigint as doc_id from documents
-where doc_id % 10 = 0 and doc_id % 100 != 0
+select doc_id::bigint as doc_id from documents where doc_id % 100 != 0
 """,
         "search_snippets": f"""{_bm25_cte()},
 scored as (
@@ -738,6 +774,18 @@ where doc_id % 100000 between 50 and 300
 select doc_id::bigint as doc_id from documents where doc_id = 42
 """,
         "search_ext": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_suburl": """
+select doc_id::bigint as doc_id from documents where doc_id % 7 = 0
+""",
+        "search_permalink": """
+select doc_id::bigint as doc_id from documents where doc_id % 7 = 0
+""",
+        "search_country": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_type": """
 select doc_id::bigint as doc_id from documents
 """,
         "search_dedup_content": f"""{_bm25_cte()},

@@ -97,8 +97,119 @@ def normalize_utf8(s: str) -> str:
     return "".join(out)
 
 
-def to_utf8_text(raw: bytes, charset: str = "utf-8") -> str:
-    """getRawUtf8Content: decode, NULs -> spaces, invalid -> spaces."""
+_BOMS = (
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xfe\xff", "utf-16-be"),
+    (b"\xff\xfe", "utf-16-le"),
+)
+
+# iana names -> python codecs, plus the reference's serving aliases
+# (GbEncoding.cpp:337-344: GB2312-family -> GB18030, EUC-KR -> cp949)
+_CHARSET_ALIASES = {
+    "gb2312": "gb18030", "gbk": "gb18030", "hz-gb-2312": "gb18030",
+    "euc-kr": "cp949", "ks_c_5601-1987": "cp949",
+    "iso-8859-1": "latin-1", "windows-1252": "cp1252",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "x-sjis": "shift_jis",
+}
+
+_META_CS_RE = re.compile(
+    rb"(charset|encoding)\s*=\s*[\"']?\s*([A-Za-z0-9_:.\-]+)", re.I)
+
+
+def detect_charset(raw: bytes) -> str:
+    """Charset detection chain (GbEncoding.cpp:154-360 getCharset,
+    XmlDoc.cpp:9065 getCharset caller): Unicode BOM first, then a
+    charset=/encoding= scan that must sit inside a <meta>/<xml>/<?xml
+    tag (<=500 bytes back, GbEncoding.cpp:226-262), then a claimed-UTF-8
+    byte validation. The reference's final CED (compact encoding
+    detector) library pass is approximated by a strict UTF-8 probe; the
+    residual default is ISO-Latin-1 (GbEncoding.cpp:350-353), exactly as
+    in the reference."""
+    for bom, cs in _BOMS:
+        if raw.startswith(bom):
+            return cs
+    charset = None
+    head = raw[:65536]
+    for m in _META_CS_RE.finditer(head):
+        # must be preceded (within 500 bytes, no '>' between) by a
+        # <meta, <xml or <?xml open
+        start = m.start()
+        back = head[max(0, start - 500):start]
+        gt = back.rfind(b">")
+        lt = max(back.rfind(b"<meta"), back.rfind(b"<META"),
+                 back.rfind(b"<xml"), back.rfind(b"<?xml"),
+                 back.lower().rfind(b"<meta"))
+        if lt < 0 or (gt > lt):
+            continue
+        cand = m.group(2).decode("ascii", "ignore").lower().rstrip(";")
+        cand = _CHARSET_ALIASES.get(cand, cand)
+        try:
+            b"x".decode(cand)
+        except LookupError:
+            continue
+        charset = cand
+        break
+    if charset in ("utf-8", "utf8"):
+        try:
+            raw.decode("utf-8", errors="strict")
+            return "utf-8"
+        except UnicodeDecodeError:
+            charset = None  # "says UTF8 but does not seem to be"
+    if charset:
+        return charset
+    # CED substitute: reliable only when the bytes ARE valid utf-8
+    try:
+        raw.decode("utf-8", errors="strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"  # csISOLatin1 default (GbEncoding.cpp:351)
+
+
+# content-type magic sniffing (XmlDoc.cpp:8550 getContentType /
+# HttpMime.cpp getContentTypeFromMime + getTypeFromString): the serving
+# name set matches the reference's CT_* table subset we index as type:
+_CT_MAGIC: list[tuple[bytes, str]] = [
+    (b"%PDF-", "pdf"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
+    (b"\xff\xd8\xff", "jpg"),
+    (b"PK\x03\x04", "zip"),
+    (b"\x1f\x8b", "gz"),
+]
+
+
+def sniff_content_type(raw: bytes) -> str:
+    """Content-type sniff by magic + markup probe. Returns the short
+    type name used for ``type:``/``filetype:`` terms (Query.cpp:1666
+    maps both to the "type" prefix; CT_HTML/CT_XML/CT_TEXT/CT_PDF...
+    per HttpMime.h)."""
+    for magic, name in _CT_MAGIC:
+        if raw.startswith(magic):
+            return name
+    head = raw[:2048]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    head = head.lstrip(b" \t\r\n")
+    low = head[:512].lower()
+    if low.startswith(b"<?xml"):
+        return "xml"
+    if (low.startswith(b"<!doctype html") or low.startswith(b"<html")
+            or b"<html" in low or b"<body" in low or b"<head" in low):
+        return "html"
+    if low.startswith(b"{"):
+        return "json"
+    return "txt"
+
+
+def to_utf8_text(raw: bytes, charset: str | None = "utf-8") -> str:
+    """getRawUtf8Content: decode, NULs -> spaces, invalid -> spaces.
+    charset=None runs the detection chain (detect_charset)."""
+    if charset is None:
+        charset = detect_charset(raw)
     try:
         s = raw.decode(charset, errors="replace")
     except LookupError:
@@ -106,7 +217,7 @@ def to_utf8_text(raw: bytes, charset: str = "utf-8") -> str:
     return s.replace("�", " ").replace("\x00", " ")
 
 
-def normalize_html(raw: bytes, charset: str = "utf-8") -> str:
+def normalize_html(raw: bytes, charset: str | None = "utf-8") -> str:
     """Stages 1-3: the indexable utf8Content string."""
     return normalize_utf8(decode_entities(to_utf8_text(raw, charset)))
 
@@ -249,25 +360,56 @@ def extract_links(html_bytes: bytes, charset: str = "utf-8"
     return out
 
 
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")
+
+
+def _collapse_dots(path: str) -> str:
+    """Collapse ./ and ../ segments (RFC 3986 remove_dot_segments,
+    Url.cpp normalization) so relative links hash to the linkee's
+    canonical url."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == "." or seg == "":
+            continue
+        if seg == "..":
+            if out:
+                out.pop()
+            continue
+        out.append(seg)
+    trail = "/" if path.endswith(("/", "/.", "/..")) and out else ""
+    return "/" + "/".join(out) + trail if out else "/"
+
+
 def absolute_url(base: str, href: str) -> str:
     """Resolve an href against the page url (Url.cpp normalization,
-    minimal deterministic subset: absolute / protocol-relative /
-    root-relative / relative; fragments stripped)."""
+    deterministic subset: absolute / protocol-relative / root-relative /
+    relative; fragments stripped, dot segments collapsed). Non-fetchable
+    schemes (mailto:, javascript:, tel:, data:, ...) resolve to "" so
+    they never produce link: terms."""
     href = href.split("#", 1)[0].strip()
     if not href:
         return ""
-    if "://" in href:
-        return href
+    m = _SCHEME_RE.match(href)
+    if m:
+        scheme_l = m.group(1).lower()
+        if scheme_l in ("http", "https"):
+            s, _, rest = href.partition("://")
+            if not rest:
+                return ""
+            host, slash, path = rest.partition("/")
+            return (f"{s}://{host}{_collapse_dots('/' + path)}"
+                    if slash else f"{s}://{host}")
+        return ""  # mailto:, javascript:, tel:, data:, ftp:, ...
     scheme, _, rest = base.partition("://")
     host = rest.split("/", 1)[0]
     if href.startswith("//"):
         return f"{scheme}:{href}"
     if href.startswith("/"):
-        return f"{scheme}://{host}{href}"
+        return f"{scheme}://{host}{_collapse_dots(href)}"
     basedir = rest.split("/", 1)[1] if "/" in rest else ""
     basedir = basedir.rsplit("/", 1)[0] if "/" in basedir else ""
-    prefix = f"{scheme}://{host}/{basedir}/" if basedir else f"{scheme}://{host}/"
-    return prefix + href
+    rel = f"/{basedir}/{href}" if basedir else f"/{href}"
+    return f"{scheme}://{host}{_collapse_dots(rel)}"
 
 
 def extract_meta(html_bytes: bytes, name: str, charset: str = "utf-8") -> str:

@@ -76,6 +76,7 @@ from ..functions.posdb import (
     HASHGROUP_HEADING,
     HASHGROUP_INLINKTEXT,
     HASHGROUP_INMETATAG,
+    HASHGROUP_INTAG,
     HASHGROUP_INURL,
     HASHGROUP_TITLE,
     MAXDENSITYRANK,
@@ -86,6 +87,8 @@ from ..functions.posdb import (
     pack_ctx,
     site_rank_from_inlinks,
 )
+from ..functions.urlinfo import country_of_url, is_permalink_url, synth_ip
+from ..functions.wordspam import word_spam_ranks
 from ..functions.tokenizer import (
     ALNUM,
     density_ranks,
@@ -141,21 +144,33 @@ PFX_LANG = prefix_hash("gblang")
 PFX_SORTBY = prefix_hash("gbsortby")
 PFX_LINK = prefix_hash("link")
 PFX_EXT = prefix_hash("ext")
+PFX_INURL = prefix_hash("inurl")       # tokenized url words; suburl:
+                                       # maps here too (Query.cpp:1662)
+PFX_IP = prefix_hash("ip")             # XmlDoc_Indexing.cpp:395-420
+PFX_COUNTRY = prefix_hash("gbcountry")  # XmlDoc_Indexing.cpp:1618
+PFX_PERMALINK = prefix_hash("gbpermalink")  # XmlDoc_Indexing.cpp:1642
+PFX_TYPE = prefix_hash("type")         # filetype:/type: (Query.cpp:1666)
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 4
+INDEX_FORMAT_VERSION = 5
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
                       start_dist: int = 0, prefix: int | None = None,
-                      with_bigrams: bool = True, spam_rank: int = MAXWORDSPAMRANK):
+                      with_bigrams: bool = True, spam_rank=MAXWORDSPAMRANK,
+                      skip_numbers: bool = False):
     """hashString/hashWords3 analog for one hash group
     (XmlDoc_Indexing.cpp:1817-2250): emits unfielded (or prefixed) word
     terms, possessive-stripped variants (2110-2153), and bigram terms
-    (2164-2191, diversity=MAX, syn flag set)."""
+    (2164-2191, diversity=MAX, syn flag set). spam_rank is either a
+    constant or a per-token vector (the word-spam vector for the body
+    group, XmlDoc.cpp:19773; the linker's siteRank for inlink text,
+    PosdbTable.cpp:3008 reads it back from the spam field).
+    skip_numbers mirrors hi.m_hashNumbers=false for inurl: terms
+    (XmlDoc_Indexing.cpp hashUrl)."""
     t = tokens
     sent = sentence_ids(t)
     body = hash_group in (HASHGROUP_BODY, HASHGROUP_HEADING)
@@ -165,20 +180,24 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
     bits = phrase_bits(t)
     pids = phrase_ids(t, bits) if with_bigrams else [0] * len(t)
     divs = diversity_ranks(t, pids)
+    per_token_spam = not isinstance(spam_rank, int)
     nw = len(t)
     for k in range(nw):
         if t.kinds[k] != ALNUM:
             continue
         if fv is not None and fv[k] == 0:
             continue  # repeated fragment: not indexed (XmlDoc.cpp:20574)
+        if skip_numbers and t.words[k].isdigit():
+            continue  # hi.m_hashNumbers = false
         wid = t.wids[k]
         p = wpos[k]
         d = dens[k]
         dv = divs[k]
+        sr = int(spam_rank[k]) if per_token_spam else spam_rank
         tid = (wid & TERMID_MASK) if prefix is None else fielded_term_id(wid, prefix)
         out_terms.append(tid)
         out_pos.append(p)
-        out_ctx.append(pack_ctx(hash_group, d, dv, spam_rank, SYN_ORIGINAL))
+        out_ctx.append(pack_ctx(hash_group, d, dv, sr, SYN_ORIGINAL))
         w = t.words[k]
         # possessive: "dave's" also indexes "dave" with syn flag
         # (XmlDoc_Indexing.cpp:2110-2153)
@@ -187,28 +206,34 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
             tid2 = (wid2 & TERMID_MASK) if prefix is None else fielded_term_id(wid2, prefix)
             out_terms.append(tid2)
             out_pos.append(p)
-            out_ctx.append(pack_ctx(hash_group, d, dv, spam_rank, SYN_CONJUGATE))
+            out_ctx.append(pack_ctx(hash_group, d, dv, sr, SYN_CONJUGATE))
         # bigram term (diversity=MAX, syn=1; XmlDoc_Indexing.cpp:2164-2191)
         if pids[k]:
             bid = (pids[k] & TERMID_MASK) if prefix is None else fielded_term_id(pids[k], prefix)
             out_terms.append(bid)
             out_pos.append(p)
-            out_ctx.append(pack_ctx(hash_group, d, MAXDIVERSITYRANK, spam_rank, SYN_CONJUGATE))
+            out_ctx.append(pack_ctx(hash_group, d, MAXDIVERSITYRANK, sr, SYN_CONJUGATE))
     return wpos[-1] + 1 if nw else start_dist
 
 
 def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
               doc_id: int | None = None, site_inlinks: int | None = None,
-              warc_ts_minutes: int | None = None) -> dict:
+              warc_ts_minutes: int | None = None,
+              ip: str | None = None) -> dict:
     """Full per-doc term generation (hashAll orchestration,
     XmlDoc_Indexing.cpp:226-470): title, body, headings, metatags, url,
-    plus fielded probe terms (title:, url:, site:, gblang:)."""
+    plus fielded probe terms (title:, url:, site:, gblang:, inurl:, ip:,
+    gbcountry:, gbpermalink:, type:). Charset auto-detected from the
+    bytes (GbEncoding.cpp getCharset chain) when text isn't supplied."""
+    from ..functions.extractor import sniff_content_type
+
     if text is None:
-        text = extract_text(html)
-    title = extract_title(html)
-    headings = extract_headings(html)
-    meta_kw = extract_meta(html, "keywords")
-    meta_desc = extract_meta(html, "description")
+        text = extract_text(html, charset=None)
+    title = extract_title(html, charset=None)
+    headings = extract_headings(html, charset=None)
+    meta_kw = extract_meta(html, "keywords", charset=None)
+    meta_desc = extract_meta(html, "description", charset=None)
+    content_type = sniff_content_type(html) if html else "txt"
     if doc_id is None:
         doc_id = probable_doc_id(url)
     host = url.split("://", 1)[-1].split("/", 1)[0]
@@ -225,7 +250,11 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
 
     body_tokens = tokenize(text or "")
     n_tokens = sum(1 for k in body_tokens.kinds if k == ALNUM)
-    hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs)
+    # word-spam vector over the body words (XmlDoc.cpp:19773
+    # getWordSpamVec): repetition-spam ranks flow into the ctx spam field
+    body_spam = word_spam_ranks(body_tokens)
+    hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs,
+                      spam_rank=body_spam)
     lex = {}
     for k in range(len(body_tokens)):
         if body_tokens.kinds[k] == ALNUM:
@@ -244,10 +273,13 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         if m:
             hash_string_group(tokenize(m), HASHGROUP_INMETATAG, terms, poss,
                               ctxs, with_bigrams=False)
-    # url terms (hashUrl, XmlDoc_Indexing.cpp:940): tokenized url words in
-    # HASHGROUP_INURL + exact-url and site fielded probe terms
+    # url terms (hashUrl, XmlDoc_Indexing.cpp:337-420): tokenized url
+    # words under the "inurl" prefix (numbers skipped, hi.m_hashNumbers
+    # false; suburl: queries map to the same prefix, Query.cpp:1662) +
+    # exact-url and site fielded probe terms
     hash_string_group(tokenize(url), HASHGROUP_INURL, terms, poss, ctxs,
-                      with_bigrams=False, prefix=PFX_URL)
+                      with_bigrams=False, prefix=PFX_INURL,
+                      skip_numbers=True)
     terms.append(fielded_term_id(hash64_lower_utf8(url), PFX_URL))
     poss.append(0)
     ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK, MAXDIVERSITYRANK,
@@ -271,6 +303,21 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     poss.append(0)
     ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
                          MAXDIVERSITYRANK, MAXWORDSPAMRANK, SYN_ORIGINAL))
+    # ip: / gbcountry: / gbpermalink: / type: probe terms
+    # (XmlDoc_Indexing.cpp:395 ip, :1618 hashCountry, :1642
+    # hashPermalink; type via content sniff, all HASHGROUP_INTAG)
+    intag = pack_ctx(HASHGROUP_INTAG, MAXDENSITYRANK, MAXDIVERSITYRANK,
+                     MAXWORDSPAMRANK, SYN_ORIGINAL)
+    doc_ip = ip if ip else synth_ip(host)
+    for pfx, val in (
+        (PFX_IP, doc_ip),
+        (PFX_COUNTRY, country_of_url(url)),
+        (PFX_PERMALINK, "1" if is_permalink_url(url) else "0"),
+        (PFX_TYPE, content_type),
+    ):
+        terms.append(fielded_term_id(hash64_lower_utf8(val), pfx))
+        poss.append(0)
+        ctxs.append(intag)
     # numeric sort-by term (hashNumberForSorting,
     # XmlDoc_Indexing.cpp:2348-2494): the reference packs the numeric
     # value into the position bits of the posdb key (Posdb.h:165-176);
@@ -338,6 +385,7 @@ def parse_docs_udf(iterator):
                 row.get("lang"),
                 doc_id=int(row["doc_id"]) if has_docid else None,
                 warc_ts_minutes=ts_min,
+                ip=row.get("ip"),
             )
             rec["warc_ts"] = row.get("warc_ts")
             recs.append(rec)
@@ -534,14 +582,18 @@ def make_anchor_rows():
     def anchor_rows(iterator):
         for pdf in iterator:
             recs = []
-            for doc_id, ntok, srank, lang_id, atext in zip(
+            for doc_id, ntok, srank, lang_id, atext, lrank in zip(
                     pdf["doc_id"], pdf["n_tokens"], pdf["site_rank"],
-                    pdf["lang_id"], pdf["atext"]):
+                    pdf["lang_id"], pdf["atext"], pdf["linker_rank"]):
                 terms: list[int] = []
                 poss: list[int] = []
                 ctxs: list[int] = []
+                # INLINKTEXT postings carry the LINKER's siteRank in the
+                # spam field (PosdbTable.cpp:3008 reads it back as
+                # inlinkerSiteRank; ScoringWeights m_linkerWeights)
                 hash_string_group(tokenize(atext or ""),
-                                  HASHGROUP_INLINKTEXT, terms, poss, ctxs)
+                                  HASHGROUP_INLINKTEXT, terms, poss, ctxs,
+                                  spam_rank=int(lrank))
                 if not terms:
                     continue
                 recs.append({
@@ -565,10 +617,13 @@ def anchor_parsed(parsed: DataFrame) -> DataFrame:
     get link-text postings — Msg25's linkdb lookup analog), hash anchor
     text for the linkee. One anchors-sized shuffle."""
     links = (
-        parsed.select(F.explode(F.arrays_zip(
-            F.col("out_hrefs").alias("href"),
-            F.col("out_texts").alias("atext"))).alias("z"))
-        .select(F.col("z.href").alias("href"),
+        parsed.select(
+            F.col("site_rank").alias("linker_rank"),
+            F.explode(F.arrays_zip(
+                F.col("out_hrefs").alias("href"),
+                F.col("out_texts").alias("atext"))).alias("z"))
+        .select("linker_rank",
+                F.col("z.href").alias("href"),
                 F.col("z.atext").alias("atext"))
         .where(F.length("atext") > 0)
     )

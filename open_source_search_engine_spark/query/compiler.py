@@ -29,6 +29,7 @@ from ..functions.tokenizer import ALNUM, phrase_ids, tokenize, word_pos_vec
 
 FIELD_PREFIXES = {
     "title": "title",
+    "intitle": "title",      # FIELD_TITLE alias (Query.cpp:1659)
     "url": "url",
     "site": "site",
     "lang": "gblang",
@@ -37,6 +38,19 @@ FIELD_PREFIXES = {
     "link": "link",
     # url extension (ext:html, ext:pdf — Query.h:33-83)
     "ext": "ext",
+    # tokenized url words (Query.h:37; suburl: maps to the same
+    # termlists, Query.cpp:1662-1663)
+    "inurl": "inurl",
+    "suburl": "inurl",
+    # host ip at crawl time (Query.h:36; XmlDoc_Indexing.cpp:395)
+    "ip": "ip",
+    # country from TLD (Query.h:75; XmlDoc_Indexing.cpp:1618)
+    "gbcountry": "gbcountry",
+    # url-format permalink flag 0/1 (XmlDoc_Indexing.cpp:1642)
+    "gbpermalink": "gbpermalink",
+    # sniffed content type (Query.h:39; filetype: alias Query.cpp:1666)
+    "type": "type",
+    "filetype": "type",
 }
 
 

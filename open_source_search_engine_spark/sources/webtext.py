@@ -205,7 +205,14 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
                 d = int(doc_id)
                 site = d % 97
-                url = f"http://site{site:04d}.example/p/{d:06d}.html"
+                # every 7th doc gets a digitless, hyphenless path so the
+                # gbpermalink:/suburl: fields have both values in-corpus
+                # (url format drives isPermalink, Msg25.cpp:4546)
+                if d % 7 == 0:
+                    slug = "".join(chr(97 + int(c)) for c in str(d))
+                    url = f"http://site{site:04d}.example/about/p{slug}.html"
+                else:
+                    url = f"http://site{site:04d}.example/p/{d:06d}.html"
                 body = ((text or "empty") + text_suffix).strip()
                 if body_only:
                     html = (

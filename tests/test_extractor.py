@@ -152,3 +152,100 @@ def test_absolute_url_resolution():
     assert absolute_url(base, "#frag") == ""
     assert absolute_url("http://host.example", "a.html") == \
         "http://host.example/a.html"
+
+
+# ---------------------------------------------------------------------------
+# charset detection (GbEncoding.cpp:154-360), content-type sniff,
+# absolute_url scheme/dot-segment handling
+# ---------------------------------------------------------------------------
+
+def test_detect_charset_bom():
+    from open_source_search_engine_spark.functions.extractor import (
+        detect_charset,
+    )
+
+    assert detect_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
+    assert detect_charset(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+    assert detect_charset(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+
+
+def test_detect_charset_meta_declaration():
+    from open_source_search_engine_spark.functions.extractor import (
+        detect_charset,
+        extract_text,
+    )
+
+    body = "caf\xe9 ol\xe9 smørrebrød"
+    html = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            f"<body><p>{body}</p></body></html>").encode("latin-1")
+    assert detect_charset(html) == "latin-1"
+    # byte-identical decode through the auto-detect path
+    assert body.replace("ø", "ø") in extract_text(html, charset=None)
+
+
+def test_detect_charset_xml_encoding_and_fake_utf8():
+    from open_source_search_engine_spark.functions.extractor import (
+        detect_charset,
+    )
+
+    xml = (b'<?xml version="1.0" encoding="shift_jis"?><doc>x</doc>')
+    assert detect_charset(xml) == "shift_jis"
+    # claims utf-8 but bytes are invalid -> falls through to latin-1
+    fake = (b'<meta charset="utf-8">\xe9\xe9 broken')
+    assert detect_charset(fake) == "latin-1"
+    # charset= outside any meta/xml tag is ignored
+    stray = b"<p>set charset=koi8-r in your editor</p>\xff"
+    assert detect_charset(stray) == "latin-1"
+
+
+def test_detect_charset_utf8_probe_default():
+    from open_source_search_engine_spark.functions.extractor import (
+        detect_charset,
+    )
+
+    assert detect_charset("héllo wörld".encode("utf-8")) == "utf-8"
+    assert detect_charset(b"plain ascii") == "utf-8"
+    assert detect_charset("caf\xe9".encode("latin-1")) == "latin-1"
+
+
+def test_sniff_content_type():
+    from open_source_search_engine_spark.functions.extractor import (
+        sniff_content_type,
+    )
+
+    assert sniff_content_type(b"<!DOCTYPE html><html>...") == "html"
+    assert sniff_content_type(b"  <html><body>x</body>") == "html"
+    assert sniff_content_type(b"%PDF-1.4 ...") == "pdf"
+    assert sniff_content_type(b'<?xml version="1.0"?><rss>') == "xml"
+    assert sniff_content_type(b'{"a": 1}') == "json"
+    assert sniff_content_type(b"just words") == "txt"
+    assert sniff_content_type(b"\x89PNG\r\n\x1a\nxxxx") == "png"
+
+
+def test_absolute_url_rejects_nonfetchable_schemes():
+    from open_source_search_engine_spark.functions.extractor import (
+        absolute_url,
+    )
+
+    base = "http://host.example/dir/page.html"
+    assert absolute_url(base, "mailto:x@y.z") == ""
+    assert absolute_url(base, "javascript:void(0)") == ""
+    assert absolute_url(base, "tel:+123456") == ""
+    assert absolute_url(base, "data:text/plain,hi") == ""
+    assert absolute_url(base, "ftp://host/file") == ""
+    assert absolute_url(base, "HTTPS://other.example/x") \
+        == "HTTPS://other.example/x"
+
+
+def test_absolute_url_collapses_dot_segments():
+    from open_source_search_engine_spark.functions.extractor import (
+        absolute_url,
+    )
+
+    base = "http://host.example/a/b/page.html"
+    assert absolute_url(base, "../c/d.html") == "http://host.example/a/c/d.html"
+    assert absolute_url(base, "./e.html") == "http://host.example/a/b/e.html"
+    assert absolute_url(base, "../../up.html") == "http://host.example/up.html"
+    assert absolute_url(base, "http://x.example/p/../q.html") \
+        == "http://x.example/q.html"
