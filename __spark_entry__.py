@@ -427,12 +427,21 @@ def q_ann_cosine(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-pruned top-10 (rows-only check: recall vs brute force is
-    probabilistic by construction)."""
-    from open_source_search_engine_spark.ops.ann import rp_lsh_topk
+    """LSH top-10 served from the PERSISTED bucket table: the probe
+    reads exactly the query's 8 bucket directories (partition-pruned
+    scan, ops/ann.py build_rp_lsh_index). The oracle replicates the
+    exact same deterministic hyperplane buckets in SQL, so this is a
+    full value-hash check — not rows-only (VERDICT r1 item 4)."""
+    from open_source_search_engine_spark.ops.ann import (
+        build_rp_lsh_index,
+        rp_lsh_topk_indexed,
+    )
 
+    idx = _index_dir(sf_dir, "annlsh")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_rp_lsh_index(_emb(spark, sf_dir), idx, dim=64)
     qv = _query_vec(spark, sf_dir)
-    return rp_lsh_topk(_emb(spark, sf_dir), qv, k=10).select(
+    return rp_lsh_topk_indexed(spark, idx, qv, k=10).select(
         F.col("vec_id").cast("long"), "cos")
 
 
@@ -830,14 +839,53 @@ from documents group by lang
 """,
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        # the spark side PARSES these dims back out of real PNG IHDR /
+        # GIF screen-descriptor bytes; the oracle recomputes them from
+        # the deterministic generation rule — two independent paths
+        # through the binary encoding
         "multimodal_meta": """
 select doc_id::bigint as doc_id,
-       strlen(text)::bigint as n_bytes,
-       'unknown' as format,
-       (strlen(text) % 640 + 1)::bigint as width,
-       (strlen(text) * 7 % 480 + 1)::bigint as height
+       (strlen(text) + case when doc_id % 2 = 0 then 33 else 13 end)::bigint
+         as n_bytes,
+       case when doc_id % 2 = 0 then 'png' else 'gif' end as format,
+       (doc_id % 640 + 1)::bigint as width,
+       (doc_id * 7 % 480 + 1)::bigint as height
 from documents
 """,
-        # ann_lsh_topk intentionally omitted: probabilistic recall ->
-        # rows-only check.
     }
+
+
+def _ann_lsh_sql(bits: int = 8, tables: int = 8, dim: int = 64) -> str:
+    """Exact SQL replica of the random-hyperplane LSH probe: the
+    hyperplanes are deterministic md5-derived constants (ops/ann.py
+    _hyperplanes), so DuckDB recomputes every vector's bucket per table,
+    selects the query's bucket union, and scores cosine — byte-equal to
+    the engine's partition-pruned probe."""
+    from open_source_search_engine_spark.ops.ann import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        bit_terms = " + ".join(
+            f"(case when list_dot_product(v, [{', '.join(repr(c) for c in plane)}]) >= 0 "
+            f"then {1 << b} else 0 end)"
+            for b, plane in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bit_terms}) as bucket_{t}")
+    probe_cond = " or ".join(
+        f"b.bucket_{t} = q.bucket_{t}" for t in range(tables))
+    return f"""
+with emb as (select vec_id, embedding::double[] as v from embeddings),
+b as (select vec_id, v, {', '.join(bucket_exprs)} from emb),
+q as (select * from b where vec_id = 0),
+cand as (select b.vec_id, b.v from b cross join q where {probe_cond}),
+qv as (select v from emb where vec_id = 0)
+select cand.vec_id::bigint as vec_id,
+       round(list_dot_product(cand.v, qv.v)
+             / (sqrt(list_dot_product(cand.v, cand.v))
+                * sqrt(list_dot_product(qv.v, qv.v))), 4) as cos
+from cand cross join qv
+order by cos desc, vec_id asc
+limit 10
+"""

@@ -184,6 +184,8 @@ def test_ann_lsh_contains_query_vector(spark):
 
 def test_multimodal_plumbing(docs):
     from open_source_search_engine_spark.ops.multimodal import (
+        GIF_HEADER_LEN,
+        PNG_HEADER_LEN,
         decode_image_meta,
         decode_image_pixels,
         to_binary_payload,
@@ -192,20 +194,29 @@ def test_multimodal_plumbing(docs):
     pay = to_binary_payload(docs)
     meta = {r["doc_id"]: r for r in decode_image_meta(pay).collect()}
     for did, text in TEXTS.items():
-        assert meta[did]["n_bytes"] == len(text)
-        assert meta[did]["width"] == len(text) % 640 + 1
-        assert meta[did]["format"] == "unknown"
+        hdr = PNG_HEADER_LEN if did % 2 == 0 else GIF_HEADER_LEN
+        assert meta[did]["n_bytes"] == len(text.encode()) + hdr
+        # dims PARSED back out of the real container header bytes
+        assert meta[did]["width"] == did % 640 + 1
+        assert meta[did]["height"] == did * 7 % 480 + 1
+        assert meta[did]["format"] == ("png" if did % 2 == 0 else "gif")
     with pytest.raises(NotImplementedError):
         decode_image_pixels(pay)
 
 
-def test_format_sniffing():
-    from open_source_search_engine_spark.ops.multimodal import _sniff_format
+def test_image_header_parse_roundtrip():
+    from open_source_search_engine_spark.ops.multimodal import (
+        parse_image_header,
+        synth_image_payload,
+    )
 
-    assert _sniff_format(b"\x89PNG\r\n\x1a\n") == "png"
-    assert _sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
-    assert _sniff_format(b"GIF89a") == "gif"
-    assert _sniff_format(b"plain") == "unknown"
+    fmt, w, h = parse_image_header(synth_image_payload(42, b"body"))
+    assert (fmt, w, h) == ("png", 42 % 640 + 1, 42 * 7 % 480 + 1)
+    fmt, w, h = parse_image_header(synth_image_payload(7, b"x"))
+    assert (fmt, w, h) == ("gif", 7 % 640 + 1, 7 * 7 % 480 + 1)
+    # real-world magics still classified
+    assert parse_image_header(b"\xff\xd8\xff\xe0" + b"0" * 30)[0] == "jpeg"
+    assert parse_image_header(b"plain text")[0] == "unknown"
 
 
 def test_minhash_coeffs_deterministic():
