@@ -34,6 +34,13 @@ class EngineConf:
     termfreq_weight_min: float = 1.0  # weight at min
     termfreq_weight_max: float = 0.5  # weight at max
     syn_weight: float = 0.9  # synonym/variant weight (SearchInput.cpp:74)
+    # language boost (reference &qlang param; PosdbTable.cpp:4254-4275):
+    # 0 = off (the reference default when no qlang is given). When set,
+    # same-language docs score x same_lang_weight, unknown-language docs
+    # x unknown_lang_weight (Parms.cpp defaults 20 / 10).
+    query_lang: int = 0
+    same_lang_weight: float = 20.0
+    unknown_lang_weight: float = 10.0
 
     # build partitioning / skew (SURVEY.md §4.4; north rule salted-key
     # splitting for stopword-heavy postings)

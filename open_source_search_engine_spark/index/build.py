@@ -994,8 +994,11 @@ def build_index(
                     f,
                 )
     # exact per-term stats from the merged segments (one row per
-    # (term, salt) blob, column-pruned — blobs never read)
-    if not resume or not _parquet_exists(p_stats):
+    # (term, salt) blob, column-pruned — blobs never read). Rewritten
+    # whenever THIS call completed new buckets: a bucket-subset resumable
+    # build would otherwise freeze stats at the first subset and leave
+    # later buckets' terms with df=0 (ADVICE r1)
+    if not resume or todo or not _parquet_exists(p_stats):
         seg_dir = paths.gen("segments", gen)
         src = (spark.read.parquet(seg_dir)
                .groupBy("term_id")
@@ -1034,6 +1037,14 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int],
     paths = IndexPaths(index_dir)
     df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     df.write.mode("overwrite").parquet(paths.gen("tombstones", gen))
+    # register the tombstone generation so readers and compaction see it
+    # without manual meta surgery
+    if os.path.exists(paths.meta):
+        with open(paths.meta) as f:
+            meta = json.load(f)
+        meta["gens"] = sorted(set(meta.get("gens", [])) | {int(gen)})
+        with open(paths.meta, "w") as f:
+            json.dump(meta, f)
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -1051,10 +1062,36 @@ def compact_index(spark: SparkSession, index_dir: str,
     seg = spark.read.option("basePath", paths.segments).parquet(
         *[paths.gen("segments", g) for g in gens if
           os.path.exists(paths.gen("segments", g))])
-    tombs = _read_tombstones(spark, paths, gens)
     events = compute_doc_events(spark, paths, gens)
-    ev_map = ({int(r["doc_id"]): int(r["keep_gen"])
-               for r in events.collect()} if events is not None else {})
+    # The merge only needs events for docs that actually CONFLICT —
+    # postings in 2+ generations, or tombstoned. Append-only streamed
+    # corpora (one gen per micro-batch, disjoint docs) produce ZERO
+    # conflicted docs, so the driver-side event map stays bounded by the
+    # re-crawl/delete volume, not the corpus (ADVICE r1: events.collect
+    # OOM). Worst case (every doc re-crawled) is the re-crawl size by
+    # definition.
+    if events is not None:
+        doc_dirs = [paths.gen("docs", g) for g in gens
+                    if os.path.exists(paths.gen("docs", g))]
+        appearances = (
+            spark.read.option("basePath", paths.docs).parquet(*doc_dirs)
+            .select("doc_id")
+        )
+        tomb_dirs = [paths.gen("tombstones", g) for g in gens
+                     if os.path.exists(paths.gen("tombstones", g))]
+        if tomb_dirs:
+            appearances = appearances.unionByName(
+                spark.read.option("basePath", paths.tombstones)
+                .parquet(*tomb_dirs).select("doc_id"))
+        conflicted = (appearances.groupBy("doc_id")
+                      .agg(F.count("*").alias("n"))
+                      .where(F.col("n") >= 2).select("doc_id"))
+        needed = events.join(conflicted, "doc_id", "left_semi")
+        ev_rows = needed.toPandas()
+        ev_map = dict(zip(ev_rows["doc_id"].astype(int),
+                          ev_rows["keep_gen"].astype(int)))
+    else:
+        ev_map = {}
     edocs = np.array(sorted(ev_map), dtype=np.uint64)
     egens = np.array([ev_map[int(d)] for d in edocs], dtype=np.int64)
 
@@ -1081,10 +1118,13 @@ def compact_index(spark: SparkSession, index_dir: str,
         docs.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1).drop("_rn", "gen")
     )
-    if tombs:
-        tomb_df = spark.createDataFrame(
-            [(int(d),) for d in tombs], "doc_id long")
-        docs_new = docs_new.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    # drop only docs whose RESOLVED event is a tombstone (keep_gen == -1):
+    # a doc tombstoned then re-indexed at a later gen must keep its docs
+    # row, exactly as the segment merge keeps its newest postings
+    # (ADVICE r1: compact_index dropped re-added docs)
+    if events is not None:
+        dead = events.where(F.col("keep_gen") == -1).select("doc_id")
+        docs_new = docs_new.join(dead, "doc_id", "left_anti")
     docs_new.write.mode("overwrite").parquet(paths.gen("docs", new_gen))
     # exact term stats recomputed from merged segments (cheap: one row per
     # (term, salt) blob, not per posting)
@@ -1112,20 +1152,6 @@ def compact_index(spark: SparkSession, index_dir: str,
     with open(paths.meta, "w") as f:
         json.dump(meta, f)
     return meta
-
-
-def _read_tombstones(spark: SparkSession, paths: IndexPaths,
-                     gens: list[int]) -> dict[int, int] | None:
-    """doc_id -> newest tombstone gen, or None if no tombstones exist."""
-    dirs = [paths.gen("tombstones", g) for g in gens
-            if os.path.exists(paths.gen("tombstones", g))]
-    if not dirs:
-        return None
-    rows = (
-        spark.read.option("basePath", paths.tombstones).parquet(*dirs)
-        .groupBy("doc_id").agg(F.max("gen").alias("gen")).collect()
-    )
-    return {int(r["doc_id"]): int(r["gen"]) for r in rows}
 
 
 def compute_doc_events(spark: SparkSession, paths: IndexPaths,

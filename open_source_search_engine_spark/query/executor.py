@@ -1096,8 +1096,15 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
         covered = np.bincount(doc_of_row, minlength=n_docs_b)
         ub = np.minimum.reduceat(u_row, bounds[:-1])
         sr_doc = (rank_arr[bounds[:-1]].astype(np.int64) >> 6)
+        lang_doc = rank_arr[bounds[:-1]].astype(np.int64) & 63
         adj = sr_doc + np.maximum(15 - sr_doc, 0) / 3.0
         ub = ub * (adj * float(SITERANK_MULTIPLIER) + 1.0) * 1.001 + 1e-12
+        if weights.query_lang != 0:
+            # lang boost is part of the final multiplier chain
+            # (PosdbTable.cpp:4254-4275), so it scales the bound too
+            ub = ub * np.where(
+                lang_doc == weights.query_lang, float(weights.same_lang_w),
+                np.where(lang_doc == 0, float(weights.unknown_lang_w), 1.0))
 
         order = (np.argsort(-ub) if k is not None
                  else np.arange(n_docs_b))
@@ -1118,7 +1125,8 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
             if any(t is None for t in terms):
                 continue
             sc = score_doc(terms, tfws, qpos, int(sr_doc[d]), weights,
-                           wiki_ids=wiki_ids, quote_ids=quote_ids)
+                           wiki_ids=wiki_ids, quote_ids=quote_ids,
+                           doc_lang=int(lang_doc[d]))
             if sc is None:
                 continue  # minScore <= 0: reference skips the doc
             out_docs.append(int(doc_arr[s]))

@@ -136,6 +136,13 @@ class ScoringWeights:
             dtype=np.float32)
         self.hashgroup = np.asarray(conf.hashgroup_weights, dtype=np.float32)
         self.syn = np.float32(getattr(conf, "syn_weight", 0.9))
+        # language boost (PosdbTable.cpp:4254-4275; 0 = off)
+        self.query_lang = int(getattr(conf, "query_lang", 0))
+        self.same_lang_w = np.float32(getattr(conf, "same_lang_weight",
+                                              20.0))
+        self.unknown_lang_w = np.float32(getattr(conf,
+                                                 "unknown_lang_weight",
+                                                 10.0))
 
 
 class TermList:
@@ -660,7 +667,8 @@ def pair_score_for_any(ti: TermList, tj: TermList, qpos_i: int, qpos_j: int,
 def score_doc(terms: list[TermList], tfws: list[float], qpos: list[int],
               site_rank: int, w: ScoringWeights,
               wiki_ids: list[int] | None = None,
-              quote_ids: list[int] | None = None) -> float | None:
+              quote_ids: list[int] | None = None,
+              doc_lang: int = 0) -> float | None:
     """Full per-doc reference score (intersectLists_real scoring block,
     PosdbTable.cpp:4140-4280). None = doc skipped (minScore <= 0)."""
     T = len(terms)
@@ -732,5 +740,13 @@ def score_doc(terms: list[TermList], tfws: list[float], qpos: list[int],
     if highest_inlinker > site_rank:
         adjusted = np.float32(site_rank
                               + (highest_inlinker - site_rank) / 3.0)
-    return float(F32(min_score
-                     * (adjusted * SITERANK_MULTIPLIER + np.float32(1.0))))
+    score = F32(min_score
+                * (adjusted * SITERANK_MULTIPLIER + np.float32(1.0)))
+    # language boost (PosdbTable.cpp:4254-4275): only when a query
+    # language is set; same language or unknown doc language boost
+    if w.query_lang != 0:
+        if w.query_lang == doc_lang:
+            score = F32(score * w.same_lang_w)
+        elif doc_lang == 0:
+            score = F32(score * w.unknown_lang_w)
+    return float(score)

@@ -285,3 +285,54 @@ def test_e2e_reference_proximity(ref_index, spark, small_conf):
     ids = [r["doc_id"] for r in rows]
     assert set(ids) == {3, 4}
     assert ids[0] == 3  # adjacent pair beats distant pair
+
+
+def test_lang_boost_unit():
+    """Language boost (PosdbTable.cpp:4254-4275): with query_lang set,
+    same-lang docs score x sameLangWeight (20), unknown-lang docs
+    x unknownLangWeight (10), other langs unboosted; query_lang=0 ==
+    boost entirely off (reference behavior without &qlang)."""
+    conf = EngineConf(query_lang=1)  # en
+    w = ScoringWeights(conf)
+    terms = [tl([10], [ctx()])]
+    base = score_doc(terms, [1.0], [0], 0, W)            # boost off
+    same = score_doc(terms, [1.0], [0], 0, w, doc_lang=1)
+    unk = score_doc(terms, [1.0], [0], 0, w, doc_lang=0)
+    other = score_doc(terms, [1.0], [0], 0, w, doc_lang=9)
+    assert same == pytest.approx(base * 20.0)
+    assert unk == pytest.approx(base * 10.0)
+    assert other == pytest.approx(base)
+
+
+def test_e2e_reference_lang_boost(spark, small_conf, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.executor import search
+
+    text = "needle in a short line"
+    rows = []
+    # one host for all docs: site_rank defaults per-host, and this test
+    # needs identical base scores so only the lang boost separates them
+    for did, lang in ((1, "de"), (2, "en"), (3, None)):
+        rows.append({
+            "url": f"http://same.example/p/{did}.html",
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": f"<html><body><p>{text}</p></body></html>".encode(),
+            "text": text, "lang": lang, "doc_id": did,
+        })
+    d = str(tmp_path / "langidx")
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf, gen=0)
+    conf = EngineConf(scorer="reference", query_lang=1,
+                      n_buckets=small_conf.n_buckets,
+                      n_salts=small_conf.n_salts,
+                      salt_df_threshold=small_conf.salt_df_threshold)
+    got = search(spark, d, "needle", k=10, conf=conf).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids == [2, 3, 1]  # same-lang > unknown > other-lang
+    s = {r["doc_id"]: r["score"] for r in got}
+    assert s[2] == pytest.approx(s[1] * 20.0, rel=1e-5)
+    assert s[3] == pytest.approx(s[1] * 10.0, rel=1e-5)
