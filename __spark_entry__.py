@@ -223,6 +223,20 @@ def q_search_synonym(spark, sf_dir):
     )
 
 
+def q_search_synonym_morph(spark, sf_dir):
+    """SOURCE_GENERATED morphology (Synonyms.cpp:408-424 analog, no
+    table entry involved): 'columns' never occurs in the corpus, but the
+    rule-generated singular 'column' matches at syn_weight^2 = 0.81."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, "columns", synonyms=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_search_incremental(spark, sf_dir):
     """Docs matching the re-crawl-only token on the generational index
     (gen1 re-crawl visible, newest-wins)."""
@@ -469,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bool": q_search_bool,
         "search_field_site": q_search_field_site,
         "search_synonym": q_search_synonym,
+        "search_synonym_morph": q_search_synonym_morph,
         "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
         "search_snippets": q_search_snippets,
@@ -703,6 +718,16 @@ join stats on stats.tok = tf.tok
 join dl on dl.doc_id = tf.doc_id
 cross join corpus
 where tf.tok in ('sort', 'order')
+group by tf.doc_id
+""",
+        "search_synonym_morph": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum(0.9::double * 0.9::double * ({_bm25_score()})), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('column')
 group by tf.doc_id
 """,
         "search_site_clustered": f"""{_bm25_cte()},

@@ -24,6 +24,8 @@ Matching semantics (compiler/_add_synonyms):
 
 from __future__ import annotations
 
+import unicodedata
+
 _NUMBER_WORDS = {
     "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
     "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
@@ -54,3 +56,88 @@ def load_synonyms(mapping: dict[str, tuple[str, ...]], *,
     """Install a larger synonym table (e.g. Wiktionary-derived)."""
     global _table
     _table = dict(mapping) if replace else {**_BUILTIN, **mapping}
+
+
+# ---------------------------------------------------------------------------
+# SOURCE_GENERATED forms (Synonyms.cpp:408-424): deterministic per-word
+# transforms the reference computes WITHOUT Wiktionary — accent strip
+# (addStripped :525), apostrophe strip (addWithoutApostrophe :430) —
+# plus rule-based English singular/plural and -ing/-ed conjugate forms
+# standing in for the reference's Wiktionary morph records (getSynSet
+# :144-178; the wiktionary-buf data file is not shipped, so the morph
+# set is generated, not looked up). Over-generation is harmless: a form
+# that was never indexed has df=0 and contributes no termlist.
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiou")
+
+
+def strip_marks(w: str) -> str:
+    """Accent/diacritic strip (Synonyms.cpp:525 addStripped):
+    'café' -> 'cafe', 'Smølferne' -> 'Smolferne' (ø has no combining
+    decomposition; map the common Latin stragglers explicitly)."""
+    nfd = unicodedata.normalize("NFD", w)
+    out = "".join(c for c in nfd if not unicodedata.combining(c))
+    out = out.translate(_LATIN_FOLD)
+    return unicodedata.normalize("NFC", out)
+
+
+_LATIN_FOLD = str.maketrans({
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D", "ł": "l", "Ł": "L",
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ß": "ss",
+})
+
+
+def morph_forms(word: str) -> tuple[str, ...]:
+    """English singular<->plural and gerund/past->base forms, sorted.
+    Conservative suffix rules; ambiguous -es strips emit both candidates
+    ('boxes' -> 'box'+'boxe') because a wrong guess has df=0."""
+    w = word.lower()
+    if not w.isalpha():
+        return ()
+    n = len(w)
+    forms: set[str] = set()
+    # plural -> singular
+    if w.endswith("ies") and n > 4:
+        forms.add(w[:-3] + "y")
+    elif w.endswith("es") and n > 3:
+        forms.add(w[:-2])
+        forms.add(w[:-1])
+    elif w.endswith("s") and not w.endswith("ss") and n > 3:
+        forms.add(w[:-1])
+    # gerund / past -> base ('running' -> run, 'sorted' -> sort)
+    inflected = False
+    for suf in ("ing", "ed"):
+        if w.endswith(suf) and n > len(suf) + 2:
+            inflected = True
+            base = w[: -len(suf)]
+            forms.add(base)
+            forms.add(base + "e")
+            if len(base) > 2 and base[-1] == base[-2]:
+                forms.add(base[:-1])
+    # singular -> plural (not for already-inflected verb forms)
+    if not w.endswith("s") and not inflected:
+        if w.endswith("y") and n > 2 and w[-2] not in _VOWELS:
+            forms.add(w[:-1] + "ies")
+        elif w.endswith(("x", "z", "ch", "sh")):
+            forms.add(w + "es")
+        else:
+            forms.add(w + "s")
+    forms.discard(w)
+    return tuple(sorted(forms))
+
+
+def generated_synonyms(word: str) -> tuple[str, ...]:
+    """All SOURCE_GENERATED synonym strings for a lowercased query word,
+    deduped, deterministic order: accent-stripped form first, then
+    apostrophe-stripped, then morph forms."""
+    w = word.lower()
+    out: list[str] = []
+    st = strip_marks(w)
+    if st != w:
+        out.append(st)
+    if w.endswith("'s") and len(w) >= 3:
+        out.append(w[:-2])
+    out.extend(f for f in morph_forms(st) if f != w)
+    seen: set[str] = set()
+    return tuple(x for x in out if not (x in seen or seen.add(x)))

@@ -281,26 +281,59 @@ def _add_synonyms(cq: CompiledQuery) -> None:
     positive unquoted unfielded word group also matches its synonyms'
     termIds at syn_weight^2 (SearchInput.cpp:74). 1-word synonyms use the
     body termId, 2-word synonyms the indexed bigram termId; longer ones
-    are display-only (see functions/synonyms.py)."""
-    from ..functions.synonyms import synonyms_of
+    are display-only (see functions/synonyms.py).
+
+    Beyond the table, SOURCE_GENERATED forms are always added
+    (Synonyms.cpp:408-424): accent-stripped, apostrophe-stripped,
+    singular/plural + conjugate morph forms, and the amp-phrase bigram
+    ('d & b' -> 'd and' bigram termId ^0x768867, addAmpPhrase :468)."""
+    from ..functions.gbhash import hash64_lower_utf8_cont
+    from ..functions.stopwords import is_stop_word_id
+    from ..functions.synonyms import generated_synonyms, synonyms_of
+
+    # amp-phrase: raw-query '&' between two words (the tokenizer drops
+    # the '&', so detect on the raw string); the LEFT word's group gains
+    # the "<word> and" stop-bigram termId
+    import re
+
+    amp_left = {m.group(1).lower()
+                for m in re.finditer(r"(\w+)\s*&\s*\w+", cq.raw)}
 
     for g in cq.groups:
         if g.negative or g.quoted or g.field is not None:
             continue
+        if g.word.lower() in amp_left:
+            h = hash64_lower_utf8(g.word)
+            h2, _ = hash64_lower_utf8_cont(
+                "and", h, len(g.word.encode("utf-8")) & 0xFF)
+            tid = (h2 ^ 0x768867) & TERMID_MASK
+            if tid not in g.syn_term_ids:
+                g.syn_term_ids.append(tid)
+                g.syn_words.append(f"{g.word} and")
+        if not is_stop_word_id(hash64_lower_utf8(g.word)):
+            for syn in generated_synonyms(g.word):
+                tid = _body_term_id(syn)
+                if tid not in g.syn_term_ids and tid not in g.term_ids:
+                    g.syn_term_ids.append(tid)
+                    g.syn_words.append(syn)
         for syn in synonyms_of(g.word):
             toks = tokenize(syn)
             words = [toks.words[k] for k in range(len(toks))
                      if toks.kinds[k] == ALNUM]
             if len(words) == 1:
-                g.syn_term_ids.append(_body_term_id(words[0]))
-                g.syn_words.append(syn)
+                tid = _body_term_id(words[0])
+                if tid not in g.syn_term_ids and tid not in g.term_ids:
+                    g.syn_term_ids.append(tid)
+                    g.syn_words.append(syn)
             elif len(words) == 2:
                 pids = phrase_ids(toks)
                 first = next(k for k in range(len(toks))
                              if toks.kinds[k] == ALNUM)
                 if pids[first]:
-                    g.syn_term_ids.append(pids[first] & TERMID_MASK)
-                    g.syn_words.append(syn)
+                    tid = pids[first] & TERMID_MASK
+                    if tid not in g.syn_term_ids and tid not in g.term_ids:
+                        g.syn_term_ids.append(tid)
+                        g.syn_words.append(syn)
                 else:
                     g.syn_display.append(syn)
             else:

@@ -93,7 +93,10 @@ def test_expanded_terms_html_synonym_golden():
     # 3-word synonym is display-only (no single indexed termId)
     cq = compile_query("html", synonyms=True)
     assert "Hypertext Markup Language" in cq.expanded_terms()
-    assert not cq.groups[0].syn_term_ids
+    # the 3-word table synonym is display-only; the only matchable
+    # syn termId is the SOURCE_GENERATED plural 'htmls'
+    assert cq.groups[0].syn_words == ["htmls"]
+    assert "Hypertext Markup Language" in cq.groups[0].syn_display
 
 
 def test_numeric_operators_parse():
@@ -134,3 +137,50 @@ def test_wiki_phrase_assignment():
     g2 = cq2.positive_groups
     assert g2[0].wiki_phrase_id == g2[1].wiki_phrase_id != 0
     assert g2[2].wiki_phrase_id == 0
+
+
+def test_generated_morph_synonyms():
+    # SOURCE_GENERATED forms (Synonyms.cpp:408-424 analog)
+    from open_source_search_engine_spark.functions.synonyms import (
+        generated_synonyms,
+        morph_forms,
+        strip_marks,
+    )
+
+    assert morph_forms("columns") == ("column",)
+    assert morph_forms("boxes") == ("box", "boxe")
+    assert morph_forms("query") == ("queries",)
+    assert morph_forms("cities") == ("city",)
+    assert "run" in morph_forms("running")       # doubled consonant
+    assert "sort" in morph_forms("sorted")
+    assert "runnings" not in morph_forms("running")  # no plural of -ing
+    assert morph_forms("3.14") == ()             # non-alpha
+    # accent strip (addStripped :525)
+    assert strip_marks("café") == "cafe"
+    assert strip_marks("Smølferne") == "Smolferne"
+    assert "cafe" in generated_synonyms("café")
+    # apostrophe strip (addWithoutApostrophe :430)
+    assert "dave" in generated_synonyms("dave's")
+
+
+def test_amp_phrase_synonym():
+    # addAmpPhrase (Synonyms.cpp:468): 'd & b' left word gains the
+    # 'd and' stop-bigram termId (^0x768867, Phrases.cpp:260)
+    from open_source_search_engine_spark.functions.gbhash import (
+        TERMID_MASK,
+        hash64_lower_utf8,
+        hash64_lower_utf8_cont,
+    )
+
+    cq = compile_query("d & b", synonyms=True)
+    g = next(g for g in cq.positive_groups if g.word == "d")
+    h = hash64_lower_utf8("d")
+    h2, _ = hash64_lower_utf8_cont("and", h, 1)
+    assert ((h2 ^ 0x768867) & TERMID_MASK) in g.syn_term_ids
+    assert "d and" in cq.expanded_terms()
+
+
+def test_morph_synonyms_stopwords_skipped():
+    cq = compile_query("the one", synonyms=True)
+    the = next(g for g in cq.positive_groups if g.word == "the")
+    assert "thes" not in the.syn_words
