@@ -284,6 +284,23 @@ def q_search_snippets(spark, sf_dir):
     )
 
 
+def q_search_highlight(spark, sf_dir):
+    """Highlight.cpp analog: the snippet query with query-term markup —
+    term 0 ('vector') wrapped in <span class='gbcnst00'>, term 1
+    ('batch') in gbcnst01, cycling per Highlight.cpp:12-23."""
+    from open_source_search_engine_spark.query.summary import (
+        search_with_snippets,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_with_snippets(spark, d, "vector batch", _docs(spark, sf_dir),
+                             k=None, highlight=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"), "snippet")
+    )
+
+
 def q_search_docid(spark, sf_dir):
     """gbdocid: direct doc lookup (PageGet /get analog)."""
     return _search_ids(spark, sf_dir, "gbdocid:42")
@@ -487,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
         "search_snippets": q_search_snippets,
+        "search_highlight": q_search_highlight,
         "search_sortby": q_search_sortby,
         "search_range": q_search_range,
         "search_docid": q_search_docid,
@@ -787,6 +805,46 @@ select s.doc_id::bigint as doc_id, round(s.score, 6) as score,
        array_to_string(b.ts[1:8], ' ') as title, best.snippet as snippet
 from scored s
 join body b on b.doc_id = s.doc_id
+join best on best.doc_id = s.doc_id
+""",
+        "search_highlight": f"""{_bm25_cte()},
+scored as (
+  select tf.doc_id as doc_id, sum({_bm25_score()}) as score
+  from tf
+  join stats on stats.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok in ('vector', 'batch')
+  group by tf.doc_id
+  having count(distinct tf.tok) = 2
+),
+body as (select doc_id, string_split(text, ' ') as ts from documents),
+win as (
+  select b.doc_id,
+         unnest(generate_series(0, (len(b.ts) - 1) // 20)) as wi,
+         b.ts
+  from body b join scored s on s.doc_id = b.doc_id
+),
+wscore as (
+  select doc_id, wi,
+         array_to_string(ts[1 + 20 * wi : 20 * (wi + 1)], ' ') as snippet,
+         len(list_intersect(list_distinct(ts[1 + 20 * wi : 20 * (wi + 1)]),
+                            ['vector', 'batch'])) as s
+  from win
+),
+best as (
+  select doc_id, snippet
+  from wscore
+  qualify row_number() over (partition by doc_id
+                             order by s desc, wi asc) = 1
+)
+select s.doc_id::bigint as doc_id, round(s.score, 6) as score,
+       regexp_replace(
+         regexp_replace(best.snippet, '\\b(vector)\\b',
+                        '<span class=''gbcnst00''>\\1</span>', 'g'),
+         '\\b(batch)\\b',
+         '<span class=''gbcnst01''>\\1</span>', 'g') as snippet
+from scored s
 join best on best.doc_id = s.doc_id
 """,
         "search_sortby": f"""{_bm25_cte()}

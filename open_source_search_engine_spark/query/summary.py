@@ -31,9 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_CONF, EngineConf
-from ..functions.tokenizer import ALNUM, tokenize
+from ..functions.tokenizer import ALNUM, sentence_ids, tokenize
 from .compiler import compile_query
 from .executor import IndexReader, search
+
+# Highlight.cpp:12-23 — per-query-term cycling front tags; </span> back
+FRONT_TAGS = tuple(f"<span class='gbcnst{i:02d}'>" for i in range(10))
+BACK_TAG = "</span>"
 
 
 def _query_words(q: str) -> list[str]:
@@ -58,6 +62,50 @@ def snippet_of(text: str, qwords: set[str], window_tokens: int = 20) -> str:
     return " ".join(words[best_i:best_i + window_tokens])
 
 
+def sentence_snippet_of(text: str, qwords: set[str],
+                        max_sentences: int = 1) -> str:
+    """Best-sentence summary (Summary.cpp:347 getBestWindow over
+    sentence-bounded excerpts): sentences come from the tokenizer's
+    Sections-style segmentation (punct [.!?] / breaking tags); each
+    sentence scores the number of DISTINCT query words it contains; the
+    leftmost max-score run of ``max_sentences`` consecutive sentences
+    wins. Returns the winning sentences' words space-joined."""
+    toks = tokenize(text or "")
+    sids = sentence_ids(toks)
+    # per-sentence word lists, in first-appearance order
+    sent_words: dict[int, list[str]] = {}
+    for k in range(len(toks)):
+        if toks.kinds[k] == ALNUM:
+            sent_words.setdefault(sids[k], []).append(toks.words[k])
+    if not sent_words:
+        return ""
+    order = sorted(sent_words)
+    scores = [len({w.lower() for w in sent_words[s]} & qwords)
+              for s in order]
+    best_i, best_s = 0, -1
+    for i in range(len(order)):
+        s = sum(scores[i:i + max_sentences])
+        if s > best_s:
+            best_i, best_s = i, s
+    out: list[str] = []
+    for s in order[best_i:best_i + max_sentences]:
+        out.extend(sent_words[s])
+    return " ".join(out)
+
+
+def highlight_text(snippet: str, qwords: list[str]) -> str:
+    """Highlight.cpp markup: the i-th query term's occurrences are
+    wrapped in FRONT_TAGS[i % 10] ... </span>. Whole-word, case-kept,
+    token-level (the snippet is already space-joined words)."""
+    tag_of = {w.lower(): FRONT_TAGS[i % len(FRONT_TAGS)]
+              for i, w in enumerate(qwords)}
+    out = []
+    for w in snippet.split(" "):
+        t = tag_of.get(w.lower())
+        out.append(f"{t}{w}{BACK_TAG}" if t else w)
+    return " ".join(out)
+
+
 def title_of(title: str | None, text: str, title_tokens: int = 8) -> str:
     if title:
         return title
@@ -77,13 +125,22 @@ def search_with_snippets(
     title_tokens: int = 8,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
+    mode: str = "window",
+    highlight: bool = False,
 ) -> DataFrame:
     """Top-k search + per-result (title, snippet). ``text_source`` must
     have (doc_id, text); returns (doc_id, score, title, snippet) ordered
-    (score DESC, doc_id ASC)."""
+    (score DESC, doc_id ASC).
+
+    ``mode="window"`` uses fixed ``window_tokens`` windows (oracle-exact
+    rule); ``mode="sentence"`` uses the reference's sentence-bounded
+    best excerpt (Summary.cpp:347). ``highlight=True`` wraps each query
+    term in its cycling ``<span class='gbcnstNN'>`` tag
+    (Highlight.cpp:12-23)."""
     rd = reader or IndexReader(spark, index_dir, conf)
     topk = search(spark, index_dir, query, k=k, conf=conf, reader=rd)
-    qwords = set(_query_words(query))
+    qlist = _query_words(query)
+    qwords = set(qlist)
 
     titles = rd.docs().select("doc_id", F.col("title").alias("_idx_title"))
     # k-row side broadcasts; with k=None (oracle mode) fall back to a
@@ -96,6 +153,13 @@ def search_with_snippets(
     )
 
     def render(iterator):
+        def snip(x: str) -> str:
+            if mode == "sentence":
+                s = sentence_snippet_of(x, qwords)
+            else:
+                s = snippet_of(x, qwords, window_tokens)
+            return highlight_text(s, qlist) if highlight else s
+
         for pdf in iterator:
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
@@ -105,10 +169,7 @@ def search_with_snippets(
                              x or "", title_tokens)
                     for t, x in zip(pdf["_idx_title"], pdf["text"])
                 ],
-                "snippet": [
-                    snippet_of(x or "", qwords, window_tokens)
-                    for x in pdf["text"]
-                ],
+                "snippet": [snip(x or "") for x in pdf["text"]],
             })
             yield out
 

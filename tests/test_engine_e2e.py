@@ -188,6 +188,40 @@ def test_snippets_and_titles(built, spark, small_conf):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_sentence_summary_and_highlight(built, spark, small_conf):
+    """Sentence-bounded best excerpt (Summary.cpp:347 getBestWindow) +
+    Highlight.cpp cycling span markup."""
+    from open_source_search_engine_spark.query.summary import (
+        highlight_text,
+        search_with_snippets,
+        sentence_snippet_of,
+    )
+
+    # pure rules: leftmost best sentence by distinct query-word count
+    txt = "alpha beta gamma. spark merge wins here. spark alone."
+    assert sentence_snippet_of(txt, {"spark", "merge"}) == \
+        "spark merge wins here"
+    # tie -> leftmost
+    assert sentence_snippet_of("spark a. spark b.", {"spark"}) == "spark a"
+    # [.!?] punct splits; no match at all -> leftmost sentence
+    assert sentence_snippet_of("nav item! spark merge body",
+                               {"spark", "merge"}) == "spark merge body"
+    assert sentence_snippet_of("first part. second part.",
+                               {"absent"}) == "first part"
+    # highlight: term 0 -> gbcnst00, term 1 -> gbcnst01, case kept
+    assert highlight_text("The Spark merge", ["spark", "merge"]) == \
+        "The <span class='gbcnst00'>Spark</span> " \
+        "<span class='gbcnst01'>merge</span>"
+
+    texts = _webtext_df(spark).select("doc_id", "text")
+    rows = search_with_snippets(
+        spark, built, "spark merge", texts, k=3, conf=small_conf,
+        mode="sentence", highlight=True).collect()
+    assert rows
+    for r in rows:
+        assert "<span class='gbcnst00'>spark</span>" in r["snippet"].lower()
+
+
 def test_numeric_sortby_and_range(built, spark, small_conf):
     """gbsortby:/gbrevsortby:/gbmin:/gbmax: numeric termlist operators
     (BF_NUMBER, PosdbTable.cpp:4282-4321). warc_ts of the fixture is
