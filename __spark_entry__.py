@@ -457,6 +457,23 @@ def q_ann_cosine(spark, sf_dir):
         F.col("vec_id").cast("long"), "cos")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via deterministic RP-LSH bucket
+    candidates + exact cosine verify (ops/dedup.py embedding_dup_pairs).
+    The oracle recomputes the identical md5-constant hyperplane buckets
+    in SQL, so this is a full value-hash check of the scale path."""
+    from open_source_search_engine_spark.ops.dedup import (
+        embedding_dup_pairs,
+    )
+
+    return (
+        embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4,
+                            dim=64, bits=4, tables=8)
+        .select(F.col("vec_a").cast("long").alias("vec_a"),
+                F.col("vec_b").cast("long").alias("vec_b"), "cos")
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH top-10 served from the PERSISTED bucket table: the probe
     reads exactly the query's 8 bucket directories (partition-pruned
@@ -525,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -923,6 +941,7 @@ from documents group by lang
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "dedup_embedding": _emb_dup_sql(),
         # the spark side PARSES these dims back out of real PNG IHDR /
         # GIF screen-descriptor bytes; the oracle recomputes them from
         # the deterministic generation rule — two independent paths
@@ -971,4 +990,35 @@ select cand.vec_id::bigint as vec_id,
 from cand cross join qv
 order by cos desc, vec_id asc
 limit 10
+"""
+
+
+def _emb_dup_sql(threshold: float = 0.4, bits: int = 4, tables: int = 8,
+                 dim: int = 64) -> str:
+    """SQL replica of embedding_dup_pairs: same md5-constant hyperplane
+    buckets, pairs sharing ANY table bucket, exact cosine >= threshold."""
+    from open_source_search_engine_spark.ops.ann import _hyperplanes
+
+    bucket_exprs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, t)
+        bit_terms = " + ".join(
+            f"(case when list_dot_product(v, [{', '.join(repr(c) for c in plane)}]) >= 0 "
+            f"then {1 << b} else 0 end)"
+            for b, plane in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bit_terms}) as bucket_{t}")
+    share_cond = " or ".join(
+        f"a.bucket_{t} = b.bucket_{t}" for t in range(tables))
+    return f"""
+with emb as (select vec_id, embedding::double[] as v from embeddings),
+b0 as (select vec_id, v, {', '.join(bucket_exprs)} from emb)
+select a.vec_id::bigint as vec_a, b.vec_id::bigint as vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) as cos
+from b0 a join b0 b on a.vec_id < b.vec_id and ({share_cond})
+where round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}
 """

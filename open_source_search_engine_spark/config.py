@@ -41,6 +41,14 @@ class EngineConf:
     query_lang: int = 0
     same_lang_weight: float = 20.0
     unknown_lang_weight: float = 10.0
+    # page temperature (PageTemperatureRegistry.h:8-38; request defaults
+    # Msg39.cpp:112-113). Off by default — the reference's registry is
+    # empty unless loaded; our analog is a (doc_id, temperature) parquet
+    # next to the index (query/pagetemp.py).
+    use_page_temperature: bool = False
+    page_temp_weight_min: float = 1.0
+    page_temp_weight_max: float = 20.0
+    page_temp_default: int = 5  # default_temperature (.h:27)
 
     # build partitioning / skew (SURVEY.md §4.4; north rule salted-key
     # splitting for stopword-heavy postings)

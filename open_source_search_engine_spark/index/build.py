@@ -611,11 +611,23 @@ def make_anchor_rows():
     return anchor_rows
 
 
-def anchor_parsed(parsed: DataFrame) -> DataFrame:
+def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
+                  n_salts: int = 16) -> DataFrame:
     """Linkdb-analog dataflow: explode outlinks, resolve linkees by URL
     join against the docs of this generation (only in-corpus targets
     get link-text postings — Msg25's linkdb lookup analog), hash anchor
-    text for the linkee. One anchors-sized shuffle."""
+    text for the linkee.
+
+    Viral-linkee guard (Msg25.h:89 MAX_LINKERS=3000): only the
+    ``max_linkers`` best inlinks per linkee (highest linker siteRank,
+    deterministic tie-break) produce link-text postings — same cap as
+    the reference's Msg25 titlerec budget. The cap is a salted two-phase
+    top-N so no single reducer ever materializes an unbounded href
+    group: phase 1 takes top-N per (href, salt) — hot hrefs split S
+    ways; phase 2 takes the exact top-N per href over the <= S*N
+    survivors. The final join then moves at most N rows per linkee."""
+    from pyspark.sql import Window
+
     links = (
         parsed.select(
             F.col("site_rank").alias("linker_rank"),
@@ -626,6 +638,19 @@ def anchor_parsed(parsed: DataFrame) -> DataFrame:
                 F.col("z.href").alias("href"),
                 F.col("z.atext").alias("atext"))
         .where(F.length("atext") > 0)
+    )
+    # deterministic salt (no rand: resumable builds must re-derive it)
+    links = links.withColumn(
+        "_s", F.pmod(F.xxhash64("atext", "linker_rank"), F.lit(n_salts)))
+    order = (F.col("linker_rank").desc(), F.col("atext").asc())
+    w1 = Window.partitionBy("href", "_s").orderBy(*order)
+    w2 = Window.partitionBy("href").orderBy(*order)
+    links = (
+        links.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= max_linkers)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= max_linkers)
+        .drop("_s", "_rn", "_rn2")
     )
     dim = parsed.select("url", "doc_id", "n_tokens", "site_rank",
                         "lang_id")

@@ -38,6 +38,15 @@ def _dot(a, q: list[float]):
     )
 
 
+def _dot2(a, b):
+    """Dot product of two array columns (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(

@@ -212,3 +212,86 @@ def minhash_lsh_pairs(
         .where(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs (RP-LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs_exact(emb: DataFrame, threshold: float = 0.4,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """All-pairs exact cosine near-dups: (vec_a, vec_b, cos) for every
+    pair with cosine >= threshold. O(N^2) — the correctness baseline the
+    LSH path's recall is measured against, same role as brute_force_topk
+    in ops/ann.py. Not the scale path."""
+    from .ann import _dot2, _norm
+
+    a = emb.select(F.col(id_col).alias("vec_a"),
+                   F.col(vec_col).alias("_va"),
+                   _norm(F.col(vec_col)).alias("_na"))
+    b = emb.select(F.col(id_col).alias("vec_b"),
+                   F.col(vec_col).alias("_vb"),
+                   _norm(F.col(vec_col)).alias("_nb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(_dot2(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 4)
+    return (pairs.select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                        dim: int = 64, bits: int = 4, tables: int = 8,
+                        max_bucket: int | None = None,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, scale path: RP-LSH bucket
+    candidate generation + exact cosine verify.
+
+    Candidates: vectors sharing ANY (table, bucket) — the bucket frame
+    melts to (vec_id, table, bucket) rows and self-joins keyed on the
+    bucket, so the only shuffles are bucket-keyed; no all-pairs stage
+    exists anywhere. ``max_bucket`` mirrors ngram_jaccard_pairs'
+    max_shingle_df: buckets above the cap are dropped (a bucket holding
+    a big corpus fraction has no discriminating power and would emit
+    O(n^2) candidate pairs); the surviving hot-bucket list is tiny and
+    broadcast. Verify: candidates join the embeddings table twice and
+    the exact cosine runs JVM-side (zip_with/aggregate, no UDF).
+
+    Recall ~ 1-(1-p^bits)^tables with p = 1 - angle/pi; bits=4/tables=8
+    suits small corpora — at web scale raise bits (16+) so buckets stay
+    selective, and raise tables to recover recall. Hyperplanes are
+    deterministic md5 constants (ops/ann.py _hyperplanes), so results
+    are reproducible and SQL-replicable (the driver oracle recomputes
+    the same buckets)."""
+    from .ann import _dot2, _norm, rp_lsh_buckets
+
+    bk = rp_lsh_buckets(emb, dim, bits, tables, id_col, vec_col)
+    melted = (
+        bk.select("vec_id", F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     F.col(f"bucket_{t}").alias("bk"))
+            for t in range(tables)])).alias("z"))
+        .select("vec_id", F.col("z.t").alias("t"), F.col("z.bk").alias("bk"))
+    )
+    if max_bucket is not None:
+        hot = (melted.groupBy("t", "bk").count()
+               .where(F.col("count") > max_bucket).select("t", "bk"))
+        melted = melted.join(F.broadcast(hot), ["t", "bk"], "left_anti")
+    a_ids = melted.select(F.col("vec_id").alias("vec_a"), "t", "bk")
+    b_ids = melted.select(F.col("vec_id").alias("vec_b"), "t", "bk")
+    cands = (a_ids.join(b_ids, ["t", "bk"])
+             .where(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b").distinct())
+    ea = emb.select(F.col(id_col).alias("vec_a"),
+                    F.col(vec_col).alias("_va"),
+                    _norm(F.col(vec_col)).alias("_na"))
+    eb = emb.select(F.col(id_col).alias("vec_b"),
+                    F.col(vec_col).alias("_vb"),
+                    _norm(F.col(vec_col)).alias("_nb"))
+    cos = F.round(_dot2(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 4)
+    return (cands.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", cos.alias("cos"))
+            .where(F.col("cos") >= threshold))

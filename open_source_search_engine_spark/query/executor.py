@@ -1047,6 +1047,22 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
         neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
         posts = posts.join(neg_docs, "doc_id", "left_anti")
 
+    # page-temperature registry (query/pagetemp.py): distributed join,
+    # unregistered docs coalesce to the default-temperature multiplier
+    use_pt = bool(getattr(conf, "use_page_temperature", False))
+    if use_pt:
+        from .pagetemp import scaled_temp_frame
+
+        ptf, pt_default = scaled_temp_frame(spark, rd.paths.root, conf)
+        if ptf is not None:
+            posts = (posts.join(ptf, "doc_id", "left")
+                     .withColumn("page_temp",
+                                 F.coalesce("page_temp",
+                                            F.lit(float(pt_default)))))
+        else:
+            posts = posts.withColumn("page_temp",
+                                     F.lit(float(pt_default)))
+
     from .refscore import SITERANK_MULTIPLIER, WIKI_BIGRAM_WEIGHT, \
         precompute_postings, termlist_from_slices
 
@@ -1105,6 +1121,10 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
             ub = ub * np.where(
                 lang_doc == weights.query_lang, float(weights.same_lang_w),
                 np.where(lang_doc == 0, float(weights.unknown_lang_w), 1.0))
+        pt_doc = None
+        if use_pt:
+            pt_doc = pdf["page_temp"].to_numpy()[bounds[:-1]]
+            ub = ub * pt_doc  # positive multiplier scales the bound too
 
         order = (np.argsort(-ub) if k is not None
                  else np.arange(n_docs_b))
@@ -1126,7 +1146,8 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
                 continue
             sc = score_doc(terms, tfws, qpos, int(sr_doc[d]), weights,
                            wiki_ids=wiki_ids, quote_ids=quote_ids,
-                           doc_lang=int(lang_doc[d]))
+                           doc_lang=int(lang_doc[d]),
+                           page_temp=(float(pt_doc[d]) if use_pt else 1.0))
             if sc is None:
                 continue  # minScore <= 0: reference skips the doc
             out_docs.append(int(doc_arr[s]))

@@ -143,6 +143,10 @@ class ScoringWeights:
         self.unknown_lang_w = np.float32(getattr(conf,
                                                  "unknown_lang_weight",
                                                  10.0))
+        # page temperature (PosdbTable.cpp:4268-4277; off unless the
+        # registry multiplier is enabled)
+        self.use_page_temp = bool(getattr(conf, "use_page_temperature",
+                                          False))
 
 
 class TermList:
@@ -668,7 +672,8 @@ def score_doc(terms: list[TermList], tfws: list[float], qpos: list[int],
               site_rank: int, w: ScoringWeights,
               wiki_ids: list[int] | None = None,
               quote_ids: list[int] | None = None,
-              doc_lang: int = 0) -> float | None:
+              doc_lang: int = 0,
+              page_temp: float = 1.0) -> float | None:
     """Full per-doc reference score (intersectLists_real scoring block,
     PosdbTable.cpp:4140-4280). None = doc skipped (minScore <= 0)."""
     T = len(terms)
@@ -749,4 +754,8 @@ def score_doc(terms: list[TermList], tfws: list[float], qpos: list[int],
             score = F32(score * w.same_lang_w)
         elif doc_lang == 0:
             score = F32(score * w.unknown_lang_w)
+    # page temperature (PosdbTable.cpp:4268-4277: score *= temperature,
+    # log-scaled registry value — see query/pagetemp.py)
+    if w.use_page_temp:
+        score = F32(score * np.float64(page_temp))
     return float(score)

@@ -477,3 +477,44 @@ def test_bucket_subset_resume_completes_stats(spark, small_conf, tmp_index):
     for word in ("spark", "merge", "ranking", "engine", "query"):
         got = search_all(spark, tmp_index, word, conf=small_conf).collect()
         assert got, f"term {word} lost by subset-resume stats"
+
+
+def test_anchor_max_linkers_cap(spark):
+    """Viral-linkee guard (Msg25.h:89 MAX_LINKERS): only the top-N
+    inlinks by linker siteRank produce INLINKTEXT postings; the salted
+    two-phase top-N keeps the exact same winners as a global sort."""
+    from open_source_search_engine_spark.functions.gbhash import term_id
+    from open_source_search_engine_spark.index.build import (
+        PARSED_SCHEMA,
+        anchor_parsed,
+    )
+
+    linkee = "http://hot.example/p/000001.html"
+    rows = []
+    # linkee doc itself (join target)
+    rows.append({"doc_id": 1, "url": linkee, "site_id": 1, "site_rank": 0,
+                 "lang_id": 1, "title": None, "n_tokens": 5,
+                 "warc_ts": None, "term_ids": [], "poss": [], "ctxs": [],
+                 "lex_words": [], "lex_ids": [], "out_hrefs": [],
+                 "out_texts": [], "content_hash": 0})
+    # 10 linkers with distinct anchors; siteRank = doc_id % 16
+    for d in range(2, 12):
+        rows.append({"doc_id": d, "url": f"http://l{d}.example/x.html",
+                     "site_id": d, "site_rank": d, "lang_id": 1,
+                     "title": None, "n_tokens": 5, "warc_ts": None,
+                     "term_ids": [], "poss": [], "ctxs": [],
+                     "lex_words": [], "lex_ids": [],
+                     "out_hrefs": [linkee], "out_texts": [f"anchor{d:02d}"],
+                     "content_hash": 0})
+    parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
+    out = anchor_parsed(parsed, max_linkers=3, n_salts=2).collect()
+    assert len(out) == 3  # one PARSED row per surviving inlink
+    kept = set()
+    for r in out:
+        assert r["doc_id"] == 1  # postings belong to the linkee
+        kept.update(r["term_ids"])
+    # winners = the 3 highest-rank linkers (11, 10, 9)
+    for d in (11, 10, 9):
+        assert term_id(f"anchor{d:02d}") in kept
+    for d in (2, 3, 4, 5, 6, 7, 8):
+        assert term_id(f"anchor{d:02d}") not in kept

@@ -237,3 +237,47 @@ def test_hash60_matches_md5(spark):
     for t in ("key", "value", "zz"):
         want = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
         assert got[t] == want
+
+
+def test_embedding_dup_pairs(spark):
+    """RP-LSH near-dup pairs: subset of the exact all-pairs baseline,
+    perfect recall on (near-)identical vectors, hot-bucket cap drops
+    over-full buckets."""
+    import numpy as np
+
+    from open_source_search_engine_spark.ops.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_exact,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base = rng.randn(dim)
+    rows = []
+    # 0/1: identical; 2: tiny perturbation of base; 3..12: random
+    rows.append({"vec_id": 0, "embedding": [float(x) for x in base]})
+    rows.append({"vec_id": 1, "embedding": [float(x) for x in base]})
+    rows.append({"vec_id": 2, "embedding":
+                 [float(x) for x in base + 0.01 * rng.randn(dim)]})
+    for i in range(3, 13):
+        rows.append({"vec_id": i, "embedding":
+                     [float(x) for x in rng.randn(dim)]})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"]
+             for r in embedding_dup_pairs_exact(emb, 0.9).collect()}
+    assert (0, 1) in exact and exact[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in exact and (1, 2) in exact
+
+    lsh = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in embedding_dup_pairs(
+               emb, 0.9, dim=dim, bits=4, tables=8).collect()}
+    # identical sign patterns -> identical buckets -> certain recall
+    assert set(lsh) == set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k])
+
+    # max_bucket=0 drops every bucket -> no candidates at all
+    none = embedding_dup_pairs(emb, 0.9, dim=dim, bits=4, tables=8,
+                               max_bucket=0).count()
+    assert none == 0

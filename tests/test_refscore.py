@@ -336,3 +336,76 @@ def test_e2e_reference_lang_boost(spark, small_conf, tmp_path):
     s = {r["doc_id"]: r["score"] for r in got}
     assert s[2] == pytest.approx(s[1] * 20.0, rel=1e-5)
     assert s[3] == pytest.approx(s[1] * 10.0, rel=1e-5)
+
+
+def test_page_temperature_unit():
+    """Page temperature (PosdbTable.cpp:4268-4277): enabled -> score is
+    multiplied by the registry temperature; disabled -> untouched."""
+    conf = EngineConf(use_page_temperature=True)
+    w = ScoringWeights(conf)
+    terms = [tl([10], [ctx()])]
+    base = score_doc(terms, [1.0], [0], 0, W)  # off
+    hot = score_doc(terms, [1.0], [0], 0, w, page_temp=17.5)
+    off = score_doc(terms, [1.0], [0], 0, W, page_temp=17.5)
+    assert hot == pytest.approx(base * 17.5, rel=1e-6)
+    assert off == pytest.approx(base)
+
+
+def test_page_temperature_scaling():
+    """Log-linear registry scaling (PageTemperatureRegistry.cpp:138-147)
+    into [min_w, max_w], clamped; default temperature for misses."""
+    from open_source_search_engine_spark.query.pagetemp import _scale
+    import math
+
+    lo, hi = math.log(1), math.log(100)
+    assert _scale(math.log(1), lo, hi, 1.0, 20.0) == pytest.approx(1.0)
+    assert _scale(math.log(100), lo, hi, 1.0, 20.0) == pytest.approx(20.0)
+    assert _scale(math.log(10), lo, hi, 1.0, 20.0) == \
+        pytest.approx(1.0 + 19.0 * 0.5)
+    # clamp below/above the registry range
+    assert _scale(math.log(0.5), lo, hi, 1.0, 20.0) == 1.0
+    assert _scale(math.log(1000), lo, hi, 1.0, 20.0) == 20.0
+
+
+def test_e2e_reference_page_temperature(spark, small_conf, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.executor import search
+    from open_source_search_engine_spark.query.pagetemp import (
+        load_page_temperatures,
+    )
+
+    text = "needle in a short line"
+    rows = []
+    for did in (1, 2, 3):  # identical docs, one host -> equal base score
+        rows.append({
+            "url": f"http://same.example/p/{did}.html",
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": f"<html><body><p>{text}</p></body></html>".encode(),
+            "text": text, "lang": "en", "doc_id": did,
+        })
+    d = str(tmp_path / "ptidx")
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf, gen=0)
+    # registry: doc 1 cold (t=1), doc 2 hot (t=100); doc 3 unregistered
+    # -> default temperature 5
+    load_page_temperatures(spark, d, spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "temperature": [1, 100]})))
+    conf = EngineConf(scorer="reference", use_page_temperature=True,
+                      n_buckets=small_conf.n_buckets,
+                      n_salts=small_conf.n_salts,
+                      salt_df_threshold=small_conf.salt_df_threshold)
+    got = search(spark, d, "needle", k=10, conf=conf).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids == [2, 3, 1]  # hot > default > cold
+    s = {r["doc_id"]: r["score"] for r in got}
+    # scaled multipliers: t=1 -> 1.0, t=100 -> 20.0, default 5 ->
+    # 1 + 19*log(5)/log(100)
+    import math
+    base = s[1] / 1.0
+    assert s[2] == pytest.approx(base * 20.0, rel=1e-5)
+    want3 = 1.0 + 19.0 * (math.log(5) / math.log(100))
+    assert s[3] == pytest.approx(base * want3, rel=1e-5)
