@@ -75,6 +75,7 @@ from ..functions.posdb import (
     HASHGROUP_BODY,
     HASHGROUP_HEADING,
     HASHGROUP_INLINKTEXT,
+    HASHGROUP_INMENU,
     HASHGROUP_INMETATAG,
     HASHGROUP_INTAG,
     HASHGROUP_INURL,
@@ -155,13 +156,13 @@ _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 5
+INDEX_FORMAT_VERSION = 6
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
                       start_dist: int = 0, prefix: int | None = None,
                       with_bigrams: bool = True, spam_rank=MAXWORDSPAMRANK,
-                      skip_numbers: bool = False):
+                      skip_numbers: bool = False, group_vec=None):
     """hashString/hashWords3 analog for one hash group
     (XmlDoc_Indexing.cpp:1817-2250): emits unfielded (or prefixed) word
     terms, possessive-stripped variants (2110-2153), and bigram terms
@@ -170,7 +171,13 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
     group, XmlDoc.cpp:19773; the linker's siteRank for inlink text,
     PosdbTable.cpp:3008 reads it back from the spam field).
     skip_numbers mirrors hi.m_hashNumbers=false for inurl: terms
-    (XmlDoc_Indexing.cpp hashUrl)."""
+    (XmlDoc_Indexing.cpp hashUrl).
+
+    group_vec (body pass only): per-token hashgroup override from the
+    Sections tree (XmlDoc_Indexing.cpp:1957-1966 — SEC_IN_HEADER words
+    get HASHGROUP_HEADING, SEC_MENU* words HASHGROUP_INMENU); -1 skips
+    the token entirely (SEC_IN_TITLE words — hashTitle covers them).
+    Density/diversity/positions stay the body-stream computation."""
     t = tokens
     sent = sentence_ids(t)
     body = hash_group in (HASHGROUP_BODY, HASHGROUP_HEADING)
@@ -189,6 +196,9 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
             continue  # repeated fragment: not indexed (XmlDoc.cpp:20574)
         if skip_numbers and t.words[k].isdigit():
             continue  # hi.m_hashNumbers = false
+        hg = hash_group if group_vec is None else group_vec[k]
+        if hg < 0:
+            continue  # SEC_IN_TITLE body word (XmlDoc_Indexing.cpp:1957)
         wid = t.wids[k]
         p = wpos[k]
         d = dens[k]
@@ -197,7 +207,7 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
         tid = (wid & TERMID_MASK) if prefix is None else fielded_term_id(wid, prefix)
         out_terms.append(tid)
         out_pos.append(p)
-        out_ctx.append(pack_ctx(hash_group, d, dv, sr, SYN_ORIGINAL))
+        out_ctx.append(pack_ctx(hg, d, dv, sr, SYN_ORIGINAL))
         w = t.words[k]
         # possessive: "dave's" also indexes "dave" with syn flag
         # (XmlDoc_Indexing.cpp:2110-2153)
@@ -206,14 +216,57 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
             tid2 = (wid2 & TERMID_MASK) if prefix is None else fielded_term_id(wid2, prefix)
             out_terms.append(tid2)
             out_pos.append(p)
-            out_ctx.append(pack_ctx(hash_group, d, dv, sr, SYN_CONJUGATE))
+            out_ctx.append(pack_ctx(hg, d, dv, sr, SYN_CONJUGATE))
         # bigram term (diversity=MAX, syn=1; XmlDoc_Indexing.cpp:2164-2191)
         if pids[k]:
             bid = (pids[k] & TERMID_MASK) if prefix is None else fielded_term_id(pids[k], prefix)
             out_terms.append(bid)
             out_pos.append(p)
-            out_ctx.append(pack_ctx(hash_group, d, MAXDIVERSITYRANK, sr, SYN_CONJUGATE))
+            out_ctx.append(pack_ctx(hg, d, MAXDIVERSITYRANK, sr, SYN_CONJUGATE))
     return wpos[-1] + 1 if nw else start_dist
+
+
+def _section_group_vec(html, text, t):
+    """Per-token hashgroup vector from the Sections DOM block tree
+    (functions/sections.py; XmlDoc_Indexing.cpp:1957-1966). None when
+    no tree applies (no html, walk/extract mismatch, or no flagged
+    section at all — the all-body fast path)."""
+    if not html:
+        return None
+    from ..functions.extractor import normalize_html
+    from ..functions.sections import (
+        SEC_IN_HEADER,
+        SEC_IN_TITLE,
+        SEC_MENU,
+        body_flag_ranges,
+    )
+
+    try:
+        ranges, txt = body_flag_ranges(normalize_html(html, charset=None))
+    except Exception:
+        return None
+    if txt != (text or ""):
+        return None  # text column didn't come from this html: no map
+    if not any(fl for _s, _e, fl in ranges):
+        return None
+    import bisect
+
+    starts = [r[0] for r in ranges]
+    gv = [HASHGROUP_BODY] * len(t)
+    off = 0
+    for k in range(len(t)):
+        if t.kinds[k] == ALNUM:
+            i = bisect.bisect_right(starts, off) - 1
+            if 0 <= i < len(ranges) and off < ranges[i][1]:
+                fl = ranges[i][2]
+                if fl & SEC_IN_TITLE:
+                    gv[k] = -1  # hashTitle covers these (cpp:1957)
+                elif fl & SEC_MENU:
+                    gv[k] = HASHGROUP_INMENU  # menu overrides (cpp:1964)
+                elif fl & SEC_IN_HEADER:
+                    gv[k] = HASHGROUP_HEADING
+        off += len(t.words[k])
+    return gv
 
 
 def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
@@ -253,8 +306,12 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     # word-spam vector over the body words (XmlDoc.cpp:19773
     # getWordSpamVec): repetition-spam ranks flow into the ctx spam field
     body_spam = word_spam_ranks(body_tokens)
+    # per-word hashgroup from the Sections DOM block tree
+    # (XmlDoc_Indexing.cpp:1957-1966; functions/sections.py): IN_TITLE
+    # body words skipped, IN_HEADER -> HEADING, SEC_MENU -> INMENU
+    group_vec = _section_group_vec(html, text, body_tokens)
     hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs,
-                      spam_rank=body_spam)
+                      spam_rank=body_spam, group_vec=group_vec)
     lex = {}
     for k in range(len(body_tokens)):
         if body_tokens.kinds[k] == ALNUM:
@@ -267,8 +324,15 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         hash_string_group(tt, HASHGROUP_TITLE, terms, poss, ctxs)
         hash_string_group(tt, HASHGROUP_TITLE, terms, poss, ctxs,
                           prefix=PFX_TITLE)
-    for h in headings:
-        hash_string_group(tokenize(h), HASHGROUP_HEADING, terms, poss, ctxs)
+    # Headings are NOT separately re-hashed when the section tree is
+    # live — heading words sit in the body stream with
+    # HASHGROUP_HEADING via group_vec, exactly like the reference's
+    # single hashWords3 pass. The fallback keeps heading terms findable
+    # when no tree exists (no html / extracted-text mismatch).
+    if group_vec is None:
+        for h in headings:
+            hash_string_group(tokenize(h), HASHGROUP_HEADING, terms, poss,
+                              ctxs)
     for m in (meta_kw, meta_desc):
         if m:
             hash_string_group(tokenize(m), HASHGROUP_INMETATAG, terms, poss,

@@ -286,7 +286,15 @@ def test_inlink_text_and_link_field(spark, small_conf, tmp_path_factory):
             rd.postings([term_id("zebra")], with_positions=True).collect()}
     hg2 = {unpack_ctx(c)[0] for c in rows[2]["ctxs"]}
     assert hg2 == {HASHGROUP_INLINKTEXT}
-    assert HASHGROUP_BODY in {unpack_ctx(c)[0] for c in rows[1]["ctxs"]}
+    # doc1's two consecutive sibling anchors form a menu under setMenus
+    # (Sections.cpp:2394-2470), so its own 'zebra' posting is INMENU —
+    # the reference-faithful group for link-run text
+    from open_source_search_engine_spark.functions.posdb import (
+        HASHGROUP_INMENU,
+    )
+
+    assert {unpack_ctx(c)[0] for c in rows[1]["ctxs"]} == \
+        {HASHGROUP_INMENU}
     # relative href resolves against s0.example: doc2 -> doc3
     got = {r["doc_id"] for r in
            search_all(spark, idx, "quokka", conf=small_conf).collect()}
