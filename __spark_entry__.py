@@ -337,6 +337,14 @@ def q_search_type(spark, sf_dir):
     return _search_ids(spark, sf_dir, "type:html")
 
 
+def q_search_adult(spark, sf_dir):
+    """gbisadult: adult-bit field (hashIsAdult XmlDoc_Indexing.cpp:1660,
+    scorer AdultCheck.cpp:501): the driver corpus is clean, so
+    gbisadult:0 returns every doc — pins the bit's build-side emission
+    end-to-end."""
+    return _search_ids(spark, sf_dir, "gbisadult:0")
+
+
 def q_search_dedup_content(spark, sf_dir):
     """Site clustering + content-hash dedup (Msg40 dedup analog)."""
     from open_source_search_engine_spark.query.executor import (
@@ -530,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_permalink": q_search_permalink,
         "search_country": q_search_country,
         "search_type": q_search_type,
+        "search_adult": q_search_adult,
         "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
@@ -893,6 +902,9 @@ select doc_id::bigint as doc_id from documents where doc_id % 7 = 0
 select doc_id::bigint as doc_id from documents where doc_id % 7 = 0
 """,
         "search_country": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_adult": """
 select doc_id::bigint as doc_id from documents
 """,
         "search_type": """

@@ -64,6 +64,12 @@ class EngineConf:
 
     # query
     default_top_k: int = 10
+    # high-frequency-term shortcuts (HighFrequencyTermShortcuts.h;
+    # Msg2.cpp:262 m_useHighFrequencyTermCache gate): substitute the
+    # pre-truncated champion list for stopword-frequency termIds at
+    # list-fetch. Off by default — it is an explicit approximation the
+    # reference also gates behind conf.
+    use_hf_shortcuts: bool = False
 
     def bucket_of(self, term_id: int) -> int:
         return term_id % self.n_buckets

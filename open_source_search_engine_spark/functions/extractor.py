@@ -287,7 +287,12 @@ def extract_text(html_bytes: bytes, charset: str = "utf-8") -> str:
 
 def extract_title(html_bytes: bytes, charset: str = "utf-8") -> str:
     """Title extraction (<title> contents; Title.cpp primary source)."""
-    s = normalize_html(html_bytes, charset)
+    return title_from_norm(normalize_html(html_bytes, charset))
+
+
+def title_from_norm(s: str) -> str:
+    """Same, over an already-normalized html string (parse_doc
+    normalizes once and fans out — one decode per doc)."""
     return _field_text(s, "title")
 
 
@@ -310,7 +315,10 @@ def _field_text(s: str, tag: str) -> str:
 def extract_headings(html_bytes: bytes, charset: str = "utf-8") -> list[str]:
     """h1-h6 contents (HASHGROUP_HEADING sources,
     XmlDoc_Indexing.cpp:1961-1963)."""
-    s = normalize_html(html_bytes, charset)
+    return headings_from_norm(normalize_html(html_bytes, charset))
+
+
+def headings_from_norm(s: str) -> list[str]:
     out: list[str] = []
     stack = 0
     buf: list[str] = []
@@ -339,7 +347,10 @@ def extract_links(html_bytes: bytes, charset: str = "utf-8"
     feeds the linkdb analog and incoming-link-text hashing,
     Linkdb.h:90-110, XmlDoc_Indexing.cpp:745 hashLinks /
     1269 hashIncomingLinkText)."""
-    s = normalize_html(html_bytes, charset)
+    return links_from_norm(normalize_html(html_bytes, charset))
+
+
+def links_from_norm(s: str) -> list[tuple[str, str]]:
     out: list[tuple[str, str]] = []
     href: str | None = None
     buf: list[str] = []
@@ -358,6 +369,60 @@ def extract_links(html_bytes: bytes, charset: str = "utf-8"
         if href is not None and not is_tag:
             buf.append(text)
     return out
+
+
+_NEIGH_WORD_RE = re.compile(r"[A-Za-z0-9']+")
+
+
+def links_with_neighborhoods_from_norm(s: str, window: int = 12
+                                       ) -> list[tuple[str, str, str]]:
+    """(href, anchor_text, surrounding_text) per ``<a href>``: the
+    surrounding text is up to ``window`` visible words on each side of
+    the anchor, excluding the anchor text itself — the linker-side
+    source of the reference's per-inlink surroundingText
+    (Inlink::getSurroundingText; consumed by hashNeighborhoods,
+    XmlDoc_Indexing.cpp:1374-1388, HASHGROUP_NEIGHBORHOOD). The
+    reference window is sentence-based; fixed word counts here keep the
+    capture deterministic and bounded."""
+    out: list[list] = []  # [href, atext, before_words, after_words]
+    unfilled: list[list] = []
+    href: str | None = None
+    buf: list[str] = []
+    recent: list[str] = []
+    for is_tag, name, closing, text in iter_nodes(s):
+        if is_tag and name == "a":
+            if closing:
+                if href is not None:
+                    rec = [href, "".join(buf).strip(),
+                           list(recent[-window:]), []]
+                    out.append(rec)
+                    unfilled.append(rec)
+                href = None
+                buf = []
+            else:
+                m = _HREF_RE.search(text)
+                href = ((m.group(1) or m.group(2) or m.group(3) or "")
+                        if m else "")
+            continue
+        if is_tag:
+            continue
+        if href is not None:
+            buf.append(text)
+            continue
+        words = _NEIGH_WORD_RE.findall(text)
+        if not words:
+            continue
+        still = []
+        for rec in unfilled:
+            need = window - len(rec[3])
+            rec[3].extend(words[:need])
+            if len(rec[3]) < window:
+                still.append(rec)
+        unfilled = still
+        recent.extend(words)
+        if len(recent) > window:
+            recent = recent[-window:]
+    return [(h, a, " ".join(b + aft)) for h, a, b, aft in out]
 
 
 _SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*):")

@@ -78,6 +78,7 @@ from ..functions.posdb import (
     HASHGROUP_INMENU,
     HASHGROUP_INMETATAG,
     HASHGROUP_INTAG,
+    HASHGROUP_NEIGHBORHOOD,
     HASHGROUP_INURL,
     HASHGROUP_TITLE,
     MAXDENSITYRANK,
@@ -88,6 +89,7 @@ from ..functions.posdb import (
     pack_ctx,
     site_rank_from_inlinks,
 )
+from ..functions.adult import is_adult
 from ..functions.urlinfo import country_of_url, is_permalink_url, synth_ip
 from ..functions.wordspam import word_spam_ranks
 from ..functions.tokenizer import (
@@ -124,6 +126,9 @@ PARSED_SCHEMA = T.StructType(
         # and incoming-link-text hashing (Linkdb.h:90-110)
         T.StructField("out_hrefs", T.ArrayType(T.StringType())),
         T.StructField("out_texts", T.ArrayType(T.StringType())),
+        # per-outlink surrounding text (Inlink getSurroundingText analog;
+        # hashNeighborhoods consumes it linkee-side, HASHGROUP_NEIGHBORHOOD)
+        T.StructField("out_neigh", T.ArrayType(T.StringType())),
         # content checksum of the extracted text (clusterdb contentHash /
         # hashNoSplit dedup terms, XmlDoc_Indexing.cpp:156): query-time
         # duplicate-content removal keys on this
@@ -151,12 +156,13 @@ PFX_IP = prefix_hash("ip")             # XmlDoc_Indexing.cpp:395-420
 PFX_COUNTRY = prefix_hash("gbcountry")  # XmlDoc_Indexing.cpp:1618
 PFX_PERMALINK = prefix_hash("gbpermalink")  # XmlDoc_Indexing.cpp:1642
 PFX_TYPE = prefix_hash("type")         # filetype:/type: (Query.cpp:1666)
+PFX_ISADULT = prefix_hash("gbisadult")  # XmlDoc_Indexing.cpp:1678
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 6
+INDEX_FORMAT_VERSION = 7
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -226,14 +232,14 @@ def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
     return wpos[-1] + 1 if nw else start_dist
 
 
-def _section_group_vec(html, text, t):
+def _section_group_vec(norm, text, t):
     """Per-token hashgroup vector from the Sections DOM block tree
-    (functions/sections.py; XmlDoc_Indexing.cpp:1957-1966). None when
-    no tree applies (no html, walk/extract mismatch, or no flagged
-    section at all — the all-body fast path)."""
-    if not html:
+    (functions/sections.py; XmlDoc_Indexing.cpp:1957-1966), over the
+    already-normalized html string. None when no tree applies (no html,
+    walk/extract mismatch, or no flagged section at all — the all-body
+    fast path)."""
+    if not norm:
         return None
-    from ..functions.extractor import normalize_html
     from ..functions.sections import (
         SEC_IN_HEADER,
         SEC_IN_TITLE,
@@ -242,7 +248,7 @@ def _section_group_vec(html, text, t):
     )
 
     try:
-        ranges, txt = body_flag_ranges(normalize_html(html, charset=None))
+        ranges, txt = body_flag_ranges(norm)
     except Exception:
         return None
     if txt != (text or ""):
@@ -280,12 +286,28 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     bytes (GbEncoding.cpp getCharset chain) when text isn't supplied."""
     from ..functions.extractor import sniff_content_type
 
+    # normalize ONCE (charset detect + entity decode are the expensive
+    # per-doc steps); every extractor fans out over the same string
+    from ..functions.extractor import (
+        get_text,
+        headings_from_norm,
+        links_with_neighborhoods_from_norm,
+        normalize_html,
+        title_from_norm,
+    )
+
+    norm = normalize_html(html, charset=None) if html else ""
     if text is None:
-        text = extract_text(html, charset=None)
-    title = extract_title(html, charset=None)
-    headings = extract_headings(html, charset=None)
+        text = get_text(norm)
+    title = title_from_norm(norm) if html else ""
+    headings = headings_from_norm(norm) if html else []
     meta_kw = extract_meta(html, "keywords", charset=None)
     meta_desc = extract_meta(html, "description", charset=None)
+    # meta summary + geo.placename (hashMetaSummary
+    # XmlDoc_Indexing.cpp:1514, hashMetaGeoPlacename :1557 — both
+    # HASHGROUP_INMETATAG like keywords/description)
+    meta_sum = extract_meta(html, "summary", charset=None)
+    meta_geo = extract_meta(html, "geo.placename", charset=None)
     content_type = sniff_content_type(html) if html else "txt"
     if doc_id is None:
         doc_id = probable_doc_id(url)
@@ -309,7 +331,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     # per-word hashgroup from the Sections DOM block tree
     # (XmlDoc_Indexing.cpp:1957-1966; functions/sections.py): IN_TITLE
     # body words skipped, IN_HEADER -> HEADING, SEC_MENU -> INMENU
-    group_vec = _section_group_vec(html, text, body_tokens)
+    group_vec = _section_group_vec(norm, text, body_tokens)
     hash_string_group(body_tokens, HASHGROUP_BODY, terms, poss, ctxs,
                       spam_rank=body_spam, group_vec=group_vec)
     lex = {}
@@ -333,7 +355,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         for h in headings:
             hash_string_group(tokenize(h), HASHGROUP_HEADING, terms, poss,
                               ctxs)
-    for m in (meta_kw, meta_desc):
+    for m in (meta_kw, meta_desc, meta_sum, meta_geo):
         if m:
             hash_string_group(tokenize(m), HASHGROUP_INMETATAG, terms, poss,
                               ctxs, with_bigrams=False)
@@ -378,6 +400,9 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         (PFX_COUNTRY, country_of_url(url)),
         (PFX_PERMALINK, "1" if is_permalink_url(url) else "0"),
         (PFX_TYPE, content_type),
+        # gbisadult:0/1 (hashIsAdult, XmlDoc_Indexing.cpp:1660;
+        # threshold scorer functions/adult.py)
+        (PFX_ISADULT, "1" if is_adult(text) else "0"),
     ):
         terms.append(fielded_term_id(hash64_lower_utf8(val), pfx))
         poss.append(0)
@@ -389,24 +414,31 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     # warc_ts as minutes since the unix epoch -> gbsortby:/gbmin:/gbmax:
     # query operators (PosdbTable.cpp:34 BF_NUMBER, 4282-4321).
     if warc_ts_minutes is not None:
-        terms.append(fielded_term_id(hash64_lower_utf8("warc_ts"),
-                                     PFX_SORTBY))
-        poss.append(int(warc_ts_minutes))
-        ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
-                             MAXDIVERSITYRANK, MAXWORDSPAMRANK,
-                             SYN_ORIGINAL))
+        # warc_ts + the reference's date-number sortby fields
+        # (hashDateNumbers, XmlDoc_Indexing.cpp:647: gbspiderdate =
+        # crawl time, gbindexdate = index time; one capture pipeline
+        # means both equal the warc timestamp here)
+        for numfield in ("warc_ts", "gbspiderdate", "gbindexdate"):
+            terms.append(fielded_term_id(hash64_lower_utf8(numfield),
+                                         PFX_SORTBY))
+            poss.append(int(warc_ts_minutes))
+            ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
+                                 MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                                 SYN_ORIGINAL))
 
     # outlinks: absolutized; linker-side ``link:<url>`` probe term per
     # outlink (hashLinks, XmlDoc_Indexing.cpp:745) — query-time
     # ``link:http://...`` finds docs LINKING to the url (linkdb analog)
     out_hrefs: list[str] = []
     out_texts: list[str] = []
-    for href, atext in extract_links(html):
+    out_neigh: list[str] = []
+    for href, atext, neigh in links_with_neighborhoods_from_norm(norm):
         absu = absolute_url(url, href)
         if not absu:
             continue
         out_hrefs.append(absu)
         out_texts.append(atext)
+        out_neigh.append(neigh)
         terms.append(fielded_term_id(hash64_lower_utf8(absu), PFX_LINK))
         poss.append(0)
         ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
@@ -428,6 +460,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "lex_ids": list(lex.values()),
         "out_hrefs": out_hrefs,
         "out_texts": out_texts,
+        "out_neigh": out_neigh,
         "content_hash": hash64_lower_utf8(text or "") & TERMID_MASK,
     }
 
@@ -646,9 +679,10 @@ def make_anchor_rows():
     def anchor_rows(iterator):
         for pdf in iterator:
             recs = []
-            for doc_id, ntok, srank, lang_id, atext, lrank in zip(
-                    pdf["doc_id"], pdf["n_tokens"], pdf["site_rank"],
-                    pdf["lang_id"], pdf["atext"], pdf["linker_rank"]):
+            for doc_id, ntok, srank, lang_id, atext, lrank, neigh, ext in \
+                    zip(pdf["doc_id"], pdf["n_tokens"], pdf["site_rank"],
+                        pdf["lang_id"], pdf["atext"], pdf["linker_rank"],
+                        pdf["neigh"], pdf["is_external"]):
                 terms: list[int] = []
                 poss: list[int] = []
                 ctxs: list[int] = []
@@ -658,6 +692,13 @@ def make_anchor_rows():
                 hash_string_group(tokenize(atext or ""),
                                   HASHGROUP_INLINKTEXT, terms, poss, ctxs,
                                   spam_rank=int(lrank))
+                # neighborhood text of EXTERNAL inlinks only
+                # (hashNeighborhoods XmlDoc_Indexing.cpp:1350-1391; the
+                # same-IP/16 skip :1371 maps to same-site here)
+                if ext and neigh:
+                    hash_string_group(tokenize(neigh),
+                                      HASHGROUP_NEIGHBORHOOD, terms, poss,
+                                      ctxs, with_bigrams=False)
                 if not terms:
                     continue
                 recs.append({
@@ -666,7 +707,7 @@ def make_anchor_rows():
                     "title": None, "n_tokens": int(ntok),
                     "warc_ts": None, "term_ids": terms, "poss": poss,
                     "ctxs": ctxs, "lex_words": [], "lex_ids": [],
-                    "out_hrefs": [], "out_texts": [],
+                    "out_hrefs": [], "out_texts": [], "out_neigh": [],
                     "content_hash": 0,
                 })
             if recs:
@@ -695,12 +736,15 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
     links = (
         parsed.select(
             F.col("site_rank").alias("linker_rank"),
+            F.col("site_id").alias("linker_site"),
             F.explode(F.arrays_zip(
                 F.col("out_hrefs").alias("href"),
-                F.col("out_texts").alias("atext"))).alias("z"))
-        .select("linker_rank",
+                F.col("out_texts").alias("atext"),
+                F.col("out_neigh").alias("neigh"))).alias("z"))
+        .select("linker_rank", "linker_site",
                 F.col("z.href").alias("href"),
-                F.col("z.atext").alias("atext"))
+                F.col("z.atext").alias("atext"),
+                F.col("z.neigh").alias("neigh"))
         .where(F.length("atext") > 0)
     )
     # deterministic salt (no rand: resumable builds must re-derive it)
@@ -717,8 +761,11 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
         .drop("_s", "_rn", "_rn2")
     )
     dim = parsed.select("url", "doc_id", "n_tokens", "site_rank",
-                        "lang_id")
-    joined = links.join(dim, links.href == dim.url).drop("href", "url")
+                        "lang_id", F.col("site_id").alias("linkee_site"))
+    joined = (links.join(dim, links.href == dim.url)
+              .withColumn("is_external",
+                          F.col("linker_site") != F.col("linkee_site"))
+              .drop("href", "url", "linker_site", "linkee_site"))
     return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
 
 

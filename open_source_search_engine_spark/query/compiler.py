@@ -51,6 +51,8 @@ FIELD_PREFIXES = {
     # sniffed content type (Query.h:39; filetype: alias Query.cpp:1666)
     "type": "type",
     "filetype": "type",
+    # adult-content bit 0/1 (hashIsAdult, XmlDoc_Indexing.cpp:1660)
+    "gbisadult": "gbisadult",
 }
 
 

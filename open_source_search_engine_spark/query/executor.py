@@ -68,6 +68,7 @@ class IndexReader:
         self._tombstones = None
         self._n_docs = None
         self._avgdl = None
+        self._hf_ids = None
 
     def _gen_dirs(self, table: str) -> list[str]:
         base = getattr(self.paths, table)
@@ -166,20 +167,53 @@ class IndexReader:
         ]
         return [p for p in paths if os.path.exists(p)]
 
+    @property
+    def hf_ids(self) -> set:
+        """TermIds with a precomputed shortcut list (is_registered_term
+        analog) — empty unless conf.use_hf_shortcuts and the table
+        exists."""
+        if self._hf_ids is None:
+            if getattr(self.conf, "use_hf_shortcuts", False):
+                from ..index.shortcuts import shortcut_ids
+
+                self._hf_ids = shortcut_ids(self.spark, self.paths.root)
+            else:
+                self._hf_ids = set()
+        return self._hf_ids
+
     def segments_for(self, term_ids: list[int]) -> DataFrame:
         """Bucket-pruned, termId-pushed-down segment scan (Msg2::getLists
         analog: per query term, fetch the posting lists of every file
-        generation)."""
+        generation). With conf.use_hf_shortcuts, hot termIds read their
+        pre-truncated champion list instead of the full termlist
+        (Msg2.cpp:262-284 substitution — an accepted approximation)."""
         tids = [int(t) for t in term_ids]
-        paths = self._seg_paths(tids)
-        if not paths:
+        hf = [t for t in tids if t in self.hf_ids]
+        normal = [t for t in tids if t not in self.hf_ids]
+        frames = []
+        if normal:
+            paths = self._seg_paths(normal)
+            if paths:
+                df = (
+                    self.spark.read
+                    .option("basePath", self.paths.segments)
+                    .parquet(*paths)
+                )
+                frames.append(df.where(F.col("term_id").isin(normal)))
+        if hf:
+            from ..index.shortcuts import SUBDIR as HF_SUBDIR
+
+            sc = (self.spark.read
+                  .parquet(os.path.join(self.paths.root, HF_SUBDIR))
+                  .where(F.col("term_id").isin(hf))
+                  .withColumn("gen", F.lit(int(self.gens[-1]))))
+            frames.append(sc)
+        if not frames:
             return self.spark.createDataFrame([], schema=_seg_schema_gen())
-        df = (
-            self.spark.read
-            .option("basePath", self.paths.segments)
-            .parquet(*paths)
-        )
-        return df.where(F.col("term_id").isin(tids))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def postings(self, term_ids: list[int], with_positions: bool = False,
                  candidate_docs: np.ndarray | None = None) -> DataFrame:

@@ -504,7 +504,7 @@ def test_anchor_max_linkers_cap(spark):
                  "lang_id": 1, "title": None, "n_tokens": 5,
                  "warc_ts": None, "term_ids": [], "poss": [], "ctxs": [],
                  "lex_words": [], "lex_ids": [], "out_hrefs": [],
-                 "out_texts": [], "content_hash": 0})
+                 "out_texts": [], "out_neigh": [], "content_hash": 0})
     # 10 linkers with distinct anchors; siteRank = doc_id % 16
     for d in range(2, 12):
         rows.append({"doc_id": d, "url": f"http://l{d}.example/x.html",
@@ -513,6 +513,7 @@ def test_anchor_max_linkers_cap(spark):
                      "term_ids": [], "poss": [], "ctxs": [],
                      "lex_words": [], "lex_ids": [],
                      "out_hrefs": [linkee], "out_texts": [f"anchor{d:02d}"],
+                     "out_neigh": [f"near{d:02d} words"],
                      "content_hash": 0})
     parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
     out = anchor_parsed(parsed, max_linkers=3, n_salts=2).collect()
@@ -526,3 +527,55 @@ def test_anchor_max_linkers_cap(spark):
         assert term_id(f"anchor{d:02d}") in kept
     for d in (2, 3, 4, 5, 6, 7, 8):
         assert term_id(f"anchor{d:02d}") not in kept
+
+
+def test_neighborhood_text_indexing(spark, small_conf, tmp_path_factory):
+    """hashNeighborhoods (XmlDoc_Indexing.cpp:1350-1391): the visible
+    text AROUND an external inlink's anchor is indexed for the LINKEE
+    under HASHGROUP_NEIGHBORHOOD; same-site inlinks are skipped
+    (same-IP/16 analog :1371)."""
+    import datetime as dtm
+
+    rows = []
+    urls = {1: "http://linker.example/a.html",
+            2: "http://target.example/b.html",
+            3: "http://target.example/c.html"}
+    # doc1 (external linker): 'qqnearby' surrounds the anchor to doc2
+    # doc3 (same site as doc2): 'qqinternal' surrounds its anchor
+    htmls = {
+        1: (f'<p>qqnearby context</p><a href="{urls[2]}">click</a>'
+            f"<p>qqafter words</p>"),
+        2: "<p>target body</p>",
+        3: f'<p>qqinternal here</p><a href="{urls[2]}">click2</a>',
+    }
+    for d in (1, 2, 3):
+        rows.append({"url": urls[d],
+                     "warc_ts": dtm.datetime(2024, 1, 1),
+                     "html": f"<html><body>{htmls[d]}</body></html>"
+                     .encode(),
+                     "text": None, "lang": "en", "doc_id": d})
+    idx = str(tmp_path_factory.mktemp("neighidx"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), idx,
+                conf=small_conf, gen=0)
+
+    from open_source_search_engine_spark.functions.gbhash import term_id
+    from open_source_search_engine_spark.functions.posdb import (
+        HASHGROUP_NEIGHBORHOOD,
+        unpack_ctx,
+    )
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    # 'qqnearby' matches the linker (body) AND the linkee (neighborhood)
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "qqnearby", conf=small_conf).collect()}
+    assert got == {1, 2}
+    rd = IndexReader(spark, idx, small_conf)
+    prows = {r["doc_id"]: r for r in
+             rd.postings([term_id("qqnearby")],
+                         with_positions=True).collect()}
+    assert {unpack_ctx(c)[0] for c in prows[2]["ctxs"]} == \
+        {HASHGROUP_NEIGHBORHOOD}
+    # same-site inlink: no neighborhood postings on the linkee
+    got3 = {r["doc_id"] for r in
+            search_all(spark, idx, "qqinternal", conf=small_conf).collect()}
+    assert got3 == {3}

@@ -101,3 +101,42 @@ def test_field_combines_with_words(fields_index, spark, small_conf):
     got = search_all(spark, fields_index, "body gbcountry:us",
                      conf=small_conf).collect()
     assert ids(got) == [2, 4]
+
+
+def test_adult_scorer_and_field():
+    """gbisadult (hashIsAdult XmlDoc_Indexing.cpp:1660; scorer
+    AdultCheck.cpp:501): matched needles counted once, clean-word
+    cancellation, threshold >= 2."""
+    from open_source_search_engine_spark.functions.adult import (
+        adult_points,
+        is_adult,
+    )
+
+    assert adult_points("clean text about spark joins") == 0
+    # 'sex' alone = 1 point -> not adult
+    assert not is_adult("sex education resources")
+    # 'essex' cancels its embedded 'sex' (net 0)
+    assert adult_points("visit essex county") == 0
+    # two strong needles -> adult
+    assert is_adult("porn site")          # porn = +2
+    assert is_adult("erotic content")     # erotic = +2
+    assert is_adult("xxx nude pics")      # 1 + 1
+    # needle counted ONCE regardless of occurrences
+    assert adult_points("sex sex sex sex") == 1
+
+
+def test_date_number_fields(fields_index, spark, small_conf):
+    """hashDateNumbers (XmlDoc_Indexing.cpp:647): gbspiderdate /
+    gbindexdate numeric termlists mirror warc_ts."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    a = [r["doc_id"] for r in
+         search_all(spark, fields_index, "gbsortby:warc_ts",
+                    conf=small_conf).collect()]
+    b = [r["doc_id"] for r in
+         search_all(spark, fields_index, "gbsortby:gbspiderdate",
+                    conf=small_conf).collect()]
+    c = [r["doc_id"] for r in
+         search_all(spark, fields_index, "gbsortby:gbindexdate",
+                    conf=small_conf).collect()]
+    assert a and a == b == c

@@ -1,0 +1,107 @@
+"""Degenerate-term query latency at scale (BENCH.md §3 worst case).
+
+Builds (or reuses, keyed on n_docs + index format version) an index
+over N synthetic full-HTML webtext docs and times the worst-case
+queries warm: every query term is a stopword-frequency term matching
+~all docs, so the run measures the bound-pruned decode paths (multi-
+term block-max WAND, in-decode phrase adjacency, reference scorer) —
+not selectivity luck.
+
+Usage: python tools/query_scale_bench.py [n_docs] [cpus]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from open_source_search_engine_spark.config import EngineConf
+    from open_source_search_engine_spark.index.build import (
+        INDEX_FORMAT_VERSION,
+        build_index,
+    )
+    from open_source_search_engine_spark.query.executor import (
+        IndexReader,
+        search,
+    )
+    from open_source_search_engine_spark.session import get_spark
+    from open_source_search_engine_spark.sources.webtext import synthesize
+
+    spark = get_spark(app="osse-qscale", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    idx = f"/tmp/osse_qscale_{n_docs}_v{INDEX_FORMAT_VERSION}"
+    if not os.path.exists(os.path.join(idx, "_index_meta.json")):
+        t0 = time.time()
+        build_index(spark, synthesize(spark, n_docs), idx, resume=True)
+        print(f"# build {time.time() - t0:.1f}s", file=sys.stderr)
+
+    rd = IndexReader(spark, idx)
+    rd.avgdl
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        fn()  # warm
+        t = time.time()
+        fn()
+        timings[name] = round(time.time() - t, 3)
+
+    # 'the'/'of'/'and' hit nearly every synthetic doc (Zipf stops)
+    timed("and3_degenerate",
+          lambda: search(spark, idx, "the of and", k=10,
+                         reader=rd).collect())
+    timed("single_degenerate",
+          lambda: search(spark, idx, "the", k=10, reader=rd).collect())
+    timed("phrase_degenerate",
+          lambda: search(spark, idx, '"of the"', k=10,
+                         reader=rd).collect())
+    ref = EngineConf(scorer="reference")
+    timed("reference_3term",
+          lambda: search(spark, idx, "the of and", k=10, conf=ref,
+                         reader=rd).collect())
+
+    # HF-term shortcut path (HighFrequencyTermShortcuts analog): build
+    # champion lists for the stopword terms once, re-time the worst case
+    from open_source_search_engine_spark.index.shortcuts import (
+        build_hf_shortcuts,
+    )
+
+    if not os.path.exists(os.path.join(idx, "hf_shortcuts")):
+        t0 = time.time()
+        nsh = build_hf_shortcuts(spark, idx, top_c=50_000)
+        print(f"# hf_shortcuts: {nsh} terms in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+    hconf = EngineConf(use_hf_shortcuts=True)
+    rd_hf = IndexReader(spark, idx, hconf)
+    rd_hf.avgdl
+    timed("and3_hf_shortcut",
+          lambda: search(spark, idx, "the of and", k=10, conf=hconf,
+                         reader=rd_hf).collect())
+    timed("single_hf_shortcut",
+          lambda: search(spark, idx, "the", k=10, conf=hconf,
+                         reader=rd_hf).collect())
+
+    from open_source_search_engine_spark.functions.gbhash import term_id
+
+    dfs = rd.df_of([term_id("the"), term_id("of"), term_id("and")])
+    out = {"n_docs": n_docs, "cpus": cpus, "queries": timings,
+           "term_dfs": {t: int(d) for t, d in
+                        zip(("the", "of", "and"), dfs.values())}}
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
