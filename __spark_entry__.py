@@ -337,6 +337,29 @@ def q_search_type(spark, sf_dir):
     return _search_ids(spark, sf_dir, "type:html")
 
 
+def q_search_hf_shortcut(spark, sf_dir):
+    """HF-term shortcut substitution (HighFrequencyTermShortcuts.h;
+    Msg2.cpp:262-284): with use_hf_shortcuts on, the hot term 'key'
+    reads its top-50 champion list (build-time BM25 order) instead of
+    the full termlist — the oracle recomputes the exact same truncation
+    in SQL, so the approximation itself is value-hash-checked."""
+    from open_source_search_engine_spark.config import EngineConf
+    from open_source_search_engine_spark.index.shortcuts import (
+        build_hf_shortcuts,
+    )
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    if not os.path.exists(os.path.join(d, "hf_shortcuts")):
+        build_hf_shortcuts(spark, d, top_c=50, df_threshold=200)
+    hconf = EngineConf(use_hf_shortcuts=True)
+    return (
+        search_all(spark, d, "key", conf=hconf)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_search_adult(spark, sf_dir):
     """gbisadult: adult-bit field (hashIsAdult XmlDoc_Indexing.cpp:1660,
     scorer AdultCheck.cpp:501): the driver corpus is clean, so
@@ -538,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_permalink": q_search_permalink,
         "search_country": q_search_country,
         "search_type": q_search_type,
+        "search_hf_shortcut": q_search_hf_shortcut,
         "search_adult": q_search_adult,
         "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
@@ -906,6 +930,27 @@ select doc_id::bigint as doc_id from documents
 """,
         "search_adult": """
 select doc_id::bigint as doc_id from documents
+""",
+        "search_hf_shortcut": f"""{_bm25_cte()},
+champ as (
+  select tf.doc_id as doc_id
+  from tf
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok = 'key'
+  qualify row_number() over (
+    order by tf.tf / (tf.tf + {K1} * ((1.0 - {B})
+                      + {B} * dl.dl / corpus.avgdl)) desc,
+             tf.doc_id asc) <= 50
+)
+select tf.doc_id::bigint as doc_id,
+       round(sum({_bm25_score()}), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok = 'key' and tf.doc_id in (select doc_id from champ)
+group by tf.doc_id
 """,
         "search_type": """
 select doc_id::bigint as doc_id from documents

@@ -726,11 +726,16 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
     Viral-linkee guard (Msg25.h:89 MAX_LINKERS=3000): only the
     ``max_linkers`` best inlinks per linkee (highest linker siteRank,
     deterministic tie-break) produce link-text postings — same cap as
-    the reference's Msg25 titlerec budget. The cap is a salted two-phase
-    top-N so no single reducer ever materializes an unbounded href
-    group: phase 1 takes top-N per (href, salt) — hot hrefs split S
-    ways; phase 2 takes the exact top-N per href over the <= S*N
-    survivors. The final join then moves at most N rows per linkee."""
+    the reference's Msg25 titlerec budget. Order of operations is
+    join-first: the linkee-resolution join runs BEFORE the cap, so
+    links whose target is not in the corpus (the common case for a
+    partial crawl) never pay a window shuffle; the join's own href skew
+    is a streaming 1:N probe (dim side is unique per url) that AQE's
+    skew-join splitting handles. The cap itself is a salted two-phase
+    top-N so no single reducer ever sorts an unbounded href group:
+    phase 1 takes top-N per (href-hash, salt) — hot linkees split S
+    ways; phase 2 takes the exact top-N per linkee over the <= S*N
+    survivors."""
     from pyspark.sql import Window
 
     links = (
@@ -747,25 +752,25 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
                 F.col("z.neigh").alias("neigh"))
         .where(F.length("atext") > 0)
     )
-    # deterministic salt (no rand: resumable builds must re-derive it)
-    links = links.withColumn(
-        "_s", F.pmod(F.xxhash64("atext", "linker_rank"), F.lit(n_salts)))
-    order = (F.col("linker_rank").desc(), F.col("atext").asc())
-    w1 = Window.partitionBy("href", "_s").orderBy(*order)
-    w2 = Window.partitionBy("href").orderBy(*order)
-    links = (
-        links.withColumn("_rn", F.row_number().over(w1))
-        .where(F.col("_rn") <= max_linkers)
-        .withColumn("_rn2", F.row_number().over(w2))
-        .where(F.col("_rn2") <= max_linkers)
-        .drop("_s", "_rn", "_rn2")
-    )
     dim = parsed.select("url", "doc_id", "n_tokens", "site_rank",
                         "lang_id", F.col("site_id").alias("linkee_site"))
     joined = (links.join(dim, links.href == dim.url)
               .withColumn("is_external",
                           F.col("linker_site") != F.col("linkee_site"))
-              .drop("href", "url", "linker_site", "linkee_site"))
+              .drop("url", "linker_site", "linkee_site"))
+    # deterministic salt (no rand: resumable builds must re-derive it)
+    joined = joined.withColumn(
+        "_s", F.pmod(F.xxhash64("atext", "linker_rank"), F.lit(n_salts)))
+    order = (F.col("linker_rank").desc(), F.col("atext").asc())
+    w1 = Window.partitionBy("href", "_s").orderBy(*order)
+    w2 = Window.partitionBy("href").orderBy(*order)
+    joined = (
+        joined.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= max_linkers)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= max_linkers)
+        .drop("href", "_s", "_rn", "_rn2")
+    )
     return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
 
 

@@ -91,6 +91,12 @@ def main() -> int:
     timed("single_hf_shortcut",
           lambda: search(spark, idx, "the", k=10, conf=hconf,
                          reader=rd_hf).collect())
+    refhf = EngineConf(scorer="reference", use_hf_shortcuts=True)
+    rd_rhf = IndexReader(spark, idx, refhf)
+    rd_rhf.avgdl
+    timed("reference_3term_hf",
+          lambda: search(spark, idx, "the of and", k=10, conf=refhf,
+                         reader=rd_rhf).collect())
 
     from open_source_search_engine_spark.functions.gbhash import term_id
 
