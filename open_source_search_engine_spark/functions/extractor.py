@@ -492,3 +492,25 @@ def extract_meta(html_bytes: bytes, name: str, charset: str = "utf-8") -> str:
     if not m:
         return ""
     return normalize_utf8(decode_entities(m.group(2)))
+
+
+# unwanted display symbols (Unicode.h:170 isUtf8UnwantedSymbols):
+# geometric shapes, specials, game tiles, regional indicators, emoji
+# blocks — stripped from display titles and summaries (Title.cpp:1710,
+# Pos.cpp:282), NOT from the indexed term stream
+_UNWANTED_RANGES = (
+    (0x25A0, 0x25BF), (0x25C0, 0x27BF), (0xFFF0, 0xFFFF),
+    (0x1F000, 0x1F0FF), (0x1F1E6, 0x1F1FF), (0x1F300, 0x1F6FF),
+    (0x1F900, 0x1F9FF),
+)
+
+
+def is_unwanted_symbol(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _UNWANTED_RANGES)
+
+
+def strip_unwanted_symbols(s: str) -> str:
+    """Title.cpp:1694-1712 display filter: drop unwanted symbols, keep
+    everything else; callers strip leading/trailing whitespace."""
+    return "".join(c for c in s if not is_unwanted_symbol(c)).strip()

@@ -1014,7 +1014,17 @@ def build_index(
 
     # ---- stage A: parse (checkpoint) ----
     if not resume or not _parquet_exists(p_parsed):
-        parsed = webtext.mapInPandas(parse_docs_udf, schema=PARSED_SCHEMA)
+        # parse parallelism must not be capped by the source's input
+        # splits (a few hundred MB of html coalesces to a handful of
+        # 128MB splits — at 32 cores that strands 90% of the executor):
+        # widen narrow sources before the Arrow-batched parse. The
+        # repartition is a bytes-shuffle of the raw html, ~seconds
+        # against the minutes of python parse it unlocks.
+        par = spark.sparkContext.defaultParallelism
+        src = webtext
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par * 2)
+        parsed = src.mapInPandas(parse_docs_udf, schema=PARSED_SCHEMA)
         parsed.write.mode("overwrite").parquet(p_parsed)
     parsed = spark.read.parquet(p_parsed)
     t_parse = time.time()

@@ -107,8 +107,14 @@ def highlight_text(snippet: str, qwords: list[str]) -> str:
 
 
 def title_of(title: str | None, text: str, title_tokens: int = 8) -> str:
+    """Display title (Title.cpp): the indexed title run through the
+    unwanted-symbol filter (Title.cpp:1710 isUtf8UnwantedSymbols —
+    emojis/dingbats stripped; reference golden
+    test/system/test_result_title.py title_emoticon_*)."""
+    from ..functions.extractor import strip_unwanted_symbols
+
     if title:
-        return title
+        return strip_unwanted_symbols(title)
     toks = tokenize(text or "")
     words = [toks.words[k] for k in range(len(toks))
              if toks.kinds[k] == ALNUM]

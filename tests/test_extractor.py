@@ -249,3 +249,44 @@ def test_absolute_url_collapses_dot_segments():
     assert absolute_url(base, "../../up.html") == "http://host.example/up.html"
     assert absolute_url(base, "http://x.example/p/../q.html") \
         == "http://x.example/q.html"
+
+
+def test_title_emoticon_stripping():
+    """Reference goldens test/system/test_result_title.py:38-44 +
+    data/html/title_emoticon_{start,middle,end}.html: unwanted symbols
+    (Unicode.h:170) are stripped from the DISPLAY title."""
+    from open_source_search_engine_spark.functions.extractor import (
+        extract_title,
+        strip_unwanted_symbols,
+    )
+    from open_source_search_engine_spark.query.summary import title_of
+
+    want = "The quick brown fox jumps over the lazy dog"
+    for raw in (f"\U0001F60E{want}", f"{want}\U0001F60E",
+                "The quick brown fox \U0001F60Ejumps over the lazy dog"):
+        html = (f"<html><head><title>{raw}</title></head>"
+                f"<body><p>body</p></body></html>").encode()
+        t = extract_title(html)          # indexed title keeps the raw
+        assert title_of(t, "") == want   # display title filters it
+    # filter specifics: geometric shapes + specials + emoji gone,
+    # CJK/latin/punct kept
+    assert strip_unwanted_symbols("a■b�c\U0001F600") == "a" + "b" + "c"
+    assert strip_unwanted_symbols("香實發望") == "香實發望"
+
+
+def test_summary_emoticon_free():
+    """Reference goldens data/html/summary_emoticon_*.html (Pos.cpp:282
+    applies isUtf8UnwantedSymbols to summary text): snippets never
+    contain unwanted symbols — the tokenizer classifies them as punct
+    so word-joined snippets are emoji-free by construction."""
+    from open_source_search_engine_spark.query.summary import (
+        sentence_snippet_of,
+        snippet_of,
+    )
+
+    txt = ("The quick \U0001F60Ebrown fox jumps. "
+           "Another sentence here\U0001F600.")
+    s = snippet_of(txt, {"fox"}, window_tokens=8)
+    assert "\U0001F60E" not in s and "brown fox" in s
+    s2 = sentence_snippet_of(txt, {"fox"})
+    assert "\U0001F60E" not in s2 and s2.endswith("jumps")

@@ -78,3 +78,86 @@ def test_stream_then_compact(spark, small_conf, tmp_index, tmp_path):
     got = {r["doc_id"] for r in
            search_all(spark, tmp_index, "nu", conf=small_conf).collect()}
     assert got == {1, 2, 3}
+
+
+def test_streaming_term_trends_watermark(spark, tmp_path):
+    """Watermark + windowed agg: windows finalize (append) only once
+    the watermark passes; a too-late row is dropped, an in-grace late
+    row is counted."""
+    from open_source_search_engine_spark.streaming.trends import (
+        streaming_term_trends,
+    )
+
+    inp = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "trends")
+    os.makedirs(inp, exist_ok=True)
+
+    def drop(rows):
+        import pandas as pd
+        (spark.createDataFrame(pd.DataFrame(rows))
+         .coalesce(1).write.mode("append").parquet(inp))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def row(did, ts, text):
+        return {"url": f"http://s.example/p/{did}.html", "warc_ts": ts,
+                "html": b"<html></html>", "text": text, "lang": "en",
+                "doc_id": did}
+
+    # batch 1: two docs in the 10:00 window
+    drop([row(1, t0, "alpha beta"),
+          row(2, t0 + dt.timedelta(minutes=30), "alpha")])
+    streaming_term_trends(spark, inp, ckpt, out, window="1 hour",
+                          watermark="1 hour")
+    # batch 2: advances the watermark far past the 10:00 window AND
+    # carries a too-late 08:30 row — its window END (09:00) precedes
+    # the batch-entry watermark (10:30 - 1h = 09:30), so it is dropped
+    drop([row(3, t0 + dt.timedelta(hours=5), "gamma"),
+          row(4, t0 - dt.timedelta(minutes=90), "alpha")])
+    streaming_term_trends(spark, inp, ckpt, out, window="1 hour",
+                          watermark="1 hour")
+    got = {(r["window_start"].hour, r["tok"]): r["n"]
+           for r in spark.read.parquet(out).collect()}
+    # 10:00 window finalized with both docs' tokens
+    assert got[(10, "alpha")] == 2
+    assert got[(10, "beta")] == 1
+    # too-late 08:30 row was NOT admitted (window end < watermark)
+    assert (8, "alpha") not in got
+    # gamma's 15:00 window is still open (watermark hasn't passed it)
+    assert (15, "gamma") not in got
+
+
+def test_streaming_url_seen_stateful(spark, tmp_path):
+    """Cross-batch URL dedup (crawl-frontier first-seen filter): a URL
+    re-dropped in a later micro-batch is suppressed; state survives
+    between availableNow runs via the persisted _seen table."""
+    from open_source_search_engine_spark.streaming.urlseen import (
+        seen_output,
+        streaming_url_seen,
+    )
+
+    inp = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "seen")
+    os.makedirs(inp, exist_ok=True)
+
+    def drop(pairs):
+        import pandas as pd
+        rows = [{"url": u, "warc_ts": dt.datetime(2024, 1, 1),
+                 "html": b"x", "text": "t", "lang": "en", "doc_id": d}
+                for u, d in pairs]
+        (spark.createDataFrame(pd.DataFrame(rows))
+         .coalesce(1).write.mode("append").parquet(inp))
+
+    drop([("http://a.example/1", 1), ("http://a.example/2", 2),
+          ("http://b.example/1", 3)])
+    streaming_url_seen(spark, inp, ckpt, out)
+    # second drop: two repeats + one new
+    drop([("http://a.example/1", 10), ("http://b.example/1", 30),
+          ("http://a.example/3", 4)])
+    streaming_url_seen(spark, inp, ckpt, out)
+    got = {r["url"]: r["doc_id"]
+           for r in seen_output(spark, out).collect()}
+    assert got == {"http://a.example/1": 1, "http://a.example/2": 2,
+                   "http://b.example/1": 3, "http://a.example/3": 4}
