@@ -582,6 +582,29 @@ def q_multimodal_meta(spark, sf_dir):
         F.col("height").cast("long"))
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """resize_images binary round-trip: synth PNG/GIF payloads get
+    their container headers REWRITTEN to 100x50 (PNG IHDR + recomputed
+    CRC32, GIF screen descriptor) and decode_image_meta re-parses the
+    new dims from the bytes; the oracle recomputes everything else from
+    the generation rule, so a parse-or-rewrite bug on either format
+    hash-mismatches."""
+    from open_source_search_engine_spark.ops.multimodal import (
+        decode_image_meta,
+        resize_images,
+        to_binary_payload,
+    )
+
+    resized = resize_images(to_binary_payload(_docs(spark, sf_dir)),
+                            100, 50)
+    return decode_image_meta(resized).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_bytes").cast("long"),
+        "format",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_doc_stats": q_index_doc_stats,
@@ -623,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -1058,6 +1082,15 @@ from documents group by lang
         # GIF screen-descriptor bytes; the oracle recomputes them from
         # the deterministic generation rule — two independent paths
         # through the binary encoding
+        "multimodal_resize": """
+select doc_id::bigint as doc_id,
+       (strlen(text) + case when doc_id % 2 = 0 then 33 else 13 end)::bigint
+         as n_bytes,
+       case when doc_id % 2 = 0 then 'png' else 'gif' end as format,
+       100::bigint as width,
+       50::bigint as height
+from documents
+""",
         "multimodal_meta": """
 select doc_id::bigint as doc_id,
        (strlen(text) + case when doc_id % 2 = 0 then 33 else 13 end)::bigint

