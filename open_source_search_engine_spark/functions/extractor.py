@@ -97,12 +97,15 @@ def normalize_utf8(s: str) -> str:
     return "".join(out)
 
 
+# BOM -> codec that CONSUMES the BOM ('utf-16'/'utf-32' read the BOM
+# and strip it, like 'utf-8-sig'; the -le/-be variants would leak a
+# stray U+FEFF into the extracted text and every downstream offset)
 _BOMS = (
-    (b"\x00\x00\xfe\xff", "utf-32-be"),
-    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32"),
+    (b"\xff\xfe\x00\x00", "utf-32"),
     (b"\xef\xbb\xbf", "utf-8-sig"),
-    (b"\xfe\xff", "utf-16-be"),
-    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16"),
+    (b"\xff\xfe", "utf-16"),
 )
 
 # iana names -> python codecs, plus the reference's serving aliases
@@ -475,6 +478,17 @@ def absolute_url(base: str, href: str) -> str:
     basedir = basedir.rsplit("/", 1)[0] if "/" in basedir else ""
     rel = f"/{basedir}/{href}" if basedir else f"/{href}"
     return f"{scheme}://{host}{_collapse_dots(rel)}"
+
+
+def meta_from_norm(s: str, name: str) -> str:
+    """<meta name=... content=...> over an already-decoded html string
+    (Xml.cpp getMetaContentPointer); parse_doc normalizes once and fans
+    out — no per-meta re-decode of the raw bytes."""
+    pat = re.compile(
+        r"<meta[^>]*\bname\s*=\s*[\"']?" + re.escape(name) +
+        r"[\"']?[^>]*\bcontent\s*=\s*([\"'])(.*?)\1", re.I | re.S)
+    m = pat.search(s)
+    return m.group(2).strip() if m else ""
 
 
 def extract_meta(html_bytes: bytes, name: str, charset: str = "utf-8") -> str:

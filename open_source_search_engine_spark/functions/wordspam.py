@@ -141,6 +141,12 @@ def word_spam_ranks(t: Tokens) -> np.ndarray:
     for wid, positions in occ.items():
         profile = positions[::-1]  # newest first
         if len(profile) < 3:
+            # reference quirk kept verbatim (XmlDoc.cpp:20008-20011):
+            # the <3-occurrence early-out increments goodWords BEFORE
+            # the commonWords check, so low-count stopwords/digits DO
+            # dilute the whole-doc spam percentage while >=3-count
+            # commons are excluded below — that asymmetry is the
+            # reference's behavior, not an accident here
             good_words += 1
             continue
         is_spam = set_spam(profile, len(profile), n, spam)

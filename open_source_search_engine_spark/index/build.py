@@ -292,6 +292,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         get_text,
         headings_from_norm,
         links_with_neighborhoods_from_norm,
+        meta_from_norm,
         normalize_html,
         title_from_norm,
     )
@@ -301,13 +302,14 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         text = get_text(norm)
     title = title_from_norm(norm) if html else ""
     headings = headings_from_norm(norm) if html else []
-    meta_kw = extract_meta(html, "keywords", charset=None)
-    meta_desc = extract_meta(html, "description", charset=None)
-    # meta summary + geo.placename (hashMetaSummary
-    # XmlDoc_Indexing.cpp:1514, hashMetaGeoPlacename :1557 — both
-    # HASHGROUP_INMETATAG like keywords/description)
-    meta_sum = extract_meta(html, "summary", charset=None)
-    meta_geo = extract_meta(html, "geo.placename", charset=None)
+    # metas from the SAME normalized string (no per-meta re-decode of
+    # the raw bytes); summary + geo.placename per hashMetaSummary
+    # XmlDoc_Indexing.cpp:1514 / hashMetaGeoPlacename :1557 — all
+    # HASHGROUP_INMETATAG like keywords/description
+    meta_kw = meta_from_norm(norm, "keywords")
+    meta_desc = meta_from_norm(norm, "description")
+    meta_sum = meta_from_norm(norm, "summary")
+    meta_geo = meta_from_norm(norm, "geo.placename")
     content_type = sniff_content_type(html) if html else "txt"
     if doc_id is None:
         doc_id = probable_doc_id(url)
@@ -742,15 +744,19 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
         parsed.select(
             F.col("site_rank").alias("linker_rank"),
             F.col("site_id").alias("linker_site"),
+            F.col("doc_id").alias("linker_doc"),
             F.explode(F.arrays_zip(
                 F.col("out_hrefs").alias("href"),
                 F.col("out_texts").alias("atext"),
                 F.col("out_neigh").alias("neigh"))).alias("z"))
-        .select("linker_rank", "linker_site",
+        .select("linker_rank", "linker_site", "linker_doc",
                 F.col("z.href").alias("href"),
                 F.col("z.atext").alias("atext"),
                 F.col("z.neigh").alias("neigh"))
-        .where(F.length("atext") > 0)
+        # keep links that carry EITHER anchor text (INLINKTEXT) or
+        # surrounding text (NEIGHBORHOOD — hashNeighborhoods is not
+        # conditioned on anchor text, e.g. image links)
+        .where((F.length("atext") > 0) | (F.length("neigh") > 0))
     )
     dim = parsed.select("url", "doc_id", "n_tokens", "site_rank",
                         "lang_id", F.col("site_id").alias("linkee_site"))
@@ -758,10 +764,14 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
               .withColumn("is_external",
                           F.col("linker_site") != F.col("linkee_site"))
               .drop("url", "linker_site", "linkee_site"))
-    # deterministic salt (no rand: resumable builds must re-derive it)
+    # deterministic salt (no rand: resumable builds must re-derive it).
+    # Salt on the LINKER doc id — unique per inlink, so 10M identical
+    # 'home' anchors still spread across all S salt partitions
     joined = joined.withColumn(
-        "_s", F.pmod(F.xxhash64("atext", "linker_rank"), F.lit(n_salts)))
-    order = (F.col("linker_rank").desc(), F.col("atext").asc())
+        "_s", F.pmod(F.xxhash64("linker_doc"), F.lit(n_salts)))
+    # total order (rank desc, then linker_doc) so the <=N winners are
+    # the same rows on every (re)run — atext alone ties constantly
+    order = (F.col("linker_rank").desc(), F.col("linker_doc").asc())
     w1 = Window.partitionBy("href", "_s").orderBy(*order)
     w2 = Window.partitionBy("href").orderBy(*order)
     joined = (
@@ -769,7 +779,7 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
         .where(F.col("_rn") <= max_linkers)
         .withColumn("_rn2", F.row_number().over(w2))
         .where(F.col("_rn2") <= max_linkers)
-        .drop("href", "_s", "_rn", "_rn2")
+        .drop("href", "_s", "_rn", "_rn2", "linker_doc")
     )
     return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
 

@@ -84,7 +84,11 @@ def build_hf_shortcuts(spark: SparkSession, index_dir: str,
 
     def encode_term(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort")
-        tfs = pdf["tf"].to_numpy().astype(np.int64)
+        # repeat counts must mirror the DECODED position arrays, whose
+        # length is the tf as stored (position cap applied at encode) —
+        # derive from the arrays, never trust a separate column
+        tfs = np.fromiter((len(p) for p in pdf["positions"]),
+                          dtype=np.int64, count=len(pdf))
         npost = int(tfs.sum())
         term = np.repeat(pdf["term_id"].to_numpy(), tfs)
         doc = np.repeat(pdf["doc_id"].to_numpy(), tfs)

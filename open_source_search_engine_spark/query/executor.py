@@ -203,10 +203,14 @@ class IndexReader:
         if hf:
             from ..index.shortcuts import SUBDIR as HF_SUBDIR
 
+            # gen = -1 sentinel: shortcut lists are built from the
+            # ALREADY gen-resolved postings view, so _newest_wins must
+            # pass them through untouched (a doc whose newest event is
+            # an earlier delta generation would otherwise be dropped)
             sc = (self.spark.read
                   .parquet(os.path.join(self.paths.root, HF_SUBDIR))
                   .where(F.col("term_id").isin(hf))
-                  .withColumn("gen", F.lit(int(self.gens[-1]))))
+                  .withColumn("gen", F.lit(-1)))
             frames.append(sc)
         if not frames:
             return self.spark.createDataFrame([], schema=_seg_schema_gen())
@@ -336,7 +340,9 @@ class IndexReader:
         return (
             decoded.join(F.broadcast(ev), "doc_id", "left")
             .where(F.col("keep_gen").isNull()
-                   | (F.col("gen") == F.col("keep_gen")))
+                   | (F.col("gen") == F.col("keep_gen"))
+                   # gen -1 = pre-resolved rows (HF shortcut lists)
+                   | (F.col("gen") == -1))
             .drop("keep_gen", "gen")
         )
 

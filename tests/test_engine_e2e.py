@@ -579,3 +579,31 @@ def test_neighborhood_text_indexing(spark, small_conf, tmp_path_factory):
     got3 = {r["doc_id"] for r in
             search_all(spark, idx, "qqinternal", conf=small_conf).collect()}
     assert got3 == {3}
+
+
+def test_neighborhood_for_empty_anchor_links(spark, small_conf,
+                                             tmp_path_factory):
+    """hashNeighborhoods is NOT conditioned on anchor text
+    (XmlDoc_Indexing.cpp:1350-1391): an external image link with no
+    anchor words still gives the linkee neighborhood postings
+    (code-review r2 finding #6)."""
+    import datetime as dtm
+
+    rows = [
+        {"url": "http://linker.example/a.html",
+         "warc_ts": dtm.datetime(2024, 1, 1),
+         "html": (b"<html><body><p>qqaround text here</p>"
+                  b'<a href="http://target.example/b.html">'
+                  b"<img src=\"/x.png\"></a></body></html>"),
+         "text": None, "lang": "en", "doc_id": 1},
+        {"url": "http://target.example/b.html",
+         "warc_ts": dtm.datetime(2024, 1, 1),
+         "html": b"<html><body><p>target body</p></body></html>",
+         "text": None, "lang": "en", "doc_id": 2},
+    ]
+    idx = str(tmp_path_factory.mktemp("imgneigh"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), idx,
+                conf=small_conf, gen=0)
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "qqaround", conf=small_conf).collect()}
+    assert got == {1, 2}  # linker body + linkee neighborhood

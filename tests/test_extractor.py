@@ -164,9 +164,13 @@ def test_detect_charset_bom():
         detect_charset,
     )
 
+    # BOM-consuming codecs: 'utf-16'/'utf-32' strip the BOM like
+    # 'utf-8-sig' ('-le/-be' would leak U+FEFF into the text)
     assert detect_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
-    assert detect_charset(b"\xff\xfeh\x00i\x00") == "utf-16-le"
-    assert detect_charset(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+    assert detect_charset(b"\xff\xfeh\x00i\x00") == "utf-16"
+    assert detect_charset(b"\xfe\xff\x00h\x00i") == "utf-16"
+    assert detect_charset(b"\x00\x00\xfe\xff" + b"\x00\x00\x00h") == \
+        "utf-32"
 
 
 def test_detect_charset_meta_declaration():
@@ -290,3 +294,19 @@ def test_summary_emoticon_free():
     assert "\U0001F60E" not in s and "brown fox" in s
     s2 = sentence_snippet_of(txt, {"fox"})
     assert "\U0001F60E" not in s2 and s2.endswith("jumps")
+
+
+def test_utf16_bom_stripped():
+    """utf-16/32 BOMs must not leak U+FEFF into the extracted text
+    (code-review r2 finding #5)."""
+    from open_source_search_engine_spark.functions.extractor import (
+        extract_text,
+    )
+
+    html = "<html><body><p>bom body words</p></body></html>"
+    for enc, bom in (("utf-16-le", b"\xff\xfe"),
+                     ("utf-16-be", b"\xfe\xff")):
+        raw = bom + html.encode(enc)
+        t = extract_text(raw, charset=None)
+        assert "﻿" not in t
+        assert t == "bom body words"

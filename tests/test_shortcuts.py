@@ -81,3 +81,40 @@ def test_shortcut_unregistered_terms_unaffected(hf_index, spark,
            search_all(spark, hf_index, "filler07",
                       conf=_hconf(small_conf)).collect()}
     assert got == {7}
+
+
+def test_shortcut_multigen_newest_wins_bypass(spark, small_conf,
+                                              tmp_path_factory):
+    """Shortcut lists are built from the gen-RESOLVED postings view and
+    must bypass _newest_wins (gen=-1 sentinel): a doc whose newest
+    index event is a later delta generation still appears in shortcut
+    results (code-review r2 finding #1)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    def wt(docs, suffix=""):
+        rows = []
+        for d in docs:
+            body = ("common common common filler" + str(d) + suffix)
+            rows.append({
+                "url": f"http://s{d % 3}.example/p/{d}.html",
+                "warc_ts": dt.datetime(2024, 1, 1),
+                "html": f"<html><body><p>{body}</p></body></html>"
+                .encode(),
+                "text": body, "lang": "en", "doc_id": d})
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    idx = str(tmp_path_factory.mktemp("hfgen"))
+    build_index(spark, wt(range(1, 21)), idx, conf=small_conf, gen=0)
+    # re-crawl docs 1-5 at gen 1 (their keep_gen becomes 1)
+    build_index(spark, wt(range(1, 6), suffix=" zz"), idx,
+                conf=small_conf, gen=1)
+    n = build_hf_shortcuts(spark, idx, small_conf, top_c=50,
+                           df_threshold=10)
+    assert n > 0
+    got = {r["doc_id"] for r in
+           search_all(spark, idx, "common",
+                      conf=_hconf(small_conf)).collect()}
+    # every doc present, including the gen-1 re-crawls
+    assert got == set(range(1, 21))
