@@ -56,14 +56,7 @@ from pyspark.sql import types as T
 from ..config import DEFAULT_CONF, EngineConf
 from ..functions import gbhash
 from ..functions.codec import encode_postings
-from ..functions.extractor import (
-    absolute_url,
-    extract_headings,
-    extract_links,
-    extract_meta,
-    extract_title,
-    extract_text,
-)
+from ..functions.extractor import absolute_url
 from ..functions.gbhash import (
     TERMID_MASK,
     fielded_term_id,
