@@ -404,6 +404,18 @@ def q_search_hf_shortcut(spark, sf_dir):
     )
 
 
+def q_spell_suggest(spark, sf_dir):
+    """Speller analog (Speller.cpp:463 popularity-ranked correction):
+    delete-neighborhood probe of the lexicon+df table; the oracle
+    recomputes the same rule with DuckDB's levenshtein over the full
+    vocabulary, proving the SymSpell candidate generation is exact for
+    distance <= 1."""
+    from open_source_search_engine_spark.query.spell import suggestions
+
+    d = _ensure_base_index(spark, sf_dir)
+    return suggestions(spark, d, ["custoner", "windoq", "key"])
+
+
 def q_search_adult(spark, sf_dir):
     """gbisadult: adult-bit field (hashIsAdult XmlDoc_Indexing.cpp:1660,
     scorer AdultCheck.cpp:501): the driver corpus is clean, so
@@ -631,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_country": q_search_country,
         "search_type": q_search_type,
         "search_hf_shortcut": q_search_hf_shortcut,
+        "spell_suggest": q_spell_suggest,
         "search_adult": q_search_adult,
         "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
@@ -1009,6 +1022,21 @@ select doc_id::bigint as doc_id from documents
 """,
         "search_adult": """
 select doc_id::bigint as doc_id from documents
+""",
+        "spell_suggest": f"""
+with tok as ({_TOK}),
+stats as (select tok, count(distinct doc_id)::bigint as df
+          from tok group by 1),
+probe as (select * from (values ('custoner'), ('windoq'), ('key'))
+          p(word)),
+cand as (
+  select p.word, s.tok as suggestion, s.df
+  from probe p
+  join stats s on levenshtein(p.word, s.tok) <= 1
+)
+select word, suggestion, df from cand
+qualify row_number() over (partition by word
+                           order by df desc, suggestion asc) = 1
 """,
         "search_hf_shortcut": f"""{_bm25_cte()},
 champ as (
