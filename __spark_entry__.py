@@ -106,6 +106,25 @@ def _ensure_incr_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _ensure_full_index(spark: SparkSession, sf_dir: str) -> str:
+    """Full-template wrapper index (body_only=False): pages get the
+    title/menu/meta boilerplate, so custom-meta terms (hashMetaTags
+    whitelist) and menu-link sitelink: terms exist. Membership queries
+    on tokens that appear ONLY in the deterministic metas/menus stay
+    SQL-expressible even though full-page BM25 would not be."""
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "full")
+    meta = os.path.join(d, "_index_meta.json")
+    if not os.path.exists(meta):
+        wt = webtext_from_documents(spark, sf_dir, body_only=False)
+        build_index(spark, wt, d, gen=0)
+    return d
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -135,6 +154,7 @@ def _search_ids(spark: SparkSession, sf_dir: str, q: str,
     from open_source_search_engine_spark.query.executor import search_all
 
     d = (_ensure_base_index(spark, sf_dir) if flavor == "base"
+         else _ensure_full_index(spark, sf_dir) if flavor == "full"
          else _ensure_incr_index(spark, sf_dir))
     return (
         search_all(spark, d, q)
@@ -424,6 +444,78 @@ def q_search_adult(spark, sf_dir):
     return _search_ids(spark, sf_dir, "gbisadult:0")
 
 
+def q_search_isclean(spark, sf_dir):
+    """isclean:1 (FIELD_ISCLEAN, Query.h:57): the build hashes the term
+    only for clean docs; the driver corpus is clean so every doc
+    matches. Pins the conditional emission + field-prefix identity."""
+    return _search_ids(spark, sf_dir, "isclean:1")
+
+
+def q_search_charset(spark, sf_dir):
+    """charset: field with IANA-style canonicalization (Query.cpp:1948,
+    GbEncoding.cpp getCharset): the query value 'UTF8' must hit the
+    build-side canonical 'utf-8' term; the driver corpus renders utf-8
+    bytes so every doc matches."""
+    return _search_ids(spark, sf_dir, "charset:UTF8")
+
+
+def q_search_contenthash(spark, sf_dir):
+    """gbcontenthash:<decimal hash64> exact-content dedup probe
+    (XmlDoc_Indexing.cpp:166-176): query with doc 42's content hash,
+    get back every doc with identical extracted text."""
+    from open_source_search_engine_spark.functions.gbhash import (
+        TERMID_MASK,
+        hash64_lower_utf8,
+    )
+
+    text = (_docs(spark, sf_dir).where(F.col("doc_id") == 42)
+            .select("text").first()["text"] or "").strip()
+    chash = hash64_lower_utf8(text) & TERMID_MASK
+    return _search_ids(spark, sf_dir, f"gbcontenthash:{chash}")
+
+
+def q_search_meta_author(spark, sf_dir):
+    """Whitelisted custom meta tags indexed as normal unprefixed text
+    (hashMetaTags, XmlDoc_Indexing.cpp:509-640: author/subject/... with
+    hi.m_prefix = NULL): a plain query for the author token matches
+    docs whose <meta name=author> carries it. Runs on the full-template
+    wrapper where the deterministic author meta exists."""
+    return _search_ids(spark, sf_dir, "author07", flavor="full")
+
+
+def q_search_sitelink(spark, sf_dir):
+    """sitelink:<host> (FIELD_SITELINK, Query.h:44; build side
+    XmlDoc_Indexing.cpp:828): docs linking to ANY page on the host.
+    Menu-bearing pages (doc_id%2==0) link to their own host's /home,
+    /about, /contact."""
+    return _search_ids(spark, sf_dir, "sitelink:site0003.example",
+                       flavor="full")
+
+
+def q_search_sortby_int(spark, sf_dir):
+    """gbsortbyint: int32 companion termlist at full seconds resolution
+    (hashNumberForSortingAsInt32, XmlDoc_Indexing.cpp:2371)."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, "customer gbsortbyint:warc_ts")
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"),
+                F.col("sort_value").cast("long").alias("ts_sec"))
+    )
+
+
+def q_search_range_int(spark, sf_dir):
+    """gbminint/gbmaxint int-resolution range: bounds offset by 30s so
+    the result set differs from the minute-resolution float termlist —
+    pins that the int list really stores seconds."""
+    lo = (_TS_BASE_MIN + 50) * 60 + 30
+    hi = (_TS_BASE_MIN + 300) * 60 + 30
+    return _search_ids(
+        spark, sf_dir, f"gbminint:warc_ts:{lo} gbmaxint:warc_ts:{hi}")
+
+
 def q_search_dedup_content(spark, sf_dir):
     """Site clustering + content-hash dedup (Msg40 dedup analog)."""
     from open_source_search_engine_spark.query.executor import (
@@ -645,6 +737,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hf_shortcut": q_search_hf_shortcut,
         "spell_suggest": q_spell_suggest,
         "search_adult": q_search_adult,
+        "search_isclean": q_search_isclean,
+        "search_charset": q_search_charset,
+        "search_contenthash": q_search_contenthash,
+        "search_meta_author": q_search_meta_author,
+        "search_sitelink": q_search_sitelink,
+        "search_sortby_int": q_search_sortby_int,
+        "search_range_int": q_search_range_int,
         "search_dedup_content": q_search_dedup_content,
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
@@ -1022,6 +1121,38 @@ select doc_id::bigint as doc_id from documents
 """,
         "search_adult": """
 select doc_id::bigint as doc_id from documents
+""",
+        "search_isclean": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_charset": """
+select doc_id::bigint as doc_id from documents
+""",
+        "search_contenthash": """
+select doc_id::bigint as doc_id from documents
+where trim(text) = (select trim(text) from documents where doc_id = 42)
+""",
+        "search_meta_author": """
+select doc_id::bigint as doc_id from documents where doc_id % 13 = 7
+""",
+        "search_sitelink": """
+select doc_id::bigint as doc_id from documents
+where doc_id % 97 = 3 and doc_id % 2 = 0
+""",
+        "search_sortby_int": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum({_bm25_score()}), 6) as score,
+       ((tf.doc_id % 100000 + {_TS_BASE_MIN}) * 60)::bigint as ts_sec
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('customer')
+group by tf.doc_id
+""",
+        "search_range_int": """
+select doc_id::bigint as doc_id from documents
+where doc_id % 100000 between 51 and 300
 """,
         "spell_suggest": f"""
 with tok as ({_TOK}),

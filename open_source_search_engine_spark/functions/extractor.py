@@ -24,6 +24,7 @@ webtext table (input_hint per-row invariant).
 
 from __future__ import annotations
 
+import codecs
 import html.entities
 import re
 
@@ -169,6 +170,20 @@ def detect_charset(raw: bytes) -> str:
         return "utf-8"
     except UnicodeDecodeError:
         return "latin-1"  # csISOLatin1 default (GbEncoding.cpp:351)
+
+
+def canon_charset(name: str) -> str:
+    """Canonical charset name for ``charset:`` terms. The reference
+    round-trips the value through the IANA enum (get_iana_charset then
+    back to string, Query.cpp:1948-1960) so 'latin-1', 'ISO-8859-1' and
+    'csISOLatin1' hash to one term; we round-trip through the python
+    codec registry for the same effect. Unknown names hash as typed."""
+    s = (name or "").strip().lower().rstrip(";")
+    s = _CHARSET_ALIASES.get(s, s)
+    try:
+        return codecs.lookup(s).name
+    except LookupError:
+        return s
 
 
 # content-type magic sniffing (XmlDoc.cpp:8550 getContentType /

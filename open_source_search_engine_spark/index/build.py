@@ -150,12 +150,21 @@ PFX_COUNTRY = prefix_hash("gbcountry")  # XmlDoc_Indexing.cpp:1618
 PFX_PERMALINK = prefix_hash("gbpermalink")  # XmlDoc_Indexing.cpp:1642
 PFX_TYPE = prefix_hash("type")         # filetype:/type: (Query.cpp:1666)
 PFX_ISADULT = prefix_hash("gbisadult")  # XmlDoc_Indexing.cpp:1678
+PFX_SITELINK = prefix_hash("sitelink")  # XmlDoc_Indexing.cpp:828
+PFX_CHARSET = prefix_hash("charset")    # FIELD_CHARSET (Query.cpp:1948)
+PFX_ISCLEAN = prefix_hash("isclean")    # FIELD_ISCLEAN (Query.h:57)
+PFX_CONTENTHASH = prefix_hash("gbcontenthash")  # XmlDoc_Indexing.cpp:174
+PFX_SORTBYINT = prefix_hash("gbsortbyint")  # XmlDoc_Indexing.cpp:2371
+# custom meta tags indexed as normal (unprefixed) INMETATAG text — the
+# reference whitelist (XmlDoc_Indexing.cpp:572-586; hi.m_prefix = NULL
+# at :627 "index the wanted meta tags as normal text without prefix")
+CUSTOM_META_TAGS = ("author", "subject", "abstract", "news_keywords")
 _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 7
+INDEX_FORMAT_VERSION = 8
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -282,6 +291,8 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     # normalize ONCE (charset detect + entity decode are the expensive
     # per-doc steps); every extractor fans out over the same string
     from ..functions.extractor import (
+        canon_charset,
+        detect_charset,
         get_text,
         headings_from_norm,
         links_with_neighborhoods_from_norm,
@@ -290,7 +301,8 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         title_from_norm,
     )
 
-    norm = normalize_html(html, charset=None) if html else ""
+    doc_charset = detect_charset(html) if html else "utf-8"
+    norm = normalize_html(html, charset=doc_charset) if html else ""
     if text is None:
         text = get_text(norm)
     title = title_from_norm(norm) if html else ""
@@ -303,6 +315,12 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     meta_desc = meta_from_norm(norm, "description")
     meta_sum = meta_from_norm(norm, "summary")
     meta_geo = meta_from_norm(norm, "geo.placename")
+    # whitelisted custom metas (hashMetaTags, XmlDoc_Indexing.cpp:509-640):
+    # indexed as normal unprefixed text so plain queries match them
+    # (hi.m_prefix = NULL at :627); keywords/description/summary ride the
+    # dedicated extraction above instead (reserved at :563-569)
+    meta_custom = [m for m in (meta_from_norm(norm, t)
+                               for t in CUSTOM_META_TAGS) if m] if html else []
     content_type = sniff_content_type(html) if html else "txt"
     if doc_id is None:
         doc_id = probable_doc_id(url)
@@ -350,7 +368,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         for h in headings:
             hash_string_group(tokenize(h), HASHGROUP_HEADING, terms, poss,
                               ctxs)
-    for m in (meta_kw, meta_desc, meta_sum, meta_geo):
+    for m in (meta_kw, meta_desc, meta_sum, meta_geo, *meta_custom):
         if m:
             hash_string_group(tokenize(m), HASHGROUP_INMETATAG, terms, poss,
                               ctxs, with_bigrams=False)
@@ -390,15 +408,28 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     intag = pack_ctx(HASHGROUP_INTAG, MAXDENSITYRANK, MAXDIVERSITYRANK,
                      MAXWORDSPAMRANK, SYN_ORIGINAL)
     doc_ip = ip if ip else synth_ip(host)
-    for pfx, val in (
+    adult = is_adult(text)
+    chash = hash64_lower_utf8(text or "") & TERMID_MASK
+    probe_terms = [
         (PFX_IP, doc_ip),
         (PFX_COUNTRY, country_of_url(url)),
         (PFX_PERMALINK, "1" if is_permalink_url(url) else "0"),
         (PFX_TYPE, content_type),
         # gbisadult:0/1 (hashIsAdult, XmlDoc_Indexing.cpp:1660;
         # threshold scorer functions/adult.py)
-        (PFX_ISADULT, "1" if is_adult(text) else "0"),
-    ):
+        (PFX_ISADULT, "1" if adult else "0"),
+        # canonical sniffed charset (FIELD_CHARSET, Query.cpp:1948;
+        # detection chain GbEncoding.cpp:154-360)
+        (PFX_CHARSET, canon_charset(doc_charset)),
+        # exact-content-hash dedup probe (XmlDoc_Indexing.cpp:166-176:
+        # gbcontenthash:<decimal hash64> hashString'd)
+        (PFX_CONTENTHASH, str(chash)),
+    ]
+    # isclean: hashed only when the doc IS clean, value "1"
+    # (FIELD_ISCLEAN, Query.h:57)
+    if not adult:
+        probe_terms.append((PFX_ISCLEAN, "1"))
+    for pfx, val in probe_terms:
         terms.append(fielded_term_id(hash64_lower_utf8(val), pfx))
         poss.append(0)
         ctxs.append(intag)
@@ -417,6 +448,20 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
             terms.append(fielded_term_id(hash64_lower_utf8(numfield),
                                          PFX_SORTBY))
             poss.append(int(warc_ts_minutes))
+            ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
+                                 MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                                 SYN_ORIGINAL))
+            # int32 companion termlist at full (seconds) resolution
+            # (hashNumberForSortingAsInt32, XmlDoc_Indexing.cpp:2371:
+            # "dont lose 128 seconds of resolution"); serves
+            # gbsortbyint:/gbrevsortbyint:/gbminint:/gbmaxint:/
+            # gbequalint:. The reference also materializes a negated
+            # gbrevsortbyint termlist because posdb can only scan keys
+            # ascending — Spark sorts either direction off one termlist,
+            # so the rev list is not emitted.
+            terms.append(fielded_term_id(hash64_lower_utf8(numfield),
+                                         PFX_SORTBYINT))
+            poss.append(int(warc_ts_minutes) * 60)
             ctxs.append(pack_ctx(HASHGROUP_INMETATAG, MAXDENSITYRANK,
                                  MAXDIVERSITYRANK, MAXWORDSPAMRANK,
                                  SYN_ORIGINAL))
@@ -439,6 +484,17 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
                              MAXDIVERSITYRANK, MAXWORDSPAMRANK,
                              SYN_ORIGINAL))
+    # one sitelink:<linkee host> probe term per distinct outlink host
+    # (XmlDoc_Indexing.cpp:828-830 "hash sitelink:<urlHost>"): finds
+    # docs linking to ANY page on the host
+    for lhost in dict.fromkeys(
+            h.split("://", 1)[-1].split("/", 1)[0] for h in out_hrefs):
+        terms.append(fielded_term_id(hash64_lower_utf8(lhost),
+                                     PFX_SITELINK))
+        poss.append(0)
+        ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
+                             MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                             SYN_ORIGINAL))
 
     return {
         "doc_id": doc_id,
@@ -456,7 +512,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "out_hrefs": out_hrefs,
         "out_texts": out_texts,
         "out_neigh": out_neigh,
-        "content_hash": hash64_lower_utf8(text or "") & TERMID_MASK,
+        "content_hash": chash,
     }
 
 

@@ -53,7 +53,33 @@ FIELD_PREFIXES = {
     "filetype": "type",
     # adult-content bit 0/1 (hashIsAdult, XmlDoc_Indexing.cpp:1660)
     "gbisadult": "gbisadult",
+    # docs linking to any page on the host (FIELD_SITELINK, Query.h:44;
+    # build side XmlDoc_Indexing.cpp:828)
+    "sitelink": "sitelink",
+    # sniffed charset, IANA-canonicalized (FIELD_CHARSET, Query.cpp:1948)
+    "charset": "charset",
+    # isclean:1 — non-adult docs (FIELD_ISCLEAN, Query.h:57; the build
+    # hashes the term only for clean docs, so isclean:0 matches nothing,
+    # exactly like the reference)
+    "isclean": "isclean",
+    # exact-content-hash dedup probe (FIELD_GBCONTENTHASH, Query.h:83;
+    # build side XmlDoc_Indexing.cpp:166-176)
+    "gbcontenthash": "gbcontenthash",
 }
+
+# per-field query-value canonicalization applied before hashing, mirroring
+# the build-side term emission (Query.cpp:1948-1960 round-trips charset:
+# values through the IANA enum)
+FIELD_VALUE_CANON: dict = {}
+
+
+def _install_field_canon() -> None:
+    from ..functions.extractor import canon_charset
+
+    FIELD_VALUE_CANON["charset"] = canon_charset
+
+
+_install_field_canon()
 
 
 @dataclass
@@ -139,14 +165,19 @@ def _body_term_id(word: str) -> int:
 
 def _field_tid(fieldname: str, value: str) -> int:
     pfx = prefix_hash(FIELD_PREFIXES[fieldname])
+    canon = FIELD_VALUE_CANON.get(fieldname)
+    if canon is not None:
+        value = canon(value)
     return fielded_term_id(hash64_lower_utf8(value), pfx)
 
 
-def _numeric_tid(fieldname: str) -> int:
+def _numeric_tid(fieldname: str, as_int: bool = False) -> int:
     """termId of a numeric sort-by field (same hash at index time,
-    index.build PFX_SORTBY)."""
+    index.build PFX_SORTBY / PFX_SORTBYINT — the int32 companion
+    termlist, hashNumberForSortingAsInt32 XmlDoc_Indexing.cpp:2371)."""
     return fielded_term_id(hash64_lower_utf8(fieldname),
-                           prefix_hash("gbsortby"))
+                           prefix_hash("gbsortbyint" if as_int
+                                       else "gbsortby"))
 
 
 _BOOL_OPS = {"AND", "OR", "NOT"}
@@ -199,17 +230,45 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
             # gbmin:<field>:<v> / gbmax:<field>:<v> range filters
             # (Query.h:33-83 field codes; value lives in the position
             # slot, hashNumberForSorting XmlDoc_Indexing.cpp:2348)
-            if fl in ("gbsortby", "gbrevsortby"):
-                cq.sort_spec = (_numeric_tid(value), fl == "gbrevsortby")
+            if fl in ("gbsortby", "gbrevsortby",
+                      "gbsortbyint", "gbrevsortbyint"):
+                # int variants hit the int32 companion termlist
+                # (Query.cpp:1682-1695 maps *int fields to the
+                # "gbsortbyint" prefix hash)
+                cq.sort_spec = (_numeric_tid(value, fl.endswith("int")),
+                                fl.startswith("gbrevsortby"))
                 continue
             if fl == "gbdocid":
                 cq.docid_filter = int(value)
                 continue
-            if fl in ("gbmin", "gbmax"):
+            if fl == "gbtermid":
+                # raw-termId probe (FIELD_GBTERMID, Query.h:80:
+                # "gbtermid:123456 matches the documents for the term
+                # with termid 123456") — debug surface, no prefix hash
+                cq.groups.append(
+                    TermGroup(
+                        word=u,
+                        term_ids=[int(value) & TERMID_MASK],
+                        required=(sign != "-"),
+                        negative=(sign == "-"),
+                        qpos=qpos,
+                        field="gbtermid",
+                    )
+                )
+                qpos += 2
+                continue
+            if fl in ("gbmin", "gbmax", "gbminint", "gbmaxint",
+                      "gbequal", "gbequalint"):
                 fld, _, num = value.partition(":")
-                tid = _numeric_tid(fld)
+                tid = _numeric_tid(fld, fl.endswith("int"))
                 lohi = cq.num_filters.setdefault(tid, [None, None])
-                lohi[0 if fl == "gbmin" else 1] = float(num)
+                v = float(num)
+                # gbequal[int]: exact match == degenerate [v, v] range
+                # (FIELD_GBNUMBEREQUALFLOAT/INT, Query.h:94-99)
+                if fl.startswith("gbequal"):
+                    lohi[0] = lohi[1] = v
+                else:
+                    lohi[0 if fl.startswith("gbmin") else 1] = v
                 continue
             if fl in FIELD_PREFIXES:
                 cq.groups.append(

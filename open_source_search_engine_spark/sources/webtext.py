@@ -86,6 +86,11 @@ def render_html(doc_id: int, title_text: str, body_sentences: list[str],
         f"<title>{title_text}</title>",
         '<meta name="keywords" content="search, engine, spark">',
         f'<meta name="description" content="document {doc_id} description">',
+        # custom-meta coverage (hashMetaTags whitelist,
+        # XmlDoc_Indexing.cpp:572-586): deterministic single-token
+        # values so field-query oracles stay SQL-expressible
+        f'<meta name="author" content="author{doc_id % 13:02d}">',
+        f'<meta name="subject" content="subject{doc_id % 5}">',
         "<style>.nav{color:red}</style>",
         "<script>var tracker=1;</script>",
         "</head><body>",
