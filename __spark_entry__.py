@@ -672,6 +672,43 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").cast("long"), "cos")
 
 
+def q_token_bpe(spark, sf_dir):
+    """Whitespace vs BPE-ish piece counts (LLM token-budget estimator;
+    RE2-compatible GPT-2-style split regex, pure codegen)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        bpe_token_stats,
+    )
+
+    return bpe_token_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_pieces").cast("long").alias("n_bpe_pieces"),
+        "bpe_per_ws")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat top-10 served from the PERSISTED cell table (FAISS-IVF
+    analog, ops/ann.py): deterministic coarse quantizer (lowest-16
+    vec_ids as centroids), nearest-cell assignment partitioned on disk,
+    probe reads exactly the query's nprobe=4 cell directories. The
+    oracle replicates assignment + probe + re-score in SQL — full
+    value-hash check."""
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_topk_indexed,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = _index_dir(sf_dir, "annivf")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_ivf_index(emb, idx, n_cells=16)
+    cents = ivf_centroids(emb, 16)
+    qv = _query_vec(spark, sf_dir)
+    return ivf_topk_indexed(spark, idx, cents, qv, k=10, nprobe=4).select(
+        F.col("vec_id").cast("long"), "cos")
+
+
 def q_multimodal_meta(spark, sf_dir):
     from open_source_search_engine_spark.ops.multimodal import (
         decode_image_meta,
@@ -756,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "token_bpe": q_token_bpe,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1236,6 +1275,58 @@ from documents group by lang
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "token_bpe": r"""
+select doc_id::bigint as doc_id,
+       len(string_split(text, ' '))::bigint as n_ws_tokens,
+       len(regexp_extract_all(text,
+           ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::bigint
+         as n_bpe_pieces,
+       round(len(regexp_extract_all(text,
+             ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::double
+             / len(string_split(text, ' ')), 4) as bpe_per_ws
+from documents
+""",
+        # IVF-Flat: centroids = lowest-16 vec_ids; assignment = argmax
+        # round-4 cosine (lowest-cell tie-break); probe = query's top-4
+        # cells; re-score exact. Mirrors ops/ann.py ivf_* bit for bit.
+        "ann_ivf_topk": """
+with q as (select embedding::double[] as qv from embeddings
+           where vec_id = 0),
+cents as (select vec_id as cell, embedding::double[] as cv
+          from embeddings where vec_id < 16),
+cosft as (
+  select e.vec_id, e.embedding, c.cell,
+         round(list_dot_product(e.embedding::double[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::double[],
+                                        e.embedding::double[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) as ccos
+  from embeddings e cross join cents c),
+assign as (
+  select vec_id, embedding, cell from (
+    select vec_id, embedding, cell,
+           row_number() over (partition by vec_id
+                              order by ccos desc, cell asc) as rn
+    from cosft) where rn = 1),
+probe as (
+  select cell from (
+    select c.cell,
+           row_number() over (
+             order by round(list_dot_product(q.qv, c.cv)
+                            / (sqrt(list_dot_product(q.qv, q.qv))
+                               * sqrt(list_dot_product(c.cv, c.cv))), 4)
+                      desc, c.cell asc) as rn
+    from cents c cross join q) where rn <= 4)
+select a.vec_id::bigint as vec_id,
+       round(list_dot_product(a.embedding::double[], q.qv)
+             / (sqrt(list_dot_product(a.embedding::double[],
+                                      a.embedding::double[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) as cos
+from assign a
+join probe p using (cell)
+cross join q
+order by cos desc, vec_id asc
+limit 10
+""",
         "dedup_embedding": _emb_dup_sql(),
         # the spark side PARSES these dims back out of real PNG IHDR /
         # GIF screen-descriptor bytes; the oracle recomputes them from

@@ -14,6 +14,11 @@ array<float>, ...)``:
   products. Query probes its bucket in every table, unions candidates,
   scores exactly, top-k. Bucketing is one narrow projection; the probe
   is a partition-prunable equality filter per table.
+- ``ivf_*``: IVF-Flat (FAISS-style coarse quantizer): deterministic
+  centroids, nearest-cell assignment persisted partitioned-by-cell,
+  query probes its ``nprobe`` nearest cell directories and re-scores
+  exactly. The complementary trade to LSH: one copy of the data (LSH
+  stores ×L), recall tuned by nprobe instead of bits/tables.
 
 Hyperplane coefficients derive from md5 (deterministic, no RNG state) —
 same rationale as the minhash coefficients in ``dedup``.
@@ -147,6 +152,109 @@ def rp_lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     cands = emb.join(
         cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi")
     return brute_force_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic coarse quantizer: the lowest-``n_cells`` vec_ids
+    serve as centroids. No iterative k-means — deterministic and
+    oracle-expressible; at web scale swap in sampled k-means++ (the
+    assignment/probe dataflow below is unchanged). n_cells × dim floats
+    collect to the driver — bounded and tiny (FAISS-style IVF keeps
+    sqrt(N) cells; 10k cells × 1k dim ≈ 40 MB)."""
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding"))
+            .orderBy("vec_id").limit(n_cells).collect())
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _cell_of(vec_col, centroids: list[list[float]]):
+    """argmax-cosine cell id as a Catalyst expression: cos rounded to 4
+    decimals (cross-engine float parity margin, same as cosine_scores)
+    with lowest-cell-id tie-break. One array of n_cells cosines +
+    ``array_position(array_max)`` — linear expression size (a chained
+    best-so-far ``F.when`` would re-embed every prior cosine per level:
+    2^n_cells tree growth, minutes of Catalyst analysis at 16 cells);
+    array_position returns the FIRST match, i.e. the lowest cell id."""
+    nv = _norm(vec_col)
+    coses = []
+    for cent in centroids:
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        coses.append(F.round(_dot(vec_col, cent) / (nv * F.lit(cn)), 4))
+    arr = F.array(*coses)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding, cell): nearest-centroid assignment. One
+    narrow projection, no shuffle; at scale this is the partitioning
+    key for the persisted index."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        _cell_of(F.col(vec_col), centroids).alias("cell"))
+
+
+def _query_cells(query_vec: list[float], centroids: list[list[float]],
+                 nprobe: int) -> list[int]:
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    scored = []
+    for c, cent in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        dot = sum(float(a) * b for a, b in zip(query_vec, cent))
+        scored.append((round(dot / (qn * cn), 4), c))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [c for _, c in scored[:nprobe]]
+
+
+def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF-Flat top-k computed inline: assign → keep the query's
+    ``nprobe`` nearest cells → exact re-score. Recall < 1 possible
+    (tune nprobe). Use ``build_ivf_index`` + ``ivf_topk_indexed`` for
+    serving (directory-pruned probe)."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    probe = _query_cells(query_vec, cents, nprobe)
+    cand = (ivf_assign(emb, cents, id_col, vec_col)
+            .where(F.col("cell").isin(probe)))
+    return brute_force_topk(cand, query_vec, k)
+
+
+def build_ivf_index(emb: DataFrame, out_dir: str, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Materialize the IVF cell table ONCE, partitioned by cell: a
+    query then reads only its nprobe cell directories (partition
+    pruning does the candidate selection, mirroring the LSH index).
+    Returns the centroids for the probe side."""
+    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    (ivf_assign(emb, cents, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+    return cents
+
+
+def ivf_topk_indexed(spark, index_dir: str, centroids: list[list[float]],
+                     query_vec: list[float], k: int = 10,
+                     nprobe: int = 4) -> DataFrame:
+    """Serve a top-k probe from the persisted cell table: the scan
+    touches exactly the query's nprobe cell directories."""
+    import os
+
+    paths = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in _query_cells(query_vec, centroids, nprobe)
+        if os.path.exists(os.path.join(index_dir, f"cell={c}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, cos double")
+    cand = (spark.read.option("basePath", index_dir).parquet(*paths)
+            .select("vec_id", "embedding"))
+    return brute_force_topk(cand, query_vec, k)
 
 
 def build_rp_lsh_index(emb: DataFrame, out_dir: str, dim: int,

@@ -74,6 +74,30 @@ def doc_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer regex, simplified to the RE2-compatible
+# subset (no lookahead; letter/digit/other runs with optional leading
+# space) so Spark's Java regex and an external RE2 engine agree on the
+# same splits — a cheap LLM-token-budget estimator, not a real BPE merge
+BPE_SPLIT_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_pieces, bpe_per_ws): whitespace vs
+    BPE-ish piece counts. Pieces come from ``regexp_extract_all`` with
+    the split regex above — pure codegen, no UDF, one narrow scan;
+    bpe_per_ws is the fertility ratio an LLM-ingest pipeline budgets
+    tokens with."""
+    ws = F.size(tokens_col(F.col("text")))
+    pieces = F.size(F.regexp_extract_all(F.col("text"),
+                                         F.lit(BPE_SPLIT_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_bpe_pieces"),
+        F.round(pieces.cast("double") / ws, 4).alias("bpe_per_ws"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling fingerprint =
     XOR over tokens of rotate60(hash60(token), position mod 60).

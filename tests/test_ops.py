@@ -130,6 +130,25 @@ def test_token_stats(docs):
     assert row[3]["n_tokens"] == 7
 
 
+def test_bpe_token_stats(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        bpe_token_stats,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            # "hello" " world" -> 2 pieces; "rare0042" -> "rare"+"0042";
+            # "x-y" -> " x" "-" "y"
+            {"doc_id": 1, "text": "hello world"},
+            {"doc_id": 2, "text": "rare0042 x-y"},
+        ]))
+    row = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    assert row[1]["n_ws_tokens"] == 2 and row[1]["n_bpe_pieces"] == 2
+    assert row[1]["bpe_per_ws"] == 1.0
+    assert row[2]["n_ws_tokens"] == 2 and row[2]["n_bpe_pieces"] == 5
+    assert row[2]["bpe_per_ws"] == 2.5
+
+
 def test_detect_language(spark):
     from open_source_search_engine_spark.ops.textstats import detect_language
 
@@ -180,6 +199,39 @@ def test_ann_lsh_contains_query_vector(spark):
     top = rp_lsh_topk(emb, q, 5).collect()
     # the identical vector always lands in the query's bucket
     assert top[0]["vec_id"] == 3 and top[0]["cos"] == 1.0
+
+
+def test_ann_ivf_inline_and_indexed(spark, tmp_path):
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": list(map(list, vecs))}))
+    cents = ivf_centroids(emb, 4)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    # every vector gets exactly one cell in [0, 4)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    assert set(cells) == set(range(60))
+    assert all(0 <= c < 4 for c in cells.values())
+    # a centroid vector is assigned to its own cell (cos 1.0 beats all
+    # non-identical centroids in this random set)
+    assert cells[2] == 2
+    q = [float(x) for x in vecs[2]]
+    top = ivf_topk(emb, q, 5, n_cells=4, nprobe=2).collect()
+    assert top[0]["vec_id"] == 2 and top[0]["cos"] == 1.0
+    # persisted probe == inline result
+    idx = str(tmp_path / "ivf")
+    cents2 = build_ivf_index(emb, idx, n_cells=4)
+    top2 = ivf_topk_indexed(spark, idx, cents2, q, 5, nprobe=2).collect()
+    assert [(r["vec_id"], r["cos"]) for r in top] == \
+           [(r["vec_id"], r["cos"]) for r in top2]
 
 
 def test_multimodal_plumbing(docs):
