@@ -686,6 +686,21 @@ def q_token_bpe(spark, sf_dir):
         "bpe_per_ws")
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Sliding token-window chunking (LLM-ingest splitter): 32-token
+    windows, 8-token overlap. Pure-codegen sequence/posexplode/slice;
+    the oracle rebuilds identical windows with generate_series + list
+    slicing."""
+    from open_source_search_engine_spark.ops.textstats import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir),
+                           chunk_tokens=32, overlap=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id", "chunk_text", "n_chunk_tokens")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-Flat top-10 served from the PERSISTED cell table (FAISS-IVF
     analog, ops/ann.py): deterministic coarse quantizer (lowest-16
@@ -795,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_bpe": q_token_bpe,
+        "chunk_docs": q_chunk_docs,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1275,6 +1291,24 @@ from documents group by lang
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # chunk windows: starts 0, 24, 48, ... while start < n_toks - 8
+        # (start 0 always); chunk_id = start / stride; 1-based inclusive
+        # list slice mirrors Spark's slice(toks, start+1, 32)
+        "chunk_docs": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks,
+         len(string_split(text, ' ')) as n
+  from documents),
+s as (
+  select doc_id, toks, n,
+         unnest(generate_series(0, greatest(n - 8 - 1, 0), 24)) as st
+  from t)
+select doc_id::bigint as doc_id,
+       (st / 24)::bigint as chunk_id,
+       array_to_string(toks[st + 1 : st + 32], ' ') as chunk_text,
+       least(n - st, 32)::bigint as n_chunk_tokens
+from s
+""",
         "token_bpe": r"""
 select doc_id::bigint as doc_id,
        len(string_split(text, ' '))::bigint as n_ws_tokens,

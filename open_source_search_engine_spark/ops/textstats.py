@@ -98,6 +98,42 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_chunk_tokens): sliding
+    token-window chunking — the splitter an LLM-training pipeline runs
+    before tokenization. Window starts step by ``chunk_tokens -
+    overlap``; a start is emitted while it is < n_tokens - overlap (plus
+    start 0 always), so the tail chunk is never fully contained in its
+    predecessor. Pure Catalyst: ``sequence`` generates the starts,
+    ``posexplode`` fans out one row per chunk, ``slice`` +
+    ``array_join`` rebuild the chunk text — no UDF, one narrow
+    projection + explode, no shuffle. At 100 TB this is map-only and
+    preserves the input partitioning."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens_col(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - overlap - 1, F.lit(0)),
+        F.lit(stride))
+    return (docs
+            .select("doc_id", toks.alias("_toks"),
+                    F.posexplode(starts).alias("chunk_id", "_start"))
+            .select(
+                "doc_id",
+                F.col("chunk_id").cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice(F.col("_toks"), F.col("_start") + 1,
+                            chunk_tokens),
+                    " ").alias("chunk_text"),
+                F.least(
+                    F.size(F.col("_toks")) - F.col("_start"),
+                    F.lit(chunk_tokens)).cast("long")
+                .alias("n_chunk_tokens")))
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling fingerprint =
     XOR over tokens of rotate60(hash60(token), position mod 60).

@@ -149,6 +149,39 @@ def test_bpe_token_stats(spark):
     assert row[2]["bpe_per_ws"] == 2.5
 
 
+def test_chunk_documents(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        chunk_documents,
+    )
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"doc_id": 1, "text": words},       # 10 tokens
+            {"doc_id": 2, "text": "only three tokens"},
+        ]))
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3, starts 0,3,6 (9 > 10-1-1=8 stops) -> wait:
+    # greatest(10-1-1, 0)=8 so starts 0,3,6 and last window w6..w9
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    # doc 2: 3 tokens < chunk -> single chunk, full text
+    c2 = by_doc[2]
+    assert len(c2) == 1 and c2[0]["chunk_text"] == "only three tokens"
+    assert c2[0]["n_chunk_tokens"] == 3
+    # every token index is covered by at least one chunk
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
 def test_detect_language(spark):
     from open_source_search_engine_spark.ops.textstats import detect_language
 
