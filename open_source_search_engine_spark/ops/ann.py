@@ -274,15 +274,17 @@ def build_rp_lsh_index(emb: DataFrame, out_dir: str, dim: int,
     withv = bucketed.join(
         emb.select(F.col(id_col).alias("vec_id"),
                    F.col(vec_col).alias("embedding")), "vec_id")
-    parts = []
-    for t in range(tables):
-        parts.append(withv.select(
-            "vec_id", "embedding",
-            F.lit(t).alias("tbl"),
-            F.col(f"bucket_{t}").alias("bucket")))
-    rows = parts[0]
-    for p in parts[1:]:
-        rows = rows.unionByName(p)
+    # explode one (tbl, bucket) struct array instead of unioning
+    # `tables` projections — a union branch re-evaluates the whole
+    # bucketing subtree (tables × bits hyperplane dot products) per
+    # table; explode computes it once.
+    rows = withv.select(
+        "vec_id", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.col(f"bucket_{t}").alias("bucket"))
+            for t in range(tables)])).alias("tb")
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
     (rows.write.mode("overwrite")
      .partitionBy("tbl", "bucket").parquet(out_dir))
 

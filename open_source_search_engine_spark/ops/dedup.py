@@ -165,12 +165,18 @@ def minhash_lsh_pairs(
     assert n_perm % band_rows == 0
     n_bands = n_perm // band_rows
     sigs = minhash_signatures(docs, n, n_perm)
-    bands = None
+    # one band_key array + explode, NOT a union of n_bands projections:
+    # each union branch would re-evaluate the whole minhash-signature
+    # subtree (shingle + n_perm mins) — n_bands× the banding compute at
+    # every scale. The md5 key embeds the band index, so keys collide
+    # only within a band, exactly as before.
+    keys = []
     for bi in range(n_bands):
         cols = [f"sig_{bi * band_rows + r}" for r in range(band_rows)]
-        key = F.md5(F.concat_ws(",", F.lit(bi), *[F.col(c) for c in cols]))
-        part = sigs.select(F.col("doc_id"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(bi), *[F.col(c) for c in cols])))
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*keys)).alias("band_key"))
     if max_band_docs is not None:
         hot = (
             bands.groupBy("band_key").agg(F.count("*").alias("bdf"))

@@ -202,17 +202,24 @@ def simhash_hamming_pairs(sim: DataFrame, max_dist: int = 3) -> DataFrame:
             for i in range(4)
         ],
     )
-    cands = None
-    for i in range(4):
-        a = banded.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-            F.col(f"band{i}").alias("band"))
-        b = banded.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-            F.col(f"band{i}").alias("band"))
-        p = a.join(b, "band").where(F.col("doc_a") < F.col("doc_b")).drop("band")
-        cands = p if cands is None else cands.unionByName(p)
-    cands = cands.distinct()
+    # explode to (band_index, band_value) rows and self-join on BOTH,
+    # NOT a union of 4 per-band self-joins: each union branch would
+    # re-evaluate the upstream simhash subtree (the 60 conditional
+    # aggs), 8× the sketch compute; the (bi, bv) equi-join keys collide
+    # only within a band, so the candidate set is identical.
+    lng = banded.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv"))
+            for i in range(4)])).alias("b")
+    ).select("doc_id", "simhash", "b.bi", "b.bv")
+    a = lng.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sim_a"), "bi", "bv")
+    b = lng.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sim_b"), "bi", "bv")
+    cands = (a.join(b, ["bi", "bv"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .drop("bi", "bv").distinct())
     dist = F.bit_count(F.expr("sim_a ^ sim_b"))
     return (
         cands.select("doc_a", "doc_b", dist.alias("dist"))
