@@ -701,6 +701,42 @@ def q_chunk_docs(spark, sf_dir):
         "chunk_id", "chunk_text", "n_chunk_tokens")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus with deterministic injected PII (the
+    raw synthetic text is digit-free, so redaction on it would certify
+    nothing): docs are suffixed in-query with an email (doc_id%5==0),
+    an IPv4 (doc_id%5==1), or a phone-shaped digit run (doc_id%5==2) —
+    the oracle builds the identical suffixed text and replicates the
+    three-stage regexp_replace/count, exercising Java-regex vs RE2
+    parity on the shared pattern subset."""
+    from open_source_search_engine_spark.ops.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(m == 0, F.concat(
+                F.lit(" contact admin"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.org now")))
+            .when(m == 1, F.concat(
+                F.lit(" server at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit(" up")))
+            .when(m == 2, F.concat(
+                F.lit(" call +1 555 0142 "),
+                (F.col("doc_id") % 1000).cast("string"),
+                F.lit(" today")))
+            .otherwise(F.lit(""))).alias("text"))
+    return redact_pii(injected).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text", "n_email", "n_ip", "n_phone")
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-Flat top-10 served from the PERSISTED cell table (FAISS-IVF
     analog, ops/ann.py): deterministic coarse quantizer (lowest-16
@@ -811,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_bpe": q_token_bpe,
         "chunk_docs": q_chunk_docs,
+        "pii_redact": q_pii_redact,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1291,6 +1328,41 @@ from documents group by lang
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # injected-PII scrub: text suffixed per doc_id%5 exactly as the
+        # Spark side does, then the same 3-stage replace/count chain
+        # (emails out before phone counting). DuckDB regexp_* is RE2;
+        # the patterns stay in the Java/RE2-shared subset.
+        "pii_redact": r"""
+with inj as (
+  select doc_id,
+         text || case doc_id % 5
+           when 0 then ' contact admin' || doc_id || '@mail.example.org now'
+           when 1 then ' server at 10.0.' || (doc_id % 256) || '.'
+                       || ((doc_id * 7) % 256) || ' up'
+           when 2 then ' call +1 555 0142 ' || (doc_id % 1000) || ' today'
+           else '' end as text
+  from documents),
+st as (
+  select doc_id, text as t0,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') as t1
+  from inj),
+st2 as (
+  select *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                           '<IP>', 'g') as t2
+  from st)
+select doc_id::bigint as doc_id,
+       regexp_replace(t2, '\+?\d[\d() -]{7,}\d', '<PHONE>', 'g')
+         as clean_text,
+       len(regexp_extract_all(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint
+         as n_email,
+       len(regexp_extract_all(t1,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::bigint as n_ip,
+       len(regexp_extract_all(t2, '\+?\d[\d() -]{7,}\d'))::bigint
+         as n_phone
+from st2
+""",
         # chunk windows: starts 0, 24, 48, ... while start < n_toks - 8
         # (start 0 always); chunk_id = start / stride; 1-based inclusive
         # list slice mirrors Spark's slice(toks, start+1, 32)

@@ -134,6 +134,38 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                 .alias("n_chunk_tokens")))
 
 
+# PII patterns, restricted to the syntax subset where Java regex and
+# RE2 (DuckDB) agree: character classes, counted repeats, \b word
+# boundaries — no lookarounds, no backrefs. Order of application:
+# emails first (their digits must not feed the phone pattern), then
+# IPs, then phones.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d() -]{7,}\d"
+
+
+def redact_pii(docs: DataFrame,
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, clean_text, n_email, n_ip, n_phone): redact
+    emails/IPv4s/phone-shaped digit runs to <EMAIL>/<IP>/<PHONE>
+    placeholder tokens — the scrub pass a training-data pipeline runs
+    before tokenization. Three chained ``regexp_replace``s, pure
+    codegen, map-only; counts are taken on the stage each pattern
+    actually ran against (emails removed before phone counting, so an
+    address's digits are never double-counted as a phone)."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count(t1, F.lit(IPV4_RE)).cast("long").alias("n_ip"),
+        F.regexp_count(t2, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling fingerprint =
     XOR over tokens of rotate60(hash60(token), position mod 60).

@@ -149,6 +149,26 @@ def test_bpe_token_stats(spark):
     assert row[2]["bpe_per_ws"] == 2.5
 
 
+def test_redact_pii(spark):
+    from open_source_search_engine_spark.ops.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            {"doc_id": 1,
+             "text": "mail bob.smith+x@corp.example.co or 10.1.2.3 "
+                     "or call +44 20 7946 0958 now"},
+            {"doc_id": 2, "text": "no pii here"},
+        ]))
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_ip"] == 1 and r1["n_phone"] == 1
+    assert r1["clean_text"] == \
+        "mail <EMAIL> or <IP> or call <PHONE> now"
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["clean_text"] == "no pii here"
+
+
 def test_chunk_documents(spark):
     from open_source_search_engine_spark.ops.textstats import (
         chunk_documents,
