@@ -701,6 +701,19 @@ def q_chunk_docs(spark, sf_dir):
         "chunk_id", "chunk_text", "n_chunk_tokens")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals (dup-token /
+    top-bigram / dup-trigram fractions)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens", "dup_token_frac", "top_bigram_frac",
+        "dup_trigram_frac")
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub over the corpus with deterministic injected PII (the
     raw synthetic text is digit-free, so redaction on it would certify
@@ -848,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "chunk_docs": q_chunk_docs,
         "pii_redact": q_pii_redact,
+        "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
@@ -1328,6 +1342,48 @@ from documents group by lang
         "lang_detect": lang_detect_sql,
         "ann_cosine": ann_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        # per-doc n-gram repetition fractions: grams built with the
+        # same 1-based windowed slices as the spark transform; docs
+        # shorter than k yield no rows in the gram CTE -> NULL fraction
+        "repetition_stats": """
+with t as (
+  select doc_id, string_split(text, ' ') as toks,
+         len(string_split(text, ' ')) as n
+  from documents),
+base as (
+  select doc_id, n as n_tokens,
+         len(list_distinct(toks)) as n_distinct
+  from t),
+bg0 as (
+  select doc_id,
+         array_to_string(toks[i : i + 1], ' ') as g
+  from (select doc_id, toks, n,
+               unnest(generate_series(1, n - 1)) as i
+        from t where n >= 2)),
+bg as (
+  select doc_id, max(c) as bg_max, sum(c) as bg_tot from (
+    select doc_id, g, count(*) as c from bg0 group by doc_id, g)
+  group by doc_id),
+tg0 as (
+  select doc_id,
+         array_to_string(toks[i : i + 2], ' ') as g
+  from (select doc_id, toks, n,
+               unnest(generate_series(1, n - 2)) as i
+        from t where n >= 3)),
+tg as (
+  select doc_id, sum(case when c > 1 then c else 0 end) as tg_dup,
+         sum(c) as tg_tot from (
+    select doc_id, g, count(*) as c from tg0 group by doc_id, g)
+  group by doc_id)
+select b.doc_id::bigint as doc_id,
+       b.n_tokens::bigint as n_tokens,
+       round(1.0 - b.n_distinct / b.n_tokens, 4) as dup_token_frac,
+       round(bg.bg_max * 1.0 / bg.bg_tot, 4) as top_bigram_frac,
+       round(tg.tg_dup * 1.0 / tg.tg_tot, 4) as dup_trigram_frac
+from base b
+left join bg on b.doc_id = bg.doc_id
+left join tg on b.doc_id = tg.doc_id
+""",
         # injected-PII scrub: text suffixed per doc_id%5 exactly as the
         # Spark side does, then the same 3-stage replace/count chain
         # (emails out before phone counting). DuckDB regexp_* is RE2;

@@ -134,6 +134,63 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                 .alias("n_chunk_tokens")))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+    dup_trigram_frac): within-document repetition signals from the
+    Gopher-style quality-filter family (Rae et al. 2021, public
+    methodology): fraction of non-distinct tokens, fraction of bigram
+    occurrences taken by the single most frequent bigram, fraction of
+    trigram occurrences belonging to trigrams that repeat. High values
+    flag template/spam/boilerplate docs an LLM-ingest pipeline drops.
+
+    Dataflow: per-row n-gram arrays (transform+slice, codegen), one
+    explode + groupBy(doc_id, gram) per gram order — shuffles keyed by
+    (doc_id, gram), well-distributed at any corpus size since doc_id
+    leads the key. Docs too short for an n-gram get NULL for that
+    fraction."""
+    toks = tokens_col(F.col("text"))
+    base = spread(docs).select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+
+    def gram_col(k: int):
+        # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in
+        # Spark, not an empty array — short docs must yield no grams
+        return F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, k)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    def gram_aggs(k: int, prefix: str):
+        ex = base.select(
+            "doc_id", F.explode(gram_col(k)).alias("g"))
+        return (ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+                .groupBy("doc_id")
+                .agg(F.max("c").alias(f"{prefix}_max"),
+                     F.sum("c").alias(f"{prefix}_tot"),
+                     F.sum(F.when(F.col("c") > 1, F.col("c"))
+                           .otherwise(F.lit(0))).alias(f"{prefix}_dup")))
+
+    bg = gram_aggs(2, "bg")
+    tg = gram_aggs(3, "tg")
+    return (base.select("doc_id", "n_tokens", "n_distinct")
+            .join(bg, "doc_id", "left")
+            .join(tg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.round(1.0 - F.col("n_distinct")
+                        / F.col("n_tokens"), 4).alias("dup_token_frac"),
+                F.round(F.col("bg_max").cast("double")
+                        / F.col("bg_tot"), 4).alias("top_bigram_frac"),
+                F.round(F.col("tg_dup").cast("double")
+                        / F.col("tg_tot"), 4).alias("dup_trigram_frac")))
+
+
 # PII patterns, restricted to the syntax subset where Java regex and
 # RE2 (DuckDB) agree: character classes, counted repeats, \b word
 # boundaries — no lookarounds, no backrefs. Order of application:

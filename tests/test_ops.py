@@ -149,6 +149,31 @@ def test_bpe_token_stats(spark):
     assert row[2]["bpe_per_ws"] == 2.5
 
 
+def test_repetition_stats(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame([
+            # tokens: a b a b a -> 5 tokens, 2 distinct
+            # bigrams: "a b","b a","a b","b a" -> top freq 2 of 4
+            # trigrams: "a b a","b a b","a b a" -> dup'd: "a b a" x2 of 3
+            {"doc_id": 1, "text": "a b a b a"},
+            {"doc_id": 2, "text": "x"},           # too short for grams
+        ]))
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 5
+    assert r1["dup_token_frac"] == 0.6
+    assert r1["top_bigram_frac"] == 0.5
+    assert r1["dup_trigram_frac"] == round(2 / 3, 4)
+    r2 = rows[2]
+    assert r2["n_tokens"] == 1 and r2["dup_token_frac"] == 0.0
+    assert r2["top_bigram_frac"] is None
+    assert r2["dup_trigram_frac"] is None
+
+
 def test_redact_pii(spark):
     from open_source_search_engine_spark.ops.textstats import redact_pii
 
