@@ -186,6 +186,55 @@ def _cell_of(vec_col, centroids: list[list[float]]):
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
+def ivf_train_kmeans(emb: DataFrame, n_cells: int, n_iter: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic spherical k-means (Lloyd's) coarse quantizer — the
+    quality upgrade over ``ivf_centroids``'s pick-first seeding (FAISS
+    trains its IVF quantizer the same way). No RNG: seeds are the
+    ``n_cells`` vectors with the smallest md5(vec_id) (a deterministic
+    pseudo-random spread), ties in assignment break to the lowest cell.
+
+    Each iteration is one distributed pass: nearest-cell assignment via
+    the same linear ``_cell_of`` expression the index build uses, then
+    an elementwise mean by (cell, dim) — a posexplode + groupBy whose
+    result is n_cells × dim rows (tiny; collected and re-normalized on
+    the driver). Cost per iteration ≈ one narrow scan + one bounded
+    shuffle, so training stays cheap even at corpus scale; empty cells
+    keep their previous centroid."""
+    seeds = (emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding"))
+             .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+             .limit(n_cells).collect())
+    cents = [_unit([float(x) for x in r["embedding"]]) for r in seeds]
+    for _ in range(n_iter):
+        assigned = emb.select(
+            _cell_of(F.col(vec_col), cents).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("d", "v"))
+        rows = (assigned.groupBy("cell", "d")
+                .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                .collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["d"]] = r["m"]
+        new = []
+        for c, old in enumerate(cents):
+            dims = by_cell.get(c)
+            if dims:
+                new.append(_unit([dims[i] for i in range(len(old))]))
+            else:
+                new.append(old)
+        if new == cents:
+            break
+        cents = new
+    return cents
+
+
+def _unit(v: list[float]) -> list[float]:
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
 def ivf_assign(emb: DataFrame, centroids: list[list[float]],
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
@@ -227,12 +276,19 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
 
 def build_ivf_index(emb: DataFrame, out_dir: str, n_cells: int = 16,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[list[float]]:
+                    vec_col: str = "embedding",
+                    centroids: list[list[float]] | None = None,
+                    ) -> list[list[float]]:
     """Materialize the IVF cell table ONCE, partitioned by cell: a
     query then reads only its nprobe cell directories (partition
     pruning does the candidate selection, mirroring the LSH index).
-    Returns the centroids for the probe side."""
-    cents = ivf_centroids(emb, n_cells, id_col, vec_col)
+    Returns the centroids for the probe side. Pass
+    ``centroids=ivf_train_kmeans(emb, n_cells)`` for a trained
+    quantizer (better-balanced cells, higher recall at fixed nprobe);
+    the default pick-first quantizer is what the driver oracle
+    replicates."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_cells, id_col, vec_col))
     (ivf_assign(emb, cents, id_col, vec_col)
      .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
     return cents

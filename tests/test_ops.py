@@ -312,6 +312,43 @@ def test_ann_ivf_inline_and_indexed(spark, tmp_path):
            [(r["vec_id"], r["cos"]) for r in top2]
 
 
+def test_ivf_kmeans_training(spark, tmp_path):
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivf_index,
+        ivf_assign,
+        ivf_train_kmeans,
+        ivf_topk_indexed,
+    )
+
+    # 4 well-separated direction clusters in 8-d
+    rng = np.random.default_rng(11)
+    centers = np.eye(4, 8) * 10.0
+    vecs, ids = [], []
+    for ci in range(4):
+        for j in range(20):
+            vecs.append(centers[ci] + rng.normal(scale=0.3, size=8))
+            ids.append(ci * 20 + j)
+    vecs = np.array(vecs, dtype=np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": list(map(list, vecs))}))
+
+    cents = ivf_train_kmeans(emb, 4, n_iter=5)
+    # deterministic: retraining yields the identical quantizer
+    assert ivf_train_kmeans(emb, 4, n_iter=5) == cents
+    # trained cells recover the planted clusters: every ground-truth
+    # cluster lands in exactly one cell (purity 1.0 on separated data)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents).collect()}
+    for ci in range(4):
+        got = {cells[ci * 20 + j] for j in range(20)}
+        assert len(got) == 1
+    # trained quantizer feeds the same persisted-index probe path
+    idx = str(tmp_path / "ivf_km")
+    build_ivf_index(emb, idx, n_cells=4, centroids=cents)
+    q = [float(x) for x in vecs[5]]
+    top = ivf_topk_indexed(spark, idx, cents, q, 5, nprobe=1).collect()
+    assert top[0]["vec_id"] == 5 and top[0]["cos"] == 1.0
+
+
 def test_multimodal_plumbing(docs):
     from open_source_search_engine_spark.ops.multimodal import (
         GIF_HEADER_LEN,
