@@ -279,6 +279,21 @@ def test_ann_lsh_contains_query_vector(spark):
     assert top[0]["vec_id"] == 3 and top[0]["cos"] == 1.0
 
 
+def test_ann_pandas_path_matches_catalyst(spark):
+    from open_source_search_engine_spark.ops.ann import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(50), "embedding": list(map(list, vecs))}))
+    q = [float(x) for x in vecs[7]]
+    a = [(r["vec_id"], r["cos"])
+         for r in brute_force_topk(emb, q, 10).collect()]
+    b = [(r["vec_id"], r["cos"])
+         for r in brute_force_topk(emb, q, 10, impl="pandas").collect()]
+    assert a == b and a[0] == (7, 1.0)
+
+
 def test_ann_ivf_inline_and_indexed(spark, tmp_path):
     from open_source_search_engine_spark.ops.ann import (
         build_ivf_index,
