@@ -119,6 +119,20 @@ def main() -> int:
           for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("op_ann_top10", lambda: brute_force_topk(emb, qv, 10).collect())
 
+    # indexed IVF probe: build the cell table once (untimed), then time
+    # the directory-pruned probe (reads nprobe of n_cells directories)
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    ivf_dir = tempfile.mkdtemp(prefix="osse_bench_ivf_")
+    cents = build_ivf_index(emb, ivf_dir, n_cells=16)
+    timed("op_ann_ivf_probe",
+          lambda: ivf_topk_indexed(spark, ivf_dir, cents, qv, 10,
+                                   nprobe=4).collect())
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+
     total = time.time() - t_all
     out = {
         "metric": ("index-build docs/sec + query latency "
