@@ -108,6 +108,24 @@ def hash64_combine(h1: int, h2: int) -> int:
     return h
 
 
+def hash64_combine_vec(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """Vectorized hash64_combine over uint64 arrays (same table walk as the
+    scalar version; the accumulator never feeds back into the byte indices
+    within one combine, so the 16 gathers vectorize cleanly). Used by the
+    frag-vec shingle hashing (XmlDoc.cpp:20574) where the scalar call was
+    the hottest single function of the per-doc parse."""
+    h = np.zeros(len(h1), dtype=np.uint64)
+    tab = HASHTAB.ravel()
+    mask = np.uint64(0xFF)
+    for i in range(8):
+        idx = ((h1 >> np.uint64(8 * i)) & mask) | np.uint64(i << 8)
+        h ^= tab[idx]
+    for i in range(8):
+        idx = ((h2 >> np.uint64(8 * i)) & mask) | np.uint64((i + 8) << 8)
+        h ^= tab[idx]
+    return h
+
+
 def _lower_char_utf8(ch: str) -> bytes:
     """Per-codepoint lowercase, UTF-8 encoded (hash.h ucToLower path).
 

@@ -483,16 +483,20 @@ def frag_vec(t: Tokens) -> list[int]:
     if len(alnum_idx) < 5:
         return out
     seen: dict[int, int] = {}
-    from .gbhash import hash64_combine
+    from .gbhash import hash64_combine_vec
+
+    import numpy as np
 
     wids = t.wids
     na = len(alnum_idx)
-    shingle = [0] * na
-    for a in range(na - 4):
-        h = 0
-        for b in range(5):
-            h = hash64_combine(h, wids[alnum_idx[a + b]] & ((1 << 64) - 1))
-        shingle[a] = h
+    aw = np.array([wids[k] & ((1 << 64) - 1) for k in alnum_idx],
+                  dtype=np.uint64)
+    # all shingles advance one chain step together (5 vectorized combines
+    # instead of 5*(na-4) scalar ones)
+    h_vec = np.zeros(na - 4, dtype=np.uint64)
+    for b in range(5):
+        h_vec = hash64_combine_vec(h_vec, aw[b:b + na - 4])
+    shingle = h_vec.tolist()
     for a in range(na - 4):
         h = shingle[a]
         first = seen.get(h)

@@ -87,3 +87,24 @@ def test_hash8_range():
 
 def test_deterministic_across_calls():
     assert hash64_lower_utf8("stable") == hash64_lower_utf8("stable")
+
+
+def test_hash64_combine_vec_matches_scalar():
+    # the vectorized combine must reproduce the scalar table walk exactly
+    # (it feeds the frag-vec shingle hashes, XmlDoc.cpp:20574)
+    import random
+
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.gbhash import (
+        hash64_combine,
+        hash64_combine_vec,
+    )
+
+    rng = random.Random(20260817)
+    h1 = [rng.getrandbits(64) for _ in range(1000)] + [0, 1, (1 << 64) - 1]
+    h2 = [rng.getrandbits(64) for _ in range(1000)] + [0, (1 << 64) - 1, 1]
+    vec = hash64_combine_vec(np.array(h1, dtype=np.uint64),
+                             np.array(h2, dtype=np.uint64))
+    assert [int(x) for x in vec] == [hash64_combine(a, b)
+                                     for a, b in zip(h1, h2)]
