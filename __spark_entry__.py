@@ -587,6 +587,26 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: connected components (alternating
+    large-star/small-star, ops/dedup.py dup_clusters) over the
+    minhash-LSH verified pair graph; canonical doc = min doc_id per
+    component. The oracle computes the same closure with a recursive
+    CTE over the exact-Jaccard pairs (== the LSH-verified pairs at this
+    threshold, as pinned by the dedup_minhash_lsh entry)."""
+    from open_source_search_engine_spark.ops.dedup import (
+        dup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, n_perm=32, band_rows=4)
+    return dup_clusters(pairs).select(
+        F.col("doc_id").cast("long"),
+        F.col("canonical_id").cast("long"),
+        F.col("cluster_size").cast("long"))
+
+
 def q_simhash(spark, sf_dir):
     from open_source_search_engine_spark.ops.textstats import simhash
 
@@ -850,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -1330,6 +1351,47 @@ from documents group by 1 having count(*) > 1
 """,
         "dedup_jaccard": jaccard_sql,
         "dedup_minhash_lsh": jaccard_sql,
+        # connected components over the near-dup pair graph via a
+        # recursive-CTE transitive closure (min reachable id = canonical)
+        "dedup_clusters": """
+WITH RECURSIVE toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sh as (
+  select doc_id, unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)])) as shingle
+  from toks where len(ts) >= 3
+),
+sizes as (select doc_id, count(*)::bigint as sz from sh group by 1),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*)::bigint as i
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select inter.doc_a, inter.doc_b from inter
+  join sizes sa on sa.doc_id = inter.doc_a
+  join sizes sb on sb.doc_id = inter.doc_b
+  where i::double / (sa.sz + sb.sz - i) >= 0.5
+),
+sym as (
+  select doc_a as u, doc_b as v from pairs
+  union all
+  select doc_b as u, doc_a as v from pairs
+),
+reach(src, dst) as (
+  select u, v from sym
+  union
+  select r.src, s.v from reach r join sym s on r.dst = s.u
+),
+lab as (
+  select src as doc_id, least(src, min(dst)) as canonical_id
+  from reach group by src
+)
+select l.doc_id::bigint as doc_id, l.canonical_id::bigint as canonical_id,
+       s.cluster_size::bigint as cluster_size
+from lab l
+join (select canonical_id, count(*)::bigint as cluster_size
+      from lab group by 1) s using (canonical_id)
+""",
         "simhash": simhash_sql,
         "text_quality": quality_sql,
         "fingerprint": fingerprint_sql,

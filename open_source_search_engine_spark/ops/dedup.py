@@ -301,3 +301,89 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     return (cands.join(ea, "vec_a").join(eb, "vec_b")
             .select("vec_a", "vec_b", cos.alias("cos"))
             .where(F.col("cos") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (connected components -> canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
+                 max_rounds: int = 16) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: connected components over
+    the pair graph, canonical doc = min doc_id per component.
+
+    A training-data dedup pipeline keeps one representative per dup
+    cluster, so pair mining (minhash_lsh_pairs / embedding_dup_pairs /
+    ngram_jaccard_pairs) needs this closure step — pairs alone
+    under-delete on chains (A~B, B~C but A!~C must still collapse to one
+    keeper). The reference's analog is query-time content-hash
+    clustering (Msg51.h:20-92, clusterdb Clusterdb.h:17); this is the
+    corpus-scale build-time generalization.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each
+    round is two shuffle-by-node-id aggregations, converges in
+    O(log^2 n) rounds on any graph (plain min-label propagation needs
+    diameter rounds, and near-dup template drift produces chains).
+    No collect(), no per-node state bigger than (node, min) — the hot
+    star centers that large components produce are exactly what
+    large-star splits, so skew self-heals round over round.
+
+    Returns (doc_id, canonical_id, cluster_size) for every doc that
+    appears in >=1 pair (singletons are not emitted). Deterministic.
+    """
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct())
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+        # connect every strictly-larger neighbor v of u to m(u)
+        return (sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is oriented u > v by construction of _large_star/init
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        nbr = (e.join(mins, "u")
+               .where(F.col("v") != F.col("m"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        own = mins.select("u", F.col("m").alias("v"))
+        return (nbr.unionByName(own)
+                .select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .distinct())
+
+    prev = edges.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(prev)).localCheckpoint(eager=True)
+        # fixpoint when the (oriented, distinct) edge sets are equal
+        if (nxt.exceptAll(prev).isEmpty()
+                and prev.exceptAll(nxt).isEmpty()):
+            prev = nxt
+            break
+        prev = nxt
+    else:
+        raise RuntimeError(f"dup_clusters: no fixpoint in {max_rounds} "
+                           "rounds (graph adversarial beyond O(log^2 n)?)")
+    # converged: every edge is (member, component_min)
+    labels = prev.select(F.col("u").alias("doc_id"),
+                         F.col("v").alias("canonical_id"))
+    labels = labels.unionByName(
+        prev.select(F.col("v").alias("doc_id"),
+                    F.col("v").alias("canonical_id"))).distinct()
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "canonical_id").select(
+        "doc_id", "canonical_id", "cluster_size")

@@ -537,3 +537,47 @@ def test_extract_features_shape(spark):
     got2 = {r["doc_id"]: r["features"]
             for r in extract_features(pl, dim=8).collect()}
     assert got == got2
+
+
+def test_dup_clusters_chain_and_random(spark):
+    # closure over a chain (worst case for plain label propagation) plus
+    # a random graph, both checked against a brute-force union-find
+    import random
+
+    from open_source_search_engine_spark.ops.dedup import dup_clusters
+
+    def uf_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in range(n_nodes)}
+
+    rng = random.Random(99)
+    chain = [(i, i + 1) for i in range(0, 40)]           # one long chain
+    rand = [(rng.randrange(50, 200), rng.randrange(50, 200))
+            for _ in range(120)]
+    edges = chain + [(a, b) for a, b in rand if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {(r.doc_id, r.canonical_id, r.cluster_size)
+           for r in dup_clusters(df).collect()}
+
+    comp = uf_components(200, edges)
+    members = {}
+    in_graph = {a for a, _ in edges} | {b for _, b in edges}
+    for node in in_graph:
+        members.setdefault(comp[node], set()).add(node)
+    want = set()
+    for root, ms in members.items():
+        canon = min(ms)
+        for m in ms:
+            want.add((m, canon, len(ms)))
+    assert got == want
