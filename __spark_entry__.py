@@ -607,6 +607,19 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("cluster_size").cast("long"))
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic leakage-aware train/val/test assignment
+    (ops/sampling.py): split = f(md5(salt || text)), so exact-dup texts
+    always share a split and the assignment is identical at any
+    parallelism. Oracle recomputes the same md5 bucket arithmetic."""
+    from open_source_search_engine_spark.ops.sampling import (
+        deterministic_split,
+    )
+
+    return deterministic_split(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "split")
+
+
 def q_simhash(spark, sf_dir):
     from open_source_search_engine_spark.ops.textstats import simhash
 
@@ -871,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "split_assign": q_split_assign,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
         "fingerprint": q_fingerprint,
@@ -1351,6 +1365,17 @@ from documents group by 1 having count(*) > 1
 """,
         "dedup_jaccard": jaccard_sql,
         "dedup_minhash_lsh": jaccard_sql,
+        # same md5 bucket arithmetic as ops/sampling.py (hash60 % 1e6)
+        "split_assign": """
+select doc_id::bigint as doc_id,
+       case when b < 900000 then 'train'
+            when b < 950000 then 'val'
+            else 'test' end as split
+from (select doc_id,
+             cast(('0x' || substr(md5('split-v1' || text), 1, 15)) as bigint)
+               % 1000000 as b
+      from documents)
+""",
         # connected components over the near-dup pair graph via a
         # recursive-CTE transitive closure (min reachable id = canonical)
         "dedup_clusters": """

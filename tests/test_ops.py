@@ -581,3 +581,40 @@ def test_dup_clusters_chain_and_random(spark):
         for m in ms:
             want.add((m, canon, len(ms)))
     assert got == want
+
+
+def test_deterministic_split_and_sample(spark):
+    from open_source_search_engine_spark.ops.sampling import (
+        BUCKETS,
+        deterministic_sample,
+        deterministic_split,
+        split_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document text number {i}") for i in range(400)]
+        + [(1000, "document text number 7")],  # exact dup of doc 7
+        "doc_id long, text string")
+    out = deterministic_split(df)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # exact-dup texts share a split (leakage guard)
+    assert rows[7] == rows[1000]
+    # roughly the requested proportions
+    n = len(rows)
+    assert sum(1 for s in rows.values() if s == "train") > 0.8 * n
+    assert set(rows.values()) <= {"train", "val", "test"}
+    # rerun is identical (determinism across plans)
+    assert {r.doc_id: r.split for r in
+            deterministic_split(df.repartition(7)).collect()} == rows
+
+    # nested sampling: the 5% sample is a subset of the 20% sample
+    s5 = {r.doc_id for r in deterministic_sample(df, 0.05).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(df, 0.20).collect()}
+    assert s5 <= s20 and len(s20) < 400
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_thresholds([("a", 0.5), ("b", 0.4)])
+    assert split_thresholds([("a", 1 / 3), ("b", 1 / 3), ("c", 1 / 3)])[-1] \
+        == ("c", BUCKETS)
