@@ -618,3 +618,22 @@ def test_deterministic_split_and_sample(spark):
         split_thresholds([("a", 0.5), ("b", 0.4)])
     assert split_thresholds([("a", 1 / 3), ("b", 1 / 3), ("c", 1 / 3)])[-1] \
         == ("c", BUCKETS)
+
+
+def test_dup_clusters_star_and_deep_chain_converge(spark):
+    # the two adversarial shapes: a giant star centered at the HIGHEST id
+    # (skew: one node holds every edge) and a deep chain (diameter >>
+    # O(log^2 n) rounds would allow for plain label propagation)
+    from open_source_search_engine_spark.ops.dedup import dup_clusters
+
+    star = [(10_000, i) for i in range(1, 600)]       # center 10k, min 1
+    chain = [(20_000 + i, 20_001 + i) for i in range(200)]
+    df = spark.createDataFrame(star + chain, "doc_a long, doc_b long")
+    out = dup_clusters(df, max_rounds=16).collect()
+    by_canon = {}
+    for r in out:
+        by_canon.setdefault(r.canonical_id, set()).add(r.doc_id)
+    assert set(by_canon) == {1, 20_000}
+    assert by_canon[1] == set(range(1, 600)) | {10_000}
+    assert by_canon[20_000] == set(range(20_000, 20_201))
+    assert all(r.cluster_size == len(by_canon[r.canonical_id]) for r in out)
