@@ -676,13 +676,28 @@ def _partition_posting_arrays(pdfs: list[pd.DataFrame]):
 def make_stats_partials():
     """mapInPandas body: per-partition (term_id, df, cf) partial counts,
     vectorized — the shuffle then carries one row per distinct term per
-    partition instead of one row per posting."""
+    partition instead of one row per posting. Consumes ONLY
+    (doc_id, term_ids): the caller must project those two columns so
+    the parquet scan and the Arrow transfer skip the positions/ctx
+    arrays (mapInPandas cannot column-prune through Python — mapping
+    over the full parsed schema measurably doubled stage-B bytes)."""
 
     def stats_partials(iterator):
-        arrs = _partition_posting_arrays(list(iterator))
-        if arrs is None:
+        t_parts, d_parts = [], []
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            terms_col = pdf["term_ids"]
+            lens = np.fromiter((len(x) for x in terms_col),
+                               dtype=np.int64, count=len(pdf))
+            t_parts.append(np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in terms_col]))
+            d_parts.append(
+                np.repeat(pdf["doc_id"].to_numpy(np.int64), lens))
+        if not t_parts:
             return
-        t, _p, _c, d, _dl, _rk = arrs
+        t = np.concatenate(t_parts)
+        d = np.concatenate(d_parts)
         order = np.lexsort((d, t))
         t_s, d_s = t[order], d[order]
         first_pair = np.empty(len(t_s), dtype=bool)
@@ -1095,8 +1110,11 @@ def build_index(
         parsed.select(*doc_cols).write.mode("overwrite").parquet(p_docs)
     if not resume or not _parquet_exists(p_lex):
         (
-            parsed.mapInPandas(make_lex_partials(),
-                               schema="term string, term_id long")
+            # project first: prunes the parquet scan + Arrow transfer to
+            # the two lexicon columns (mapInPandas reads its full input)
+            parsed.select("lex_words", "lex_ids")
+            .mapInPandas(make_lex_partials(),
+                         schema="term string, term_id long")
             .distinct()
             .write.mode("overwrite")
             .parquet(p_lex)
@@ -1117,8 +1135,9 @@ def build_index(
     # Posdb.cpp:301 — and the partial-count estimate here may overcount
     # a doc whose body and inlink-text postings split across partitions)
     cur_stats = (
-        indexed.mapInPandas(make_stats_partials(),
-                            schema="term_id long, df long, cf long")
+        indexed.select("doc_id", "term_ids")
+        .mapInPandas(make_stats_partials(),
+                     schema="term_id long, df long, cf long")
         .groupBy("term_id")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
