@@ -1305,10 +1305,14 @@ cand as (
   select p.word, s.tok as suggestion, s.df
   from probe p
   join stats s on levenshtein(p.word, s.tok) <= 1
+),
+best as (
+  select word, suggestion, df from cand
+  qualify row_number() over (partition by word
+                             order by df desc, suggestion asc) = 1
 )
-select word, suggestion, df from cand
-qualify row_number() over (partition by word
-                           order by df desc, suggestion asc) = 1
+select p.word, b.suggestion, b.df
+from probe p left join best b using(word)
 """,
         "search_hf_shortcut": f"""{_bm25_cte()},
 champ as (

@@ -101,7 +101,11 @@ def morph_forms(word: str) -> tuple[str, ...]:
     if w.endswith("ies") and n > 4:
         forms.add(w[:-3] + "y")
     elif w.endswith("es") and n > 3:
-        forms.add(w[:-2])
+        # only the s/x/z/ch/sh endings take '-es'; stripping it from
+        # e.g. 'cares' would fabricate 'car', a REAL word that matches
+        # unrelated docs (ADVICE r2) — other words strip just the 's'
+        if w[:-2].endswith(("s", "x", "z", "ch", "sh")):
+            forms.add(w[:-2])
         forms.add(w[:-1])
     elif w.endswith("s") and not w.endswith("ss") and n > 3:
         forms.add(w[:-1])

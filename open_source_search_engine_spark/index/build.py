@@ -1253,7 +1253,24 @@ def build_index(
         meta["gens"] = sorted(set(old.get("gens", [])) | {gen})
     with open(paths.meta, "w") as f:
         json.dump(meta, f)
+    _invalidate_derived(index_dir)
     return meta
+
+
+def _invalidate_derived(index_dir: str) -> None:
+    """Drop derived read-side acceleration tables (HF-shortcut champion
+    lists) whenever the generation set changes: they were built from an
+    older gen-resolved postings view, so a doc deleted or re-crawled
+    afterwards would still be served from the stale champion list
+    (ADVICE r2). Readers degrade gracefully — a missing shortcut dir
+    just means exact termlist reads until build_hf_shortcuts reruns."""
+    import shutil
+
+    from .shortcuts import SUBDIR as HF_SUBDIR
+
+    p = os.path.join(index_dir, HF_SUBDIR)
+    if os.path.exists(p):
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int],
@@ -1274,6 +1291,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: list[int],
         meta["gens"] = sorted(set(meta.get("gens", [])) | {int(gen)})
         with open(paths.meta, "w") as f:
             json.dump(meta, f)
+    _invalidate_derived(index_dir)
 
 
 def compact_index(spark: SparkSession, index_dir: str,
@@ -1380,6 +1398,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     })
     with open(paths.meta, "w") as f:
         json.dump(meta, f)
+    _invalidate_derived(index_dir)
     return meta
 
 

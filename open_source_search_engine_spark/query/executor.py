@@ -341,8 +341,11 @@ class IndexReader:
             decoded.join(F.broadcast(ev), "doc_id", "left")
             .where(F.col("keep_gen").isNull()
                    | (F.col("gen") == F.col("keep_gen"))
-                   # gen -1 = pre-resolved rows (HF shortcut lists)
-                   | (F.col("gen") == -1))
+                   # gen -1 = pre-resolved rows (HF shortcut lists);
+                   # shortcut tables are invalidated on any gen change
+                   # (build._invalidate_derived), and a tombstoned doc
+                   # (keep_gen -1) is dropped here regardless (ADVICE r2)
+                   | ((F.col("gen") == -1) & (F.col("keep_gen") != -1)))
             .drop("keep_gen", "gen")
         )
 

@@ -98,7 +98,11 @@ def suggestions(spark: SparkSession, index_dir: str,
 
     w = Window.partitionBy("word").orderBy(F.col("df").desc(),
                                            F.col("term").asc())
-    return (cand.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") == 1)
-            .select("word", F.col("term").alias("suggestion"),
-                    F.col("df").cast("long").alias("df")))
+    winners = (cand.withColumn("_r", F.row_number().over(w))
+               .where(F.col("_r") == 1)
+               .select("word", F.col("term").alias("suggestion"),
+                       F.col("df").cast("long").alias("df")))
+    # words with no candidate within distance 1 come back with a null
+    # suggestion (docstring contract; ADVICE r2: the inner join silently
+    # dropped them)
+    return probe.select("word").distinct().join(winners, "word", "left")

@@ -58,7 +58,8 @@ def streaming_url_seen(
             return
         rows = (
             batch_df.select(
-                F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+                F.regexp_extract(
+                    "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
                 .alias("host"),
                 "url", "doc_id",
                 F.xxhash64("url").alias("_h"))

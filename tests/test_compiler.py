@@ -149,6 +149,10 @@ def test_generated_morph_synonyms():
 
     assert morph_forms("columns") == ("column",)
     assert morph_forms("boxes") == ("box", "boxe")
+    # '-es' only strips to the stem after s/x/z/ch/sh endings: 'cares'
+    # must NOT generate 'car' (a real word -> false matches, ADVICE r2)
+    assert "car" not in morph_forms("cares")
+    assert "care" in morph_forms("cares")
     assert morph_forms("query") == ("queries",)
     assert morph_forms("cities") == ("city",)
     assert "run" in morph_forms("running")       # doubled consonant

@@ -50,8 +50,8 @@ def test_suggestions_rank_by_df(spell_index, spark):
     assert got["spark"] == ("spark", 3)
     # case-folded probe; 'enginx' -> 'engine' (sub, distance 1)
     assert got["enginx"] == ("engine", 1)
-    # nothing within distance 1 -> no row
-    assert "qqqq" not in got
+    # nothing within distance 1 -> null suggestion (docstring contract)
+    assert got["qqqq"] == (None, None)
 
 
 def test_suggestion_matches_brute_force(spell_index, spark):
