@@ -20,6 +20,10 @@ class EngineConf:
     b: float = 0.75
     # scorer mode: "bm25" | "reference" (SURVEY.md §4.6)
     scorer: str = "bm25"
+    # reference-scorer two-pass candidate plan kicks in when the summed
+    # query-term df reaches this (below it the extra fixed-cost Spark
+    # job outweighs the decode saved); tests lower it to force the path
+    ref_two_pass_min_postings: int = 100_000
 
     # reference-scorer weights (Parms.cpp:4067-4167 defaults)
     hashgroup_weights: tuple = DEFAULT_HASHGROUP_WEIGHTS

@@ -10,7 +10,8 @@ reading whole files. Our equivalent (SURVEY.md §1.2, §7) is one blob per
 (term_id [, salt]) laid out in 128-doc blocks:
 
     header:   version u8 | varint n_docs
-    block meta (7 varint arrays of nblocks entries each):
+    block meta (10 varint arrays of nblocks entries each; the last 3 are
+    v3 additions — v2 blobs decode fine, their readers see None):
       block_base   first docId of each block (absolute)   } RdbMap analog
       bmax_tf      max tf in block                        } block-max
       bmin_dl      min doclen in block                    }   (WAND)
@@ -18,6 +19,18 @@ reading whole files. Our equivalent (SURVEY.md §1.2, §7) is one blob per
       tfdl_bytes   encoded size of the block's tf + doclen + rank span
       pos_bytes    encoded size of the block's position-delta span
       npos         number of positions (sum tf) in block
+      bctx         packed ctx-class summary: hashgroup-presence mask
+                   (16b) | max density rank (5b) | max diversity rank
+                   (4b) | max word-spam rank (4b) — a per-block upper
+                   bound on the reference scorer's per-posting ctx
+                   weight chain (getMaxPossibleScore analog,
+                   PosdbTable.cpp:4052-4108: the reference reads rank
+                   fields straight off the posdb key for its bound)
+      bmin_pos     min position value in block } numeric sort-by lists
+      bmax_pos     max position value in block } store the VALUE in the
+                   position slot (Posdb.h:165-176), so these are value
+                   ranges: gbmin/gbmax probes skip non-overlapping
+                   blocks without stream decode
     streams (per block, concatenated in block order):
       docs:     delta varints, first delta of each block relative to
                 block_base (so any block decodes standalone)
@@ -39,8 +52,33 @@ from __future__ import annotations
 
 import numpy as np
 
-CODEC_VERSION = 2
+CODEC_VERSION = 3
+_MIN_READ_VERSION = 2  # v2 blobs (no bctx/pos-range arrays) still decode
 BLOCK = 128  # docs per block
+
+
+def pack_block_ctx(ctx_slice: np.ndarray) -> int:
+    """Pack a block's ctx-class summary (see module docstring)."""
+    if len(ctx_slice) == 0:
+        return 0
+    c = ctx_slice.astype(np.uint32)
+    hg = (c >> 15) & 0xF
+    den = (c >> 10) & 0x1F
+    div = (c >> 6) & 0xF
+    spam = (c >> 2) & 0xF
+    mask = int(np.bitwise_or.reduce(
+        (np.uint32(1) << hg).astype(np.uint32)))
+    return ((mask & 0xFFFF) << 13 | int(den.max()) << 8
+            | int(div.max()) << 4 | int(spam.max()))
+
+
+def unpack_block_ctx(bctx: np.ndarray):
+    """-> (hg_mask u16, max_den, max_div, max_spam) arrays."""
+    b = bctx.astype(np.uint64)
+    return ((b >> np.uint64(13)) & np.uint64(0xFFFF),
+            (b >> np.uint64(8)) & np.uint64(0x1F),
+            (b >> np.uint64(4)) & np.uint64(0xF),
+            b & np.uint64(0xF))
 
 
 def _varint_encode(values: np.ndarray) -> np.ndarray:
@@ -176,6 +214,9 @@ def encode_postings(
     tfdl_bytes = np.empty(nb, dtype=np.uint64)
     pos_bytes = np.empty(nb, dtype=np.uint64)
     npos_blk = np.empty(nb, dtype=np.uint64)
+    bctx = np.zeros(nb, dtype=np.uint64)
+    bmin_pos = np.zeros(nb, dtype=np.uint64)
+    bmax_pos = np.zeros(nb, dtype=np.uint64)
     for bi, (s, e) in enumerate(blocks):
         bmax_tf[bi] = tfs[s:e].max()
         bmin_dl[bi] = doclens[s:e].min()
@@ -184,9 +225,13 @@ def encode_postings(
         ps, pe = pos_cum[s], pos_cum[e]
         pos_bytes[bi] = p_len[ps:pe].sum() if npos_total else 0
         npos_blk[bi] = pe - ps
+        if pe > ps:
+            bctx[bi] = pack_block_ctx(ctxs[ps:pe])
+            bmin_pos[bi] = pos[ps:pe].min()
+            bmax_pos[bi] = pos[ps:pe].max()
 
     for arr in (block_base, bmax_tf, bmin_dl, doc_bytes, tfdl_bytes,
-                pos_bytes, npos_blk):
+                pos_bytes, npos_blk, bctx, bmin_pos, bmax_pos):
         parts.append(_varint_encode(arr))
 
     # streams: docs, then per-block (tf*, dl*, rank*), then pos, then ctx
@@ -278,9 +323,31 @@ def encode_postings_many(
     bmax_tf = np.maximum.reduceat(tfs, doc_starts)
     bmin_dl = np.minimum.reduceat(doclens, doc_starts)
 
+    # per-run ctx-class summary + position value range (v3). tf >= 1
+    # per posting row, so every run has >= 1 position; guard anyway.
+    if len(pos) and int(npos_run.min()) > 0:
+        hg = ((c >> 15) & 0xF).astype(np.uint32)
+        den = ((c >> 10) & 0x1F).astype(np.uint64)
+        dv = ((c >> 6) & 0xF).astype(np.uint64)
+        spam = ((c >> 2) & 0xF).astype(np.uint64)
+        mask = np.bitwise_or.reduceat(
+            (np.uint32(1) << hg).astype(np.uint32), pos_run_start
+        ).astype(np.uint64)
+        bctx = ((mask & np.uint64(0xFFFF)) << np.uint64(13)
+                | np.maximum.reduceat(den, pos_run_start) << np.uint64(8)
+                | np.maximum.reduceat(dv, pos_run_start) << np.uint64(4)
+                | np.maximum.reduceat(spam, pos_run_start))
+        bmin_pos = np.minimum.reduceat(pos, pos_run_start)
+        bmax_pos = np.maximum.reduceat(pos, pos_run_start)
+    else:
+        bctx = np.zeros(nrun, dtype=np.uint64)
+        bmin_pos = np.zeros(nrun, dtype=np.uint64)
+        bmax_pos = np.zeros(nrun, dtype=np.uint64)
+
     # header: varint [nd, base, bmax, bmin, doc_bytes, tfdl_bytes,
-    # pos_bytes, npos] per run (same order as encode_postings)
-    meta = np.empty((nrun, 8), dtype=np.uint64)
+    # pos_bytes, npos, bctx, bmin_pos, bmax_pos] per run (same order as
+    # encode_postings)
+    meta = np.empty((nrun, 11), dtype=np.uint64)
     meta[:, 0] = run_nd
     meta[:, 1] = block_base
     meta[:, 2] = bmax_tf
@@ -289,10 +356,13 @@ def encode_postings_many(
     meta[:, 5] = tfdl_bytes
     meta[:, 6] = pos_bytes
     meta[:, 7] = npos_run
+    meta[:, 8] = bctx
+    meta[:, 9] = bmin_pos
+    meta[:, 10] = bmax_pos
     meta_flat = meta.ravel()
     enc_m = _varint_encode(meta_flat)
     len_m = _varint_nbytes(meta_flat)
-    m_bytes = np.add.reduceat(len_m, np.arange(0, nrun * 8, 8))
+    m_bytes = np.add.reduceat(len_m, np.arange(0, nrun * 11, 11))
 
     def offsets(per_run: np.ndarray) -> np.ndarray:
         out = np.zeros(nrun + 1, dtype=np.int64)
@@ -335,12 +405,14 @@ class BlockMeta:
 
     __slots__ = ("n_docs", "nblocks", "block_base", "bmax_tf", "bmin_dl",
                  "doc_bytes", "tfdl_bytes", "pos_bytes", "npos",
+                 "bctx", "bmin_pos", "bmax_pos", "version",
                  "streams_off", "buf")
 
     def __init__(self, blob: bytes):
         buf = np.frombuffer(blob, dtype=np.uint8)
-        if buf[0] != CODEC_VERSION:
+        if not (_MIN_READ_VERSION <= buf[0] <= CODEC_VERSION):
             raise ValueError(f"bad codec version {buf[0]}")
+        self.version = int(buf[0])
         off = 1
         nd_arr, off = _varint_decode(buf, 1, off)
         self.n_docs = int(nd_arr[0])
@@ -350,6 +422,7 @@ class BlockMeta:
             z = np.empty(0, dtype=np.uint64)
             self.block_base = self.bmax_tf = self.bmin_dl = z
             self.doc_bytes = self.tfdl_bytes = self.pos_bytes = self.npos = z
+            self.bctx = self.bmin_pos = self.bmax_pos = z
             self.streams_off = off
             return
         nb = (self.n_docs + BLOCK - 1) // BLOCK
@@ -361,6 +434,12 @@ class BlockMeta:
         self.tfdl_bytes, off = _varint_decode(buf, nb, off)
         self.pos_bytes, off = _varint_decode(buf, nb, off)
         self.npos, off = _varint_decode(buf, nb, off)
+        if self.version >= 3:
+            self.bctx, off = _varint_decode(buf, nb, off)
+            self.bmin_pos, off = _varint_decode(buf, nb, off)
+            self.bmax_pos, off = _varint_decode(buf, nb, off)
+        else:  # v2: readers treat the bounds as unavailable
+            self.bctx = self.bmin_pos = self.bmax_pos = None
         self.streams_off = off
 
     def block_doc_count(self, bi: int) -> int:

@@ -15,9 +15,12 @@ Spark-first dataflow (SURVEY.md §3.2 "Spark lifecycle"):
       term_stats = parsed.mapInPandas(per-partition (term, df, cf)
                    partial counts).groupBy(term_id).sum — the shuffle
       carries one row per distinct term per partition, not per posting.
-      hot terms (df > adaptive threshold, conf.salt_df_frac) get
-      salt = doc_id % n_salts (the salted-key skew splitting of the
-      north rule; reference analog: HighFrequencyTermShortcuts.h:9-38)
+      EVERY term gets salt = doc_id % n_salts (the salted-key skew
+      splitting of the north rule; reference skew analog:
+      HighFrequencyTermShortcuts.h:9-38) — uniform doc-keyed salting
+      makes salt groups disjoint residue sub-indexes for any query
+      term set, so conjunctive top-k always routes through the
+      per-salt block-max WAND (no hot/cold gate)
 
   stage C (mini-segment dump + blob-level merge):
       C1 (narrow): parsed.mapInPandas(mini encoder) — each map
@@ -848,27 +851,29 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
     return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
 
 
-def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
+def make_mini_encoder(n_buckets: int, n_salts: int):
     """mapInPandas body over the PARSED rows (narrow — no posting-row
     shuffle): sorts the partition's postings in numpy and encodes one
     mini-segment blob per (term_id, salt) run — the memtable dump of the
     reference (RdbDump.cpp): each map partition emits sorted, compressed
     runs; the wide shuffle then moves ~10x fewer bytes (blobs, not rows)
-    and the reduce side is a blob-level k-way merge (posdbMerge_r)."""
-    hot_sorted = np.sort(hot_ids.astype(np.int64))
+    and the reduce side is a blob-level k-way merge (posdbMerge_r).
+
+    EVERY term is salted uniformly (salt = doc_id % n_salts, not just
+    hot ones): salt groups are then disjoint doc-residue sub-indexes for
+    ANY query term set, so the multi-term block-max WAND path applies to
+    every conjunctive top-k (VERDICT r2 #1 — mid-df ANDs used to fall
+    back to full decode). A term's absent (term, salt) blob correctly
+    means "no matching docs in that residue class". Cost: a df=k term
+    splits into at most min(k, n_salts) runs; df=1 terms (url/content
+    hashes — the bulk of distinct terms) still produce exactly one."""
 
     def encode_mini(iterator):
         arrs = _partition_posting_arrays(list(iterator))
         if arrs is None:
             return
         t, p, c, d, dl, rk = arrs
-        if len(hot_sorted):
-            ix = np.searchsorted(hot_sorted, t)
-            ixc = np.clip(ix, 0, len(hot_sorted) - 1)
-            is_hot = hot_sorted[ixc] == t
-            salt = np.where(is_hot, d % n_salts, 0).astype(np.int64)
-        else:
-            salt = np.zeros(len(t), dtype=np.int64)
+        salt = (d % n_salts).astype(np.int64)
         order = np.lexsort((p, d, salt, t))
         yield _encode_runs(t[order], salt[order], d[order], p[order],
                            c[order], dl[order], rk[order], n_buckets)
@@ -1142,24 +1147,6 @@ def build_index(
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
     n_docs = spark.read.parquet(p_docs).count()
-
-    # Hot-term decision uses cumulative df over ALL generations so a
-    # doc's (term, salt) assignment is stable across incremental builds;
-    # the threshold adapts to corpus size so stopword lists split at any
-    # scale.
-    prior_stats = [d for d in _glob_gens(paths.term_stats)
-                   if d != p_stats]
-    all_stats = cur_stats.select("term_id", "df")
-    if prior_stats:
-        all_stats = all_stats.unionByName(
-            spark.read.parquet(*prior_stats).select("term_id", "df"))
-    eff_thresh = min(conf.salt_df_threshold,
-                     max(1000, int(conf.salt_df_frac * n_docs)))
-    hot_rows = (
-        all_stats.groupBy("term_id").agg(F.sum("df").alias("df"))
-        .where(F.col("df") > eff_thresh).select("term_id").collect()
-    )
-    hot_ids = np.array([r["term_id"] for r in hot_rows], dtype=np.int64)
     t_stats = time.time()
 
     # ---- stage C: mini-segment encode (narrow) + blob-level merge ----
@@ -1172,7 +1159,7 @@ def build_index(
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
         mini = indexed.mapInPandas(
-            make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids),
+            make_mini_encoder(conf.n_buckets, conf.n_salts),
             schema=SEGMENT_SCHEMA)
         if len(todo) < conf.n_buckets:
             mini = mini.where(F.col("bucket").isin(todo))
@@ -1241,7 +1228,11 @@ def build_index(
         "n_docs": int(n_docs),
         "n_terms": int(term_stats.count()),
         "conf": {"n_buckets": conf.n_buckets, "n_salts": conf.n_salts,
-                 "salt_df_threshold": conf.salt_df_threshold},
+                 "salt_df_threshold": conf.salt_df_threshold,
+                 # uniform doc-keyed salting: every (term, salt) blob
+                 # holds exactly the term's docs ≡ salt (mod n_salts) —
+                 # the multi-term WAND gate reads this instead of probing
+                 "salt_all": True},
         "gens": [gen],
         "secs": {"parse": t_parse - t0, "stats": t_stats - t_parse,
                  "segments": t_seg - t_stats, "total": t_seg - t0},
@@ -1449,14 +1440,6 @@ def compute_doc_events(spark: SparkSession, paths: IndexPaths,
 def _manifest_path(paths: IndexPaths, gen: int, bucket: int) -> str:
     return os.path.join(paths.manifests, f"gen{gen}_bucket{bucket:04d}.json")
 
-
-def _glob_gens(table_dir: str) -> list[str]:
-    if not os.path.isdir(table_dir):
-        return []
-    return sorted(
-        os.path.join(table_dir, d) for d in os.listdir(table_dir)
-        if d.startswith("gen=")
-    )
 
 
 def _parquet_exists(path: str) -> bool:

@@ -81,6 +81,7 @@ def build_hf_shortcuts(spark: SparkSession, index_dir: str,
            .drop("_cs", "_sl", "_r1", "_r2"))
 
     n_buckets = conf.n_buckets
+    n_salts = conf.n_salts
 
     def encode_term(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -100,10 +101,16 @@ def build_hf_shortcuts(spark: SparkSession, index_dir: str,
         ctx = np.concatenate(
             [np.asarray(c, dtype=np.int64) for c in pdf["ctxs"]]) \
             if npost else np.empty(0, dtype=np.int64)
-        salt0 = np.zeros(len(term), dtype=np.int64)
-        out = _encode_runs(term.astype(np.int64), salt0,
-                           doc.astype(np.int64), pos, ctx,
-                           dl.astype(np.int64), rank.astype(np.int64),
+        # same uniform doc-keyed salt as the segment encoder: shortcut
+        # lists stay residue-disjoint per salt, so the multi-term WAND
+        # path works unchanged over substituted champion lists
+        doc64 = doc.astype(np.int64)
+        salt = (doc64 % n_salts).astype(np.int64)
+        order = np.lexsort((pos, doc64, salt))
+        out = _encode_runs(term.astype(np.int64)[order], salt[order],
+                           doc64[order], pos[order], ctx[order],
+                           dl.astype(np.int64)[order],
+                           rank.astype(np.int64)[order],
                            n_buckets)
         return out
 

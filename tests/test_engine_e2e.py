@@ -607,3 +607,26 @@ def test_neighborhood_for_empty_anchor_links(spark, small_conf,
     got = {r["doc_id"] for r in
            search_all(spark, idx, "qqaround", conf=small_conf).collect()}
     assert got == {1, 2}  # linker body + linkee neighborhood
+
+
+def test_boolean_not_and_nested(built, spark, small_conf):
+    """Join-composed boolean evaluation (round 3): NOT arms and nested
+    groups must match the old truth-table semantics — the domain is docs
+    holding >= 1 query term."""
+    got = {r["doc_id"] for r in
+           search_all(spark, built, "spark AND NOT index",
+                      conf=small_conf).collect()}
+    base = {r["doc_id"] for r in
+            search_all(spark, built, "spark -index",
+                       conf=small_conf).collect()}
+    assert got == base
+    got2 = {r["doc_id"] for r in
+            search_all(spark, built, "(spark OR proximity) AND NOT shuffle",
+                       conf=small_conf).collect()}
+    sp = {r["doc_id"] for r in search_all(spark, built, "spark",
+                                          conf=small_conf).collect()}
+    pr = {r["doc_id"] for r in search_all(spark, built, "proximity",
+                                          conf=small_conf).collect()}
+    sh = {r["doc_id"] for r in search_all(spark, built, "shuffle",
+                                          conf=small_conf).collect()}
+    assert got2 == (sp | pr) - sh

@@ -140,3 +140,43 @@ def test_date_number_fields(fields_index, spark, small_conf):
          search_all(spark, fields_index, "gbsortby:gbindexdate",
                     conf=small_conf).collect()]
     assert a and a == b == c
+
+
+@pytest.fixture(scope="module")
+def numrange_index(spark, small_conf, tmp_path_factory):
+    """600 docs with warc_ts ascending in doc_id: multiple 128-doc
+    blocks per salt whose per-block value ranges are disjoint."""
+    rows = []
+    for did in range(1, 601):
+        rows.append({
+            "url": f"http://n{did % 5}.example/r/{did}.html",
+            "warc_ts": (dt.datetime(2024, 1, 1)
+                        + dt.timedelta(minutes=did)),
+            "html": b"<html><body><p>range probe body</p></body></html>",
+            "text": "range probe body", "lang": "en", "doc_id": did,
+        })
+    d = str(tmp_path_factory.mktemp("numrangeidx"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf)
+    return d
+
+
+def test_numeric_range_block_skip(numrange_index, spark, small_conf):
+    """VERDICT r2 #6: gbmin/gbmax probes must skip blocks whose value
+    range (codec v3 bmin_pos/bmax_pos) can't contain a match — and the
+    pruned result must equal the unpruned ground truth."""
+    import calendar
+
+    from open_source_search_engine_spark.query.executor import (
+        numeric_block_stats,
+    )
+
+    base = calendar.timegm(dt.datetime(2024, 1, 1).timetuple()) // 60
+    lo = base + 550  # last 51 docs only
+    got = search_all(spark, numrange_index, f"gbmin:warc_ts:{lo}",
+                     conf=small_conf).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(550, 601))
+    st = numeric_block_stats(spark, numrange_index, "warc_ts",
+                             lo=float(lo), hi=None, conf=small_conf)
+    assert st["blocks_total"].iloc[0] > st["blocks_decoded"].iloc[0]
+    assert st["blocks_decoded"].iloc[0] >= 1
