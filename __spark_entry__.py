@@ -820,6 +820,27 @@ def q_multimodal_meta(spark, sf_dir):
         F.col("height").cast("long"))
 
 
+def q_multimodal_pixels(spark, sf_dir):
+    """Full raster decode (round 3): fully-valid synthesized PNGs
+    (IHDR/IDAT/IEND, CRC32-checked, all five spec filters) are inflated
+    and de-filtered by the stdlib codec (ops/multimodal.png_decode);
+    the oracle recomputes the deterministic pixel pattern's dims and
+    value sum in pure SQL — two independent derivations of the same
+    raster."""
+    from open_source_search_engine_spark.ops.multimodal import (
+        decode_image_pixels,
+        to_png_raster_payload,
+    )
+
+    return decode_image_pixels(
+        to_png_raster_payload(_docs(spark, sf_dir))).select(
+        F.col("doc_id").cast("long"),
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("channels").cast("long"),
+        F.col("px_sum").cast("long"))
+
+
 def q_multimodal_resize(spark, sf_dir):
     """resize_images binary round-trip: synth PNG/GIF payloads get
     their container headers REWRITTEN to 100x50 (PNG IHDR + recomputed
@@ -899,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
     }
 
@@ -1602,6 +1624,31 @@ select doc_id::bigint as doc_id,
        (doc_id % 640 + 1)::bigint as width,
        (doc_id * 7 % 480 + 1)::bigint as height
 from documents
+""",
+        # independent SQL re-derivation of the decoded raster: dims and
+        # the pixel-value sum of the deterministic pattern
+        # (x + 2y + 3c + doc_id) % 256 over w = doc_id%16+1,
+        # h = doc_id*7%16+1, 3 channels — the engine side arrives at
+        # the same numbers only by actually inflating the IDAT and
+        # undoing the five PNG filters
+        "multimodal_pixels": """
+with g as (select unnest(range(0, 16)) as i),
+dims as (select doc_id, doc_id % 16 + 1 as w, doc_id * 7 % 16 + 1 as h
+         from documents),
+px as (
+  select d.doc_id, d.w, d.h, gx.i as x, gy.i as y, gc.c as c
+  from dims d
+  cross join g gx cross join g gy
+  cross join (values (0), (1), (2)) gc(c)
+  where gx.i < d.w and gy.i < d.h
+)
+select doc_id::bigint as doc_id,
+       w::bigint as width,
+       h::bigint as height,
+       3::bigint as channels,
+       sum((x + 2 * y + 3 * c + doc_id) % 256)::bigint as px_sum
+from px
+group by doc_id, w, h
 """,
     }
 

@@ -637,3 +637,73 @@ def test_dup_clusters_star_and_deep_chain_converge(spark):
     assert by_canon[1] == set(range(1, 600)) | {10_000}
     assert by_canon[20_000] == set(range(20_000, 20_201))
     assert all(r.cluster_size == len(by_canon[r.canonical_id]) for r in out)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Minimal stdlib PNG codec (RFC 2083): every spec filter
+    (None/Sub/Up/Average/Paeth — encoder uses row % 5) must round-trip
+    random rasters bit-exactly, RGB and grayscale."""
+    import numpy as np
+
+    from open_source_search_engine_spark.ops.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5, 3), (12, 31, 3), (5, 1, 3), (9, 4), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = png_decode(png_encode(px))
+        assert np.array_equal(got, px), shape
+
+
+def test_png_decode_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.ops.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    blob = bytearray(png_encode(
+        np.zeros((4, 4, 3), dtype=np.uint8)))
+    blob[40] ^= 0xFF  # flip a byte inside a chunk -> CRC must catch it
+    with _pytest.raises(ValueError):
+        png_decode(bytes(blob))
+
+
+def test_decode_image_pixels_spark(spark):
+    """decode_image_pixels: real IDAT inflate + de-filter inside
+    mapInPandas; undecodable (header-only) payloads yield null dims
+    instead of failing the job."""
+    import numpy as np
+
+    from open_source_search_engine_spark.ops.multimodal import (
+        decode_image_pixels,
+        synth_png_raster_payload,
+        to_binary_payload,
+        to_png_raster_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, f"text {d}") for d in range(1, 21)], "doc_id long, text string")
+    rows = decode_image_pixels(to_png_raster_payload(docs)).collect()
+    assert len(rows) == 20
+    for r in rows:
+        d = r["doc_id"]
+        assert r["format"] == "png"
+        assert r["width"] == d % 16 + 1
+        assert r["height"] == d * 7 % 16 + 1
+        px = np.frombuffer(r["pixels"], np.uint8).reshape(
+            r["height"], r["width"], 3)
+        x = np.arange(r["width"]).reshape(1, -1, 1)
+        y = np.arange(r["height"]).reshape(-1, 1, 1)
+        c = np.arange(3).reshape(1, 1, 3)
+        assert np.array_equal(
+            px, ((x + 2 * y + 3 * c + d) % 256).astype(np.uint8))
+        assert r["px_sum"] == int(px.astype(np.int64).sum())
+    # header-only containers (meta corpus) are not decodable rasters
+    junk = decode_image_pixels(to_binary_payload(docs)).collect()
+    assert all(r["format"] == "undecodable" and r["width"] is None
+               for r in junk)
