@@ -58,6 +58,55 @@ def load_synonyms(mapping: dict[str, tuple[str, ...]], *,
     _table = dict(mapping) if replace else {**_BUILTIN, **mapping}
 
 
+def parse_synset_lines(lines, lang: str = "en"
+                       ) -> dict[str, tuple[str, ...]]:
+    """Parse synset records in the reference's storage format — one
+    ``lang|word1,word2,...`` line per synonym group (Wiktionary.cpp
+    getSynSet returns exactly such lines, e.g. ``en|bushmeat,bushmeats``;
+    the hand-maintained override file ``mysynonyms.txt`` uses the same
+    format). ``#`` comments and blank lines skip; only `lang` rows load.
+
+    Semantics per the reference:
+    - every member of a group aliases every OTHER member (the reference
+      indexes all word forms of the matched synset);
+    - a one-word group is an explicit KILL: it overrides any earlier or
+      built-in synset for that word with "no synonyms" (mysynonyms.txt
+      'en|by' exists precisely to break the bye<->by wiktionary group —
+      Wiktionary.cpp 'try local table first so it overrides');
+    - later lines extend earlier ones (a word may appear in several
+      groups)."""
+    mapping: dict[str, tuple[str, ...]] = {}
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("#") or "|" not in line:
+            continue
+        lg, _, rest = line.partition("|")
+        if lg.strip() != lang:
+            continue
+        words = [w.strip() for w in rest.split(",") if w.strip()]
+        if not words:
+            continue
+        if len(words) == 1:
+            mapping[words[0].lower()] = ()
+            continue
+        for w in words:
+            key = w.lower()
+            others = tuple(x for x in words if x.lower() != key)
+            prev = mapping.get(key, ())
+            mapping[key] = tuple(dict.fromkeys(prev + others))
+    return mapping
+
+
+def load_synset_file(path: str, lang: str = "en", *,
+                     replace: bool = False) -> int:
+    """Load a synset file (mysynonyms.txt / wiktionary-buf format) into
+    the pluggable table. Returns the number of words mapped."""
+    with open(path, encoding="utf-8") as f:
+        mapping = parse_synset_lines(f, lang)
+    load_synonyms(mapping, replace=replace)
+    return len(mapping)
+
+
 # ---------------------------------------------------------------------------
 # SOURCE_GENERATED forms (Synonyms.cpp:408-424): deterministic per-word
 # transforms the reference computes WITHOUT Wiktionary — accent strip

@@ -1256,7 +1256,6 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
     )
 
     pos_groups = cq.positive_groups
-    tids = [int(g.term_ids[0]) for g in pos_groups]
     n = rd.n_docs
     slot_of: dict[int, int] = {}
     for g in pos_groups:
@@ -1264,6 +1263,19 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
     n_req = len(slot_of)
     tfw_of = {t: term_freq_weight(dfs[t], n, conf) for t in slot_of}
     weights = ScoringWeights(conf)
+    # variant sublists: syn termlists map to their group's slot; their
+    # raw u (no syn downweight) and the primary tfw make the bound a
+    # (sound) overestimate — pass 2 applies the exact synW^2
+    tid_slot: dict[int, int] = dict(slot_of)
+    slot_tfw: dict[int, float] = {t: tfw_of[t] for t in slot_of}
+    for g in pos_groups:
+        s = slot_of[int(g.term_ids[0])]
+        for st in g.syn_term_ids:
+            st = int(st)
+            if st not in tid_slot:
+                tid_slot[st] = s
+                slot_tfw[st] = tfw_of[int(g.term_ids[0])]
+    tids = sorted(tid_slot)
 
     seg = rd.segments_for(tids)
     keep_cols = [c for c in ("term_id", "postings", "gen")
@@ -1310,22 +1322,27 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
         schema="term_id long, doc_id long, rank int, u double, gen int")
     u_rows = rd._newest_wins(u_rows)
 
-    stids = sorted(slot_of)
     slot_expr = F.create_map(
-        *[x for t in stids for x in (F.lit(int(t)),
-                                     F.lit(slot_of[t]))])
+        *[x for t in tids for x in (F.lit(int(t)),
+                                    F.lit(tid_slot[t]))])
     w_expr = F.create_map(
-        *[x for t in stids
+        *[x for t in tids
           for x in (F.lit(int(t)),
-                    F.lit(float(tfw_of[t]) ** 2
+                    F.lit(float(slot_tfw[t]) ** 2
                           * float(WIKI_BIGRAM_WEIGHT) ** 2))])
+    # per-SLOT sums first (a slot's merged variant rows add), THEN the
+    # min over slots — min over raw rows would undercut the bound once
+    # a slot holds several sublists
     per_doc = (
         u_rows
         .withColumn("slot", slot_expr[F.col("term_id")])
         .withColumn("u_eff", F.col("u") * w_expr[F.col("term_id")])
+        .groupBy("doc_id", "slot")
+        .agg(F.sum("u_eff").alias("u_slot"),
+             F.first("rank").alias("rank"))
         .groupBy("doc_id")
-        .agg(F.min("u_eff").alias("ub0"),
-             F.countDistinct("slot").alias("cov"),
+        .agg(F.min("u_slot").alias("ub0"),
+             F.count("*").alias("cov"),
              F.first("rank").alias("rank"))
         .where(F.col("cov") == F.lit(n_req))
     )
@@ -1421,7 +1438,24 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                 quote_ids[slot_of[t]] = qi
     weights = ScoringWeights(conf)
 
-    posts = rd.postings(tids, with_positions=True,
+    # variant sublists (PosdbTable.cpp:2879 mergeTermSubListsForDocId):
+    # each group's synonym termlists merge into ONE per-slot position
+    # list before scoring, with the syn flag forced on merged-in variant
+    # postings so the ctx chain applies synW^2 — and a doc may satisfy
+    # a slot via a variant alone. The merged list scores with the
+    # primary term's tfw (the reference's group freq weight).
+    tid_slot: dict[int, int] = dict(slot_of)
+    syn_tids: set[int] = set()
+    for g in pos_groups:
+        s = slot_of[int(g.term_ids[0])]
+        for st in g.syn_term_ids:
+            st = int(st)
+            if st not in tid_slot:
+                tid_slot[st] = s
+                syn_tids.add(st)
+    all_tids = sorted(tid_slot)
+
+    posts = rd.postings(all_tids, with_positions=True,
                         candidate_docs=candidate_docs)
     if cq.negative_groups:
         neg_tids = [g.term_ids[0] for g in cq.negative_groups]
@@ -1467,6 +1501,22 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
             [np.asarray(p, dtype=np.int64) for p in pos_col])
         ctx_all = np.concatenate(
             [np.asarray(c, dtype=np.int64) for c in ctx_col])
+
+        # slot of each row; variant rows get the syn flag forced into
+        # their ctx BEFORE precompute so the kernel's synW^2 applies
+        # (mergeTermSubListsForDocId sets the syn bits on merged lists)
+        stids = np.array(sorted(tid_slot), dtype=np.int64)
+        sslots = np.array([tid_slot[int(t)] for t in stids],
+                          dtype=np.int64)
+        six = np.searchsorted(stids, tid_arr)
+        slot_arr = sslots[np.clip(six, 0, len(stids) - 1)]
+        if syn_tids:
+            syn_sorted = np.array(sorted(syn_tids), dtype=np.int64)
+            row_is_syn = np.isin(tid_arr, syn_sorted)
+            if row_is_syn.any():
+                rep_syn = np.repeat(row_is_syn, lens)
+                ctx_all = np.where(rep_syn, (ctx_all & ~0x3) | 0x2,
+                                   ctx_all)
         pre = precompute_postings(pos_all, ctx_all, weights)
         row_sum = np.add.reduceat(
             pre["s_single"].astype(np.float64), row_off[:-1])
@@ -1477,12 +1527,10 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
         n_docs_b = len(bounds) - 1
         # per-doc sound upper bound (getMaxPossibleScore analog,
         # PosdbTable.cpp:4064 prefilter): the final score is
-        # min-combined, so every term's single-score sum bounds it;
+        # min-combined, so every SLOT's single-score sum bounds it
+        # (sum over the slot's merged rows — min over rows would be
+        # unsound once variants put several rows in one slot);
         # siterank adjustment bounded by the max inlinker rank 15
-        stids = np.array(sorted(slot_of), dtype=np.int64)
-        sslots = np.array([slot_of[t] for t in stids], dtype=np.int64)
-        six = np.searchsorted(stids, tid_arr)
-        slot_arr = sslots[np.clip(six, 0, len(stids) - 1)]
         tfw_of = np.zeros(n_req)
         for t, sidx in slot_of.items():
             tfw_of[sidx] = tfws[sidx]
@@ -1490,8 +1538,12 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                  * float(WIKI_BIGRAM_WEIGHT) ** 2)
         is_start = np.concatenate(([True], doc_arr[1:] != doc_arr[:-1]))
         doc_of_row = np.cumsum(is_start) - 1
-        covered = np.bincount(doc_of_row, minlength=n_docs_b)
-        ub = np.minimum.reduceat(u_row, bounds[:-1])
+        slot_sum = np.zeros((n_docs_b, n_req), dtype=np.float64)
+        np.add.at(slot_sum, (doc_of_row, slot_arr), u_row)
+        slot_seen = np.zeros((n_docs_b, n_req), dtype=bool)
+        slot_seen[doc_of_row, slot_arr] = True
+        covered = slot_seen.sum(axis=1)
+        ub = np.where(slot_seen, slot_sum, np.inf).min(axis=1)
         sr_doc = (rank_arr[bounds[:-1]].astype(np.int64) >> 6)
         lang_doc = rank_arr[bounds[:-1]].astype(np.int64) & 63
         adj = sr_doc + np.maximum(15 - sr_doc, 0) / 3.0
@@ -1517,13 +1569,31 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
             if k is not None and len(heap) >= k and ub[d] < heap[0]:
                 break  # docs are ub-descending: none below can enter
             s, e = bounds[d], bounds[d + 1]
-            terms: list = [None] * n_req
+            rows_by_slot: list[list[int]] = [[] for _ in range(n_req)]
             for r in range(s, e):
-                sidx = slot_of.get(int(tid_arr[r]))
-                if sidx is not None and terms[sidx] is None:
-                    terms[sidx] = termlist_from_slices(
-                        pre, slice(row_off[r], row_off[r + 1]))
-            if any(t is None for t in terms):
+                rows_by_slot[int(slot_arr[r])].append(r)
+            terms: list = []
+            for sidx in range(n_req):
+                rs = rows_by_slot[sidx]
+                if not rs:
+                    terms = None
+                    break
+                if len(rs) == 1:
+                    r0 = rs[0]
+                    terms.append(termlist_from_slices(
+                        pre, slice(row_off[r0], row_off[r0 + 1])))
+                    continue
+                # variant merge: primary sublist first, then syn
+                # sublists by termId (deterministic), positions
+                # re-sorted ascending with stable sublist-order ties
+                # (mergeTermSubListsForDocId)
+                rs.sort(key=lambda r: (int(tid_arr[r]) in syn_tids,
+                                       int(tid_arr[r])))
+                idx = np.concatenate(
+                    [np.arange(row_off[r], row_off[r + 1]) for r in rs])
+                idx = idx[np.argsort(pre["pos"][idx], kind="stable")]
+                terms.append(termlist_from_slices(pre, idx))
+            if terms is None:
                 continue
             sc = score_doc(terms, tfws, qpos, int(sr_doc[d]), weights,
                            wiki_ids=wiki_ids, quote_ids=quote_ids,

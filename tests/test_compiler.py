@@ -188,3 +188,48 @@ def test_morph_synonyms_stopwords_skipped():
     cq = compile_query("the one", synonyms=True)
     the = next(g for g in cq.positive_groups if g.word == "the")
     assert "thes" not in the.syn_words
+
+
+def test_synset_file_ingestion(tmp_path):
+    """Reference synset-format ingestion (Wiktionary.cpp getSynSet line
+    format, same as mysynonyms.txt): group aliasing, comment/blank/lang
+    filtering, one-word kill-override, multi-group extension."""
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synonyms,
+        load_synset_file,
+        parse_synset_lines,
+        synonyms_of,
+    )
+
+    text = """\
+# comment line
+en|love,loved,loving
+en|like,likes
+
+pt|holandesa,holandeses
+en|by
+en|love,lover
+"""
+    m = parse_synset_lines(text.splitlines(), "en")
+    assert m["love"] == ("loved", "loving", "lover")
+    assert m["loved"] == ("love", "loving")
+    assert m["likes"] == ("like",)
+    assert "holandesa" not in m  # lang-filtered
+    assert m["by"] == ()  # one-word kill
+    p = tmp_path / "syns.txt"
+    p.write_text(text, encoding="utf-8")
+    try:
+        n = load_synset_file(str(p))
+        assert n == len(m)
+        assert synonyms_of("LOVE") == ("loved", "loving", "lover")
+        # builtin table still present underneath (merge, not replace)
+        assert "Hypertext Markup Language" in synonyms_of("html")
+        # and a compiled query picks the file-loaded alias up
+        from open_source_search_engine_spark.query.compiler import (
+            compile_query,
+        )
+
+        cq = compile_query("loved", synonyms=True)
+        assert "love" in [w.lower() for w in cq.groups[0].syn_words]
+    finally:
+        load_synonyms({})

@@ -495,3 +495,101 @@ def test_two_pass_routes_and_certifies(ref_two_pass_index, spark,
     assert len(got) == 10
     assert len(calls) >= 1
     assert calls[0] == 80  # max(64, 8k)
+
+
+def test_reference_mode_variant_sublists(spark, small_conf, tmp_path):
+    """VERDICT r2 missing #1 (mergeTermSubListsForDocId,
+    PosdbTable.cpp:2879): in reference mode with synonyms on, a doc
+    matched only via a synonym variant must (a) be returned, and (b)
+    score exactly formula-predicted: the variant posting scores with
+    the syn flag (synW^2 in the ctx chain) and the PRIMARY term's tfw."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synonyms,
+    )
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.executor import search_all
+    from open_source_search_engine_spark.query.refscore import (
+        term_freq_weight,
+    )
+
+    texts = {
+        1: "sort the records quickly",          # primary match
+        2: "order the records quickly",         # synonym-only match
+        3: "sort and order the records",        # both -> merged sublists
+        4: "records without either keyword",
+    }
+    rows = []
+    for did, text in texts.items():
+        rows.append({
+            "url": f"http://v{did}.example/p/{did}.html",
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": f"<html><body><p>{text}</p></body></html>".encode(),
+            "text": text, "lang": "en", "doc_id": did,
+        })
+    d = str(tmp_path / "varidx")
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf, gen=0)
+    load_synonyms({"sort": ("order",)})
+    try:
+        conf = _ref_conf(small_conf)
+        got = {r["doc_id"]: r["score"] for r in
+               search_all(spark, d, "sort", conf=conf,
+                          synonyms=True).collect()}
+        # coverage: doc 2 matches via the variant sublist alone
+        assert set(got) == {1, 2, 3}
+        # formula check for the syn-only doc: same postings scored as
+        # the primary of query 'order', rescaled to the 'sort' tfw and
+        # the synW^2 ctx factor
+        base = {r["doc_id"]: r["score"] for r in
+                search_all(spark, d, "order", conf=conf).collect()}
+        n = 4
+        tfw_sort = term_freq_weight(2, n, conf)   # df('sort') = 2
+        tfw_order = term_freq_weight(2, n, conf)  # df('order') = 2
+        syn2 = float(conf.syn_weight) ** 2
+        want2 = base[2] * (tfw_sort / tfw_order) ** 2 * syn2
+        assert got[2] == pytest.approx(want2, rel=1e-6)
+        # docs 1 and 2 have identically-shaped sentences, so the
+        # primary match must outscore the syn-only match by exactly
+        # 1/synW^2 (the one ctx-chain difference)
+        assert got[1] == pytest.approx(got[2] / syn2, rel=1e-6)
+        # doc 3's merged list holds both variants in ONE body sentence:
+        # one-per-modified-hashgroup keeps only the best posting, at
+        # the 5-word sentence's (lower) density — it scores, but below
+        # the short-sentence docs (reference top-slot semantics)
+        assert 0 < got[3] < got[1]
+    finally:
+        load_synonyms({})
+
+
+def test_two_pass_with_variants_matches_truth(ref_two_pass_index, spark,
+                                              small_conf):
+    """Two-pass candidate plan + variant sublists: a doc reachable only
+    through a synonym must survive pass 1 (slot mapping includes syn
+    termlists) and the result must equal the single-pass ground truth."""
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synonyms,
+    )
+    from open_source_search_engine_spark.query.executor import (
+        search,
+        search_all,
+    )
+
+    load_synonyms({"kiwi": ("mango",)})  # 'kiwi' absent from the corpus
+    try:
+        conf = _two_pass_conf(small_conf)
+        truth = sorted(
+            search_all(spark, ref_two_pass_index, "apple kiwi",
+                       conf=conf, synonyms=True).collect(),
+            key=lambda r: (-r["score"], r["doc_id"]))[:10]
+        assert truth, "synonym coverage produced no matches"
+        got = search(spark, ref_two_pass_index, "apple kiwi", k=10,
+                     conf=conf, synonyms=True).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in truth]
+        for g, t in zip(got, truth):
+            assert g["score"] == t["score"]
+    finally:
+        load_synonyms({})
