@@ -448,9 +448,15 @@ class BlockMeta:
 
 
 def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
-                  meta: BlockMeta | None = None) -> dict:
+                  meta: BlockMeta | None = None,
+                  ctx_only: bool = False) -> dict:
     """Decode the selected blocks (all when block_idx is None) into flat
-    arrays. Skipped blocks cost zero stream decoding (skip pointers)."""
+    arrays. Skipped blocks cost zero stream decoding (skip pointers).
+    ctx_only=True (with with_positions) reads the fixed-width ctx bytes
+    but SKIPS the position varint decode, returning zeros for positions
+    — the reference-scorer candidate pass needs per-posting ctx weights
+    but no positions, and the position stream is the most expensive
+    varint span in the blob."""
     m = meta or BlockMeta(blob)
     buf = m.buf
     if m.n_docs == 0:
@@ -508,13 +514,17 @@ def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
         }
         if with_positions:
             npos_total = int(npos_off[-1])
-            pd_all, _ = _varint_decode(buf, npos_total, pos_base, ctx_base)
-            dstarts = np.zeros(nd, dtype=np.int64)
-            dstarts[1:] = np.cumsum(tf[:-1]).astype(np.int64)
-            csum = np.cumsum(pd_all, dtype=np.uint64)
-            base = np.repeat(np.arange(nd), tf.astype(np.int64))
-            start_csum = csum[dstarts[base]] - pd_all[dstarts[base]]
-            out["positions"] = csum - start_csum
+            if ctx_only:
+                out["positions"] = np.zeros(npos_total, dtype=np.uint64)
+            else:
+                pd_all, _ = _varint_decode(buf, npos_total, pos_base,
+                                           ctx_base)
+                dstarts = np.zeros(nd, dtype=np.int64)
+                dstarts[1:] = np.cumsum(tf[:-1]).astype(np.int64)
+                csum = np.cumsum(pd_all, dtype=np.uint64)
+                base = np.repeat(np.arange(nd), tf.astype(np.int64))
+                start_csum = csum[dstarts[base]] - pd_all[dstarts[base]]
+                out["positions"] = csum - start_csum
             cb = buf[ctx_base: ctx_base + 3 * npos_total] \
                 .reshape(npos_total, 3).astype(np.uint32)
             out["ctxs"] = (cb[:, 0] | (cb[:, 1] << 8)

@@ -167,7 +167,7 @@ _POS_FIELD_BASE = 0  # positions for non-body groups restart at 0
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-INDEX_FORMAT_VERSION = 8
+INDEX_FORMAT_VERSION = 9  # r3: uniform salting + codec v3 block bounds
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,

@@ -1212,8 +1212,12 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
     tids = [int(g.term_ids[0]) for g in pos_groups]
     dfs = rd.df_of(tids)
     # two-pass pays one extra fixed-cost job; worth it only when the
-    # decode volume dominates (big termlists) and a top-k bound exists
-    if (k is not None and not cq.quoted_runs
+    # decode volume dominates (big termlists) and a top-k bound exists.
+    # HF-shortcut substitution already truncates hot termlists to their
+    # champion slice (Msg2.cpp:262-284) — layering the candidate plan on
+    # top only adds jobs, so substituted queries stay single-pass.
+    hf_substituted = any(int(t) in rd.hf_ids for t in tids)
+    if (k is not None and not cq.quoted_runs and not hf_substituted
             and sum(dfs.values())
             >= getattr(conf, "ref_two_pass_min_postings", 100_000)):
         return _search_reference_two_pass(spark, rd, cq, k, conf, dfs)
@@ -1285,7 +1289,7 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
     seg = seg.repartition(par)
 
     def decode_u(iterator):
-        from ..functions.codec import decode_postings
+        from ..functions.codec import decode_blocks
 
         for pdf in iterator:
             out = []
@@ -1293,7 +1297,10 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                         else pd.Series(0, index=pdf.index))
             for term_id, blob, g in zip(pdf["term_id"], pdf["postings"],
                                         gens_col):
-                d = decode_postings(bytes(blob))
+                # ctx-only decode: the bound needs per-posting ctx
+                # weights but no positions — skip the heaviest varint
+                # span in the blob
+                d = decode_blocks(bytes(blob), None, True, ctx_only=True)
                 docs = d["doc_ids"]
                 if not len(docs):
                     continue
@@ -1675,10 +1682,23 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
             inner = eval_node(node.children[0], cand)
             return dom.join(inner, "doc_id", "left_anti")
         if node.op == "OR":
-            out = None
+            # OR over plain TERM children is ONE batched decode (a
+            # single scan + pushdown over all their termIds); only
+            # composite children recurse
+            term_tids = [int(t)
+                         for ch in node.children if ch.op == "TERM"
+                         for t in cq.groups[ch.group_index].term_ids]
+            frames = []
+            if term_tids:
+                frames.append(rd.postings(term_tids,
+                                          candidate_docs=cand)
+                              .select("doc_id"))
             for ch in node.children:
-                m = eval_node(ch, cand)
-                out = m if out is None else out.unionByName(m)
+                if ch.op != "TERM":
+                    frames.append(eval_node(ch, cand))
+            out = frames[0]
+            for m in frames[1:]:
+                out = out.unionByName(m)
             return out.distinct()
         # AND: rarest-first (findCandidateDocIds seeds from the rarest
         # group, PosdbTable.cpp:5374); each evaluated arm's doc set

@@ -71,6 +71,11 @@ def _sentence(doc: int, si: int, nwords: int) -> str:
             words.append(_STOPS[r % len(_STOPS)])
         elif r % 17 == 0:
             words.append(f"rare{r % 5000:04d}")
+        elif r % 11 == 0:
+            # mid-df band (~10% of docs each): flat-ratio multi-term
+            # ANDs over these are non-selective AND non-stopword — the
+            # query shape that exercises the always-on WAND routing
+            words.append(f"topic{r % 50:02d}")
         else:
             words.append(_VOCAB_CORE[r % len(_VOCAB_CORE)])
     return " ".join(words)

@@ -71,6 +71,61 @@ def main() -> int:
           lambda: search(spark, idx, "the of and", k=10, conf=ref,
                          reader=rd).collect())
 
+    # mid-df flat-ratio 3-term AND (~10%-df topic words): non-stopword,
+    # non-selective — the shape that used to fall back to full decode
+    # before uniform salting (VERDICT r2 #1 done-criterion)
+    timed("and3_middf",
+          lambda: search(spark, idx, "topic01 topic02 topic03", k=10,
+                         reader=rd).collect())
+    from open_source_search_engine_spark.query.executor import (
+        multi_wand_stats,
+        numeric_block_stats,
+    )
+
+    wst = multi_wand_stats(spark, idx, "topic01 topic02 topic03", k=10)
+    wand_evidence = {
+        "blocks_total": int(wst["blocks_total"].iloc[0]),
+        "blocks_decoded": int(wst["blocks_decoded"].iloc[0]),
+    }
+
+    # stopword-containing boolean (VERDICT r2 #4 done-criterion:
+    # within 2x of the AND path) — rarest arm seeds candidate pruning
+    # for the stopword decodes
+    timed("bool_stopword",
+          lambda: search(spark, idx, "topic01 AND (the OR of)", k=10,
+                         reader=rd).collect())
+
+    # bounded site-clustered over a degenerate term (VERDICT r2 #5:
+    # never scores the full match set)
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    timed("clustered_degenerate",
+          lambda: search_clustered(spark, idx, "the", k=10,
+                                   reader=rd).collect())
+
+    # numeric range probe + block-skip evidence (VERDICT r2 #6)
+    from open_source_search_engine_spark.query.compiler import (
+        _numeric_tid,
+    )
+    from open_source_search_engine_spark.query.executor import (
+        _numeric_values,
+    )
+
+    vmax = int(_numeric_values(rd, _numeric_tid("warc_ts"))
+               .agg({"value": "max"}).collect()[0][0])
+    timed("numeric_range",
+          lambda: search(spark, idx,
+                         f"gbmin:warc_ts:{vmax - 100}", k=None,
+                         reader=rd).collect())
+    nst = numeric_block_stats(spark, idx, "warc_ts",
+                              lo=float(vmax - 100), hi=None)
+    numeric_evidence = {
+        "blocks_total": int(nst["blocks_total"].iloc[0]),
+        "blocks_decoded": int(nst["blocks_decoded"].iloc[0]),
+    }
+
     # HF-term shortcut path (HighFrequencyTermShortcuts analog): build
     # champion lists for the stopword terms once, re-time the worst case
     from open_source_search_engine_spark.index.shortcuts import (
@@ -100,10 +155,15 @@ def main() -> int:
 
     from open_source_search_engine_spark.functions.gbhash import term_id
 
-    dfs = rd.df_of([term_id("the"), term_id("of"), term_id("and")])
+    dfs = rd.df_of([term_id("the"), term_id("of"), term_id("and"),
+                    term_id("topic01"), term_id("topic02"),
+                    term_id("topic03")])
     out = {"n_docs": n_docs, "cpus": cpus, "queries": timings,
            "term_dfs": {t: int(d) for t, d in
-                        zip(("the", "of", "and"), dfs.values())}}
+                        zip(("the", "of", "and", "topic01", "topic02",
+                             "topic03"), dfs.values())},
+           "middf_wand_blocks": wand_evidence,
+           "numeric_block_skip": numeric_evidence}
     print(json.dumps(out))
     spark.stop()
     return 0
