@@ -42,12 +42,15 @@ Parms.cpp:4067-4167 defaults. All kernels run in float32 matching the
 reference's float op order (scores differ only where C float and IEEE
 numpy float32 differ: nowhere).
 
-Scope notes: each query term group carries ONE posting list (the primary
-termId) — the reference's per-group synonym/bigram sublists merge at
-mini-merge time; our bigram/synonym variants run in BM25 mode only.
-Build-side positions of non-body hash groups restart at 0 rather than
-continuing the document word stream (functions/extractor.py), which the
-FIXED_DISTANCE >50 rule mostly absorbs; documented deviation.
+Scope notes (updated round 3): synonym variant sublists now merge into
+one per-group position list before scoring, with forced syn flags and
+the primary term's tfw (mergeTermSubListsForDocId analog — see
+executor._reference_exact). Build-side positions of non-body hash
+groups continue the document word stream via the shared m_dist cursor
+(index/build.py parse_doc; XmlDoc_Indexing.cpp:2247 `m_dist =
+wposvec[i-1] + 100`). The one remaining position-space deviation:
+incoming-link-text / neighborhood postings are built from the LINKERS'
+parse rows and keep their own space — FIXED_DISTANCE absorbs it.
 """
 
 from __future__ import annotations

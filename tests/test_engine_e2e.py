@@ -630,3 +630,41 @@ def test_boolean_not_and_nested(built, spark, small_conf):
     sh = {r["doc_id"] for r in search_all(spark, built, "shuffle",
                                           conf=small_conf).collect()}
     assert got2 == (sp | pr) - sh
+
+
+def test_nonbody_positions_continue_stream(spark, small_conf, tmp_path):
+    """Non-body hash groups continue the document word stream via the
+    shared dist cursor (XmlDoc_Indexing.cpp:2247: after each hashString
+    pass m_dist = last pos + 100) instead of restarting at 0 — a title
+    posting's positions must sit strictly AFTER every body position."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.compiler import (
+        compile_query,
+    )
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    rows = [{
+        "url": "http://cont.example/p/1.html",
+        "warc_ts": dt.datetime(2024, 1, 1),
+        "html": (b"<html><head><title>zebra unique</title></head>"
+                 b"<body><p>plain body words here zebra</p></body></html>"),
+        "text": "plain body words here zebra", "lang": "en", "doc_id": 1,
+    }]
+    d = str(tmp_path / "contidx")
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf, gen=0)
+    rd = IndexReader(spark, d, small_conf)
+    tid = compile_query("zebra").groups[0].term_ids[0]
+    r = rd.postings([tid], with_positions=True).collect()[0]
+    ctxs = list(r["ctxs"])
+    poss = list(r["positions"])
+    hgs = [(c >> 15) & 0xF for c in ctxs]
+    body_pos = [p for p, h in zip(poss, hgs) if h == 0]
+    title_pos = [p for p, h in zip(poss, hgs) if h == 1]
+    assert body_pos and title_pos
+    # title continues AFTER the body stream with the +100 gap
+    assert min(title_pos) >= max(body_pos) + 99

@@ -382,8 +382,11 @@ def test_multimodal_plumbing(docs):
         assert meta[did]["width"] == did % 640 + 1
         assert meta[did]["height"] == did * 7 % 480 + 1
         assert meta[did]["format"] == ("png" if did % 2 == 0 else "gif")
-    with pytest.raises(NotImplementedError):
-        decode_image_pixels(pay)
+    # header-only containers hold no IDAT raster: the real decoder
+    # (round 3) classifies them undecodable instead of raising — a
+    # 100-TB decode stage must tolerate junk rows without failing
+    px = decode_image_pixels(pay).collect()
+    assert all(r["format"] == "undecodable" for r in px)
 
 
 def test_image_header_parse_roundtrip():
