@@ -58,7 +58,13 @@ class EngineConf:
     # splitting for stopword-heavy postings)
     n_buckets: int = 64          # termId hash buckets (partition pruning unit)
     n_salts: int = 16            # sub-lists for hot terms
-    salt_df_threshold: int = 100_000  # absolute df cap for salting
+    # terms with df above this get per-salt runs (doc_id % n_salts) so
+    # the per-salt WAND serves every mid-df conjunctive query; below it
+    # one SALT_SHARED run (build._effective_salt_min_df scales it down
+    # for tiny corpora). Salting is a perf knob only — the WAND handles
+    # any layout (shared rows fan out + residue-mask).
+    salt_min_df: int = 1000
+    salt_df_threshold: int = 100_000  # legacy knob (r1/r2 hot rule)
     # relative salting floor: a term is hot when df exceeds
     # min(salt_df_threshold, max(1000, salt_df_frac * n_docs)) — adapts
     # the stopword split to corpus size (HighFrequencyTermShortcuts

@@ -166,9 +166,27 @@ CUSTOM_META_TAGS = ("author", "subject", "abstract", "news_keywords")
 # index format version: bump when the set/shape of emitted terms changes
 # (codec blob layout has its own CODEC_VERSION); cached index dirs are
 # keyed on both so builds rerun after a format change
-# r3: uniform salting + codec v3 block bounds (v9); non-body position
-# continuation via the shared m_dist cursor (v10)
-INDEX_FORMAT_VERSION = 10
+# r3: codec v3 block bounds (v9); non-body position continuation via
+# the shared m_dist cursor (v10); threshold salting with SALT_SHARED
+# cold runs + layout-general WAND (v11)
+INDEX_FORMAT_VERSION = 11
+
+
+def _effective_salt_min_df(conf, n_docs: int) -> int:
+    """Salting threshold: df above this splits a termlist into per-salt
+    runs. Low enough that every mid-df term is WAND-routable, floored so
+    tiny test corpora still salt their frequent terms, and capped by
+    corpus size so a 500-doc corpus salts its ~all-docs terms too."""
+    return max(64, min(int(getattr(conf, "salt_min_df", 1000)),
+                       max(1, n_docs // 10)))
+
+
+def _stats_gen_dirs(paths) -> list[str]:
+    base = paths.term_stats
+    if not os.path.isdir(base):
+        return []
+    return sorted(os.path.join(base, d) for d in os.listdir(base)
+                  if d.startswith("gen="))
 
 
 def hash_string_group(tokens, hash_group: int, out_terms, out_pos, out_ctx,
@@ -869,7 +887,12 @@ def anchor_parsed(parsed: DataFrame, max_linkers: int = 3000,
     return joined.mapInPandas(make_anchor_rows(), schema=PARSED_SCHEMA)
 
 
-def make_mini_encoder(n_buckets: int, n_salts: int):
+SALT_SHARED = -1  # salt of an unsalted (cold-term) run: holds docs of
+#                   EVERY residue class; query-side WAND fans such rows
+#                   to all salt groups and residue-masks at use
+
+
+def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
     """mapInPandas body over the PARSED rows (narrow — no posting-row
     shuffle): sorts the partition's postings in numpy and encodes one
     mini-segment blob per (term_id, salt) run — the memtable dump of the
@@ -877,21 +900,31 @@ def make_mini_encoder(n_buckets: int, n_salts: int):
     runs; the wide shuffle then moves ~10x fewer bytes (blobs, not rows)
     and the reduce side is a blob-level k-way merge (posdbMerge_r).
 
-    EVERY term is salted uniformly (salt = doc_id % n_salts, not just
-    hot ones): salt groups are then disjoint doc-residue sub-indexes for
-    ANY query term set, so the multi-term block-max WAND path applies to
-    every conjunctive top-k (VERDICT r2 #1 — mid-df ANDs used to fall
-    back to full decode). A term's absent (term, salt) blob correctly
-    means "no matching docs in that residue class". Cost: a df=k term
-    splits into at most min(k, n_salts) runs; df=1 terms (url/content
-    hashes — the bulk of distinct terms) still produce exactly one."""
+    Salting is a pure PERF knob (threshold df > eff salt_min_df): hot
+    terms split `salt = doc_id % n_salts` so no reducer owns a whole
+    hot termlist; cold terms stay in ONE `SALT_SHARED` run — salting
+    every term (tried mid-round-3) multiplies the mini-run shuffle rows
+    for every term with >1 posting per partition (bigrams, rare words)
+    and cost 2v8 scaling 0.86 -> 0.69. Query-side WAND is
+    layout-GENERAL (executor._search_multi_wand): exact-salt rows are
+    residue-disjoint sub-lists, shared rows fan out to every group with
+    a residue mask — correct for any hot/cold mix, including terms that
+    crossed the threshold across generations."""
+    hot_sorted = np.sort(hot_ids.astype(np.int64))
 
     def encode_mini(iterator):
         arrs = _partition_posting_arrays(list(iterator))
         if arrs is None:
             return
         t, p, c, d, dl, rk = arrs
-        salt = (d % n_salts).astype(np.int64)
+        if len(hot_sorted):
+            ix = np.searchsorted(hot_sorted, t)
+            ixc = np.clip(ix, 0, len(hot_sorted) - 1)
+            is_hot = hot_sorted[ixc] == t
+            salt = np.where(is_hot, d % n_salts,
+                            SALT_SHARED).astype(np.int64)
+        else:
+            salt = np.full(len(t), SALT_SHARED, dtype=np.int64)
         order = np.lexsort((p, d, salt, t))
         yield _encode_runs(t[order], salt[order], d[order], p[order],
                            c[order], dl[order], rk[order], n_buckets)
@@ -1165,6 +1198,23 @@ def build_index(
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
     )
     n_docs = spark.read.parquet(p_docs).count()
+
+    # Hot-term decision uses cumulative df over ALL generations so a
+    # doc's (term, salt) assignment stays stable across incremental
+    # builds. The threshold is LOW (default 1000, scaled down for tiny
+    # corpora) so every mid-df term is salted and WAND-routable; terms
+    # below it stay in one SALT_SHARED run (see make_mini_encoder).
+    prior_stats = [d for d in _stats_gen_dirs(paths) if d != p_stats]
+    all_stats = cur_stats.select("term_id", "df")
+    if prior_stats:
+        all_stats = all_stats.unionByName(
+            spark.read.parquet(*prior_stats).select("term_id", "df"))
+    eff_thresh = _effective_salt_min_df(conf, n_docs)
+    hot_rows = (
+        all_stats.groupBy("term_id").agg(F.sum("df").alias("df"))
+        .where(F.col("df") > eff_thresh).select("term_id").collect()
+    )
+    hot_ids = np.array([r["term_id"] for r in hot_rows], dtype=np.int64)
     t_stats = time.time()
 
     # ---- stage C: mini-segment encode (narrow) + blob-level merge ----
@@ -1177,7 +1227,7 @@ def build_index(
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
         mini = indexed.mapInPandas(
-            make_mini_encoder(conf.n_buckets, conf.n_salts),
+            make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids),
             schema=SEGMENT_SCHEMA)
         if len(todo) < conf.n_buckets:
             mini = mini.where(F.col("bucket").isin(todo))
@@ -1247,10 +1297,12 @@ def build_index(
         "n_terms": int(term_stats.count()),
         "conf": {"n_buckets": conf.n_buckets, "n_salts": conf.n_salts,
                  "salt_df_threshold": conf.salt_df_threshold,
-                 # uniform doc-keyed salting: every (term, salt) blob
-                 # holds exactly the term's docs ≡ salt (mod n_salts) —
-                 # the multi-term WAND gate reads this instead of probing
-                 "salt_all": True},
+                 # salt layout contract for the query-side WAND: rows
+                 # with salt >= 0 hold exactly the term's docs ≡ salt
+                 # (mod n_salts); rows with salt == SALT_SHARED hold a
+                 # full (unsalted) run and must be residue-masked
+                 "salt_scheme": {"version": 2,
+                                 "min_df": int(eff_thresh)}},
         "gens": [gen],
         "secs": {"parse": t_parse - t0, "stats": t_stats - t_parse,
                  "segments": t_seg - t_stats, "total": t_seg - t0},

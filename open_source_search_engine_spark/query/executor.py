@@ -558,18 +558,19 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
 
     # multi-term block-max WAND (PosdbTable.cpp:4494, :4052-4108): the
     # per-salt DAAT bound-pruned intersection instead of decoding every
-    # posting of every term. Since round 3 the build salts EVERY
-    # termlist uniformly (build.make_mini_encoder), so this is the
-    # default plan for ALL conjunctive top-k (VERDICT r2 #1 — mid-df
-    # ANDs no longer full-decode); only extreme-df-ratio queries take
-    # the rarest-first candidate path above. Gated to shapes where
-    # pruning is sound: plain AND, compacted single-gen index, no
-    # negatives/synonyms.
+    # posting of every term. Since round 3 this is the default plan for
+    # ALL conjunctive top-k with at least one salted term (VERDICT r2
+    # #1 — the build salts every term with df > ~1000, and cold terms'
+    # shared runs fan out residue-masked, so mid-df ANDs no longer
+    # full-decode); extreme-df-ratio queries take the rarest-first
+    # candidate path above, and all-cold queries (tiny lists) the plain
+    # decode below. Gated to shapes where pruning is sound: plain AND,
+    # single-gen index, no negatives/synonyms.
     if (k is not None and not selective and len(set(tids)) > 1
             and not neg_groups and not has_syn
             and len(rd.gens) == 1 and rd.tombstones is None
             and all(dfs[t] > 0 for t in tids)
-            and _wand_salts_ok(rd, tids)):
+            and _wand_salts_ok(rd, tids, dfs)):
         wand_runs = [
             [(int(cq.groups[i].term_ids[0]), int(cq.groups[i].qpos))
              for i in run]
@@ -665,13 +666,24 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     return out.limit(k) if k is not None else out
 
 
-def _wand_salts_ok(rd: IndexReader, tids: list[int]) -> bool:
-    """True iff the per-salt WAND grouping is sound for these terms:
-    every (term, salt) blob must hold exactly the term's docs ≡ salt
-    (mod n_salts). Indexes built with uniform salting declare it in meta
-    (conf.salt_all — zero-cost check, no probe job); legacy hot-only
+def _wand_salts_ok(rd: IndexReader, tids: list[int],
+                   dfs: dict[int, int] | None = None) -> bool:
+    """True iff the per-salt WAND plan is applicable. With a
+    salt_scheme (v11+) or salt_all (v9/v10) layout declaration in meta
+    the plan is SOUND for any term mix (shared runs fan out and are
+    residue-masked), so this is purely a worth-it check: at least one
+    query term should be salted (df above the build threshold) —
+    all-cold queries have tiny lists, and fanning every shared blob to
+    every group would do n_salts x the work of a plain decode. Legacy
     indexes fall back to the stats probe `_all_hot_salts`."""
-    if rd.meta.get("conf", {}).get("salt_all", False):
+    c = rd.meta.get("conf", {})
+    scheme = c.get("salt_scheme")
+    if scheme is not None:
+        if dfs is None:
+            return True
+        min_df = int(scheme.get("min_df", 0))
+        return any(int(dfs.get(int(t), 0)) > min_df for t in tids)
+    if c.get("salt_all", False):
         return True
     return _all_hot_salts(rd, tids)
 
@@ -696,7 +708,8 @@ def _all_hot_salts(rd: IndexReader, tids: list[int]) -> bool:
 
 
 def make_wand_group(tids: list[int], idf_map: dict[int, float], k1: float,
-                    b: float, avgdl: float, k: int, stats: bool = False,
+                    b: float, avgdl: float, k: int, n_salts: int = 16,
+                    stats: bool = False,
                     runs: list[list[tuple[int, int]]] | None = None):
     """applyInPandas body for one salt group of a multi-term AND query:
     document-at-a-time block-max WAND over the group's term blobs
@@ -739,46 +752,63 @@ def make_wand_group(tids: list[int], idf_map: dict[int, float], k1: float,
                 / (tf + k1 * (1.0 - b + b * dl / avgdl)))
 
     def wand_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs: dict[int, bytes] = {}
-        metas: dict[int, BlockMeta] = {}
-        for tid, blob in zip(pdf["term_id"], pdf["postings"]):
+        # per-term SUBLISTS [(blob, meta, shared)]: an exact row holds
+        # only docs ≡ salt (mod n_salts); a shared row (cold term, or a
+        # term that crossed the salt threshold across generations) holds
+        # a full run and is residue-masked at use — the grouping is
+        # correct for ANY salt layout (mergeTermSubListsForDocId-style
+        # sublist union per term)
+        subs: dict[int, list] = {}
+        has_shared = ("shared" in pdf.columns)
+        sh_col = (pdf["shared"] if has_shared
+                  else pd.Series(False, index=pdf.index))
+        for tid, blob, sh in zip(pdf["term_id"], pdf["postings"], sh_col):
             t = int(tid)
             bb = bytes(blob)
-            blobs[t] = bb
-            metas[t] = BlockMeta(bb)
+            subs.setdefault(t, []).append((bb, BlockMeta(bb), bool(sh)))
         salt_val = int(pdf["salt"].iloc[0]) if len(pdf) else -1
-        if set(blobs) != tidset:
+        cols = (["doc_id", "score"] if not stats
+                else ["doc_id", "score", "salt", "blocks_total",
+                      "blocks_decoded"])
+        if set(subs) != tidset:
             # a term absent in this salt: no doc here matches the AND
-            cols = (["doc_id", "score"] if not stats
-                    else ["doc_id", "score", "salt", "blocks_total",
-                          "blocks_decoded"])
             return pd.DataFrame(columns=cols)
-        order_t = sorted(tidset, key=lambda t: metas[t].n_docs)
+
+        def est_docs(t):
+            # shared runs hold all residues; ~1/n_salts of them belong
+            # to this group
+            return sum((max(1, m.n_docs // max(n_salts, 1)) if sh
+                        else m.n_docs)
+                       for _, m, sh in subs[t])
+
+        order_t = sorted(tidset, key=est_docs)
         pivot = order_t[0]
         others = order_t[1:]
-        pm = metas[pivot]
-        ubs = {t: block_ubs(t, metas[t]) for t in order_t}
-        blocks_total = sum(metas[t].nblocks for t in order_t)
-        # memo: (term, block) -> decoded arrays; only blocks that survive
-        # pruning enter, and boundary blocks decode exactly once
-        memo: dict[tuple[int, int], dict] = {}
+        ubs = {t: [block_ubs(t, m) for _, m, _ in subs[t]]
+               for t in order_t}
+        blocks_total = sum(m.nblocks for t in order_t
+                           for _, m, _ in subs[t])
+        # memo: (term, sublist, block) -> decoded arrays; only blocks
+        # that survive pruning enter, boundary blocks decode once
+        memo: dict[tuple[int, int, int], dict] = {}
 
-        def get_block(t, bi):
-            key = (t, int(bi))
+        def get_block(t, si, bi):
+            key = (t, int(si), int(bi))
             d = memo.get(key)
             if d is None:
-                d = decode_blocks(blobs[t], [int(bi)], with_pos, metas[t])
+                blob, meta, _ = subs[t][si]
+                d = decode_blocks(blob, [int(bi)], with_pos, meta)
                 if with_pos:
                     tf64 = d["tfs"].astype(np.int64)
                     d["pstart"] = np.concatenate(([0], np.cumsum(tf64[:-1])))
                 memo[key] = d
             return d
 
-        def doc_positions(t, bi_arr, row_ix):
-            """Per-doc position arrays of term t at rows (block, local)."""
+        def doc_positions(t, sub_ix, bi_arr, row_ix):
+            """Per-doc position arrays of t at (sublist, block, row)."""
             out = []
-            for bj, li in zip(bi_arr, row_ix):
-                d = get_block(t, bj)
+            for sj, bj, li in zip(sub_ix, bi_arr, row_ix):
+                d = get_block(t, int(sj), int(bj))
                 s = int(d["pstart"][li])
                 e = s + int(d["tfs"][li])
                 out.append(d["positions"][s:e].astype(np.int64))
@@ -787,99 +817,132 @@ def make_wand_group(tids: list[int], idf_map: dict[int, float], k1: float,
         heap: list[float] = []
         out_docs: list[np.ndarray] = []
         out_scores: list[np.ndarray] = []
-        base = pm.block_base.astype(np.uint64)
-        for bi in range(pm.nblocks):
-            lo = base[bi]
-            hi = base[bi + 1] if bi + 1 < pm.nblocks else None
-            # combined upper bound: pivot block ub + per-term max ub of
-            # the blocks covering this docId range (none covering -> no
-            # doc can satisfy the AND -> skip outright)
-            ub = float(ubs[pivot][bi])
-            dead = False
-            for t in others:
-                tb = metas[t].block_base.astype(np.uint64)
-                # blocks intersecting [lo, hi): block j covers
-                # [tb[j], tb[j+1]); first candidate is the last block
-                # starting <= lo, last is the last starting < hi
-                s = int(np.searchsorted(tb, lo, side="right")) - 1
-                s = max(s, 0)
-                e = (int(np.searchsorted(tb, hi, side="left"))
-                     if hi is not None else metas[t].nblocks)
-                if e <= s:
-                    dead = True
-                    break
-                ub += float(ubs[t][s:e].max())
-            if dead:
-                continue
-            if len(heap) >= k and ub < heap[0]:
-                continue  # block-max prune: cannot beat the k-th score
-            d = get_block(pivot, bi)
-            docs = d["doc_ids"].astype(np.uint64)
-            scores = bm25_arr(pivot, d["tfs"], d["doclens"])
-            alive = np.ones(len(docs), dtype=bool)
-            # per-term (block, local-row) locator for the phrase check
-            loc = {pivot: (np.full(len(docs), bi, dtype=np.int64),
-                           np.arange(len(docs), dtype=np.int64))}
-            for t in others:
-                if not alive.any():
-                    break
-                cand = docs[alive]
-                bsel = blocks_for_candidates(metas[t], cand)
-                if len(bsel) == 0:
-                    alive[:] = False
-                    break
-                parts = [get_block(t, int(bj)) for bj in bsel]
-                tdocs = np.concatenate(
-                    [p["doc_ids"] for p in parts]).astype(np.uint64)
-                ttf = np.concatenate([p["tfs"] for p in parts])
-                tdl = np.concatenate([p["doclens"] for p in parts])
-                ix = np.searchsorted(tdocs, docs)
-                ixc = np.clip(ix, 0, len(tdocs) - 1)
-                present = tdocs[ixc] == docs
-                alive &= present
-                ts = bm25_arr(t, ttf, tdl)
-                scores = np.where(present, scores + ts[ixc], scores)
-                if with_pos:
-                    # map flat concat index back to (block, local row)
-                    counts = np.fromiter(
-                        (len(p["doc_ids"]) for p in parts),
-                        dtype=np.int64, count=len(parts))
-                    coff = np.concatenate(([0], np.cumsum(counts)))
-                    which = np.searchsorted(coff, ixc, side="right") - 1
-                    loc[t] = (np.asarray(bsel, dtype=np.int64)[which],
-                              ixc - coff[which])
-            if with_pos and alive.any():
-                live_ix = np.flatnonzero(alive)
-                pos_cache = {
-                    t: doc_positions(t, loc[t][0][live_ix],
-                                     loc[t][1][live_ix])
-                    for t in {tt for run in runs for tt, _ in run}
-                }
-                for li, di in enumerate(live_ix):
-                    ok = True
-                    for run in runs:
-                        t0, q0 = run[0]
-                        cand_p = pos_cache[t0][li]
-                        for t2, q2 in run[1:]:
+        for psi, (pblob, pm, pshared) in enumerate(subs[pivot]):
+            base = pm.block_base.astype(np.uint64)
+            for bi in range(pm.nblocks):
+                lo = base[bi]
+                hi = base[bi + 1] if bi + 1 < pm.nblocks else None
+                # combined upper bound: pivot block ub + per-term max ub
+                # over every sublist's blocks covering this docId range
+                # (no sublist covering -> no doc can satisfy the AND)
+                ub = float(ubs[pivot][psi][bi])
+                dead = False
+                for t in others:
+                    best = None
+                    for si, (_, m, _) in enumerate(subs[t]):
+                        tb = m.block_base.astype(np.uint64)
+                        s = max(int(np.searchsorted(tb, lo,
+                                                    side="right")) - 1, 0)
+                        e = (int(np.searchsorted(tb, hi, side="left"))
+                             if hi is not None else m.nblocks)
+                        if e > s:
+                            mx = float(ubs[t][si][s:e].max())
+                            best = mx if best is None else max(best, mx)
+                    if best is None:
+                        dead = True
+                        break
+                    ub += best
+                if dead:
+                    continue
+                if len(heap) >= k and ub < heap[0]:
+                    continue  # block-max prune: can't beat k-th score
+                d = get_block(pivot, psi, bi)
+                docs = d["doc_ids"].astype(np.uint64)
+                rows_loc = np.arange(len(docs), dtype=np.int64)
+                if pshared and salt_val >= 0 and n_salts > 1:
+                    mask = (docs % np.uint64(n_salts)) \
+                        == np.uint64(salt_val)
+                    docs = docs[mask]
+                    rows_loc = rows_loc[mask]
+                if not len(docs):
+                    continue
+                scores = bm25_arr(pivot, d["tfs"][rows_loc],
+                                  d["doclens"][rows_loc])
+                alive = np.ones(len(docs), dtype=bool)
+                # per-term (sublist, block, row) locator for phrases
+                loc = {pivot: (np.full(len(docs), psi, dtype=np.int64),
+                               np.full(len(docs), bi, dtype=np.int64),
+                               rows_loc)}
+                for t in others:
+                    if not alive.any():
+                        break
+                    cand = docs[alive]
+                    present = np.zeros(len(docs), dtype=bool)
+                    tscore = np.zeros(len(docs), dtype=np.float64)
+                    l_si = np.zeros(len(docs), dtype=np.int64)
+                    l_bi = np.zeros(len(docs), dtype=np.int64)
+                    l_ri = np.zeros(len(docs), dtype=np.int64)
+                    for si, (_, m, _) in enumerate(subs[t]):
+                        bsel = blocks_for_candidates(m, cand)
+                        if len(bsel) == 0:
+                            continue
+                        parts = [get_block(t, si, int(bj))
+                                 for bj in bsel]
+                        tdocs = np.concatenate(
+                            [p["doc_ids"] for p in parts]) \
+                            .astype(np.uint64)
+                        ttf = np.concatenate([p["tfs"] for p in parts])
+                        tdl = np.concatenate(
+                            [p["doclens"] for p in parts])
+                        ix = np.searchsorted(tdocs, docs)
+                        ixc = np.clip(ix, 0, len(tdocs) - 1)
+                        pres = (tdocs[ixc] == docs) & ~present
+                        if not pres.any():
+                            continue
+                        ts = bm25_arr(t, ttf, tdl)
+                        tscore = np.where(pres, ts[ixc], tscore)
+                        if with_pos:
+                            counts = np.fromiter(
+                                (len(p["doc_ids"]) for p in parts),
+                                dtype=np.int64, count=len(parts))
+                            coff = np.concatenate(
+                                ([0], np.cumsum(counts)))
+                            which = np.searchsorted(
+                                coff, ixc, side="right") - 1
+                            bsel_arr = np.asarray(bsel, dtype=np.int64)
+                            l_si = np.where(pres, si, l_si)
+                            l_bi = np.where(pres, bsel_arr[which], l_bi)
+                            l_ri = np.where(pres, ixc - coff[which],
+                                            l_ri)
+                        present |= pres
+                    alive &= present
+                    scores = np.where(present, scores + tscore, scores)
+                    if with_pos:
+                        loc[t] = (l_si, l_bi, l_ri)
+                if with_pos and alive.any():
+                    live_ix = np.flatnonzero(alive)
+                    pos_cache = {
+                        t: doc_positions(t, loc[t][0][live_ix],
+                                         loc[t][1][live_ix],
+                                         loc[t][2][live_ix])
+                        for t in {tt for run in runs for tt, _ in run}
+                    }
+                    for li, di in enumerate(live_ix):
+                        ok = True
+                        for run in runs:
+                            t0, q0 = run[0]
+                            cand_p = pos_cache[t0][li]
+                            for t2, q2 in run[1:]:
+                                if len(cand_p) == 0:
+                                    break
+                                cand_p = cand_p[np.isin(
+                                    cand_p + (q2 - q0),
+                                    pos_cache[t2][li])]
                             if len(cand_p) == 0:
+                                ok = False
                                 break
-                            cand_p = cand_p[np.isin(
-                                cand_p + (q2 - q0), pos_cache[t2][li])]
-                        if len(cand_p) == 0:
-                            ok = False
-                            break
-                    if not ok:
-                        alive[di] = False
-            if not alive.any():
-                continue
-            sv = scores[alive]
-            for v in sv:
-                if len(heap) < k:
-                    heapq.heappush(heap, float(v))
-                elif v > heap[0]:
-                    heapq.heapreplace(heap, float(v))
-            out_docs.append(docs[alive].astype(np.int64))
-            out_scores.append(sv)
+                        if not ok:
+                            alive[di] = False
+                if not alive.any():
+                    continue
+                sv = scores[alive]
+                for v in sv:
+                    if len(heap) < k:
+                        heapq.heappush(heap, float(v))
+                    elif v > heap[0]:
+                        heapq.heapreplace(heap, float(v))
+                out_docs.append(docs[alive].astype(np.int64))
+                out_scores.append(sv)
         if out_docs:
             docs_all = np.concatenate(out_docs)
             scores_all = np.concatenate(out_scores)
@@ -902,21 +965,42 @@ def make_wand_group(tids: list[int], idf_map: dict[int, float], k1: float,
     return wand_group
 
 
+def _wand_seg_frame(rd: IndexReader, tids: list[int], n_salts: int
+                    ) -> DataFrame:
+    """Segment rows prepared for per-salt grouping: exact rows
+    (salt >= 0) keep their group; shared rows (SALT_SHARED cold runs)
+    fan out to EVERY group with a `shared` flag so the group body can
+    residue-mask them — correct for any hot/cold salt layout."""
+    seg = rd.segments_for(tids).select("term_id", "salt", "postings")
+    return (
+        seg.withColumn("shared", F.col("salt") < 0)
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("shared"),
+                       F.array(*[F.lit(s) for s in range(n_salts)]))
+                .otherwise(F.array(F.col("salt")))))
+    )
+
+
 def _search_multi_wand(spark, rd: IndexReader, tids: list[int],
                        dfs: dict[int, int], k: int, conf: EngineConf,
                        runs: list[list[tuple[int, int]]] | None = None
                        ) -> DataFrame:
-    """Multi-term top-k AND via per-salt DAAT block-max WAND. Sound
-    because the salt assignment is doc-keyed (salt = doc_id % n_salts,
-    build.make_mini_encoder) and identical for every hot term, so salt
-    groups are disjoint complete sub-indexes; the reference's per-shard
-    top-k merge (Msg3a) becomes a 16-way group-map + global top-k."""
+    """Multi-term top-k AND via per-salt DAAT block-max WAND. Sound for
+    any salt layout: exact (term, salt) rows hold exactly the term's
+    docs ≡ salt (mod n_salts, doc-keyed — build.make_mini_encoder),
+    shared rows fan out and are residue-masked in the group body, so
+    salt groups are always disjoint complete sub-indexes; the
+    reference's per-shard top-k merge (Msg3a) becomes an n_salts-way
+    group-map + global top-k."""
     if any(dfs[t] == 0 for t in tids):
         return spark.createDataFrame([], "doc_id long, score double")
     idf_map = {int(t): bm25_idf(rd.n_docs, dfs[t]) for t in tids}
-    seg = rd.segments_for(tids).select("term_id", "salt", "postings")
+    n_salts = rd.meta.get("conf", {}).get("n_salts", rd.conf.n_salts)
+    seg = _wand_seg_frame(rd, tids, n_salts)
     fn = make_wand_group(tids, idf_map, conf.k1, conf.b, rd.avgdl, k,
-                         runs=runs)
+                         n_salts=n_salts, runs=runs)
     rows = seg.groupBy("salt").applyInPandas(
         fn, schema="doc_id long, score double")
     return rows.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
@@ -932,14 +1016,15 @@ def multi_wand_stats(spark, index_dir: str, query: str, k: int = 10,
     tids = [g.term_ids[0] for g in cq.positive_groups]
     dfs = rd.df_of(tids)
     idf_map = {int(t): bm25_idf(rd.n_docs, dfs[t]) for t in tids}
-    seg = rd.segments_for(tids).select("term_id", "salt", "postings")
+    n_salts = rd.meta.get("conf", {}).get("n_salts", rd.conf.n_salts)
+    seg = _wand_seg_frame(rd, tids, n_salts)
     wand_runs = [
         [(int(cq.groups[i].term_ids[0]), int(cq.groups[i].qpos))
          for i in run]
         for run in cq.quoted_runs
     ] or None
     fn = make_wand_group(tids, idf_map, conf.k1, conf.b, rd.avgdl, k,
-                         stats=True, runs=wand_runs)
+                         n_salts=n_salts, stats=True, runs=wand_runs)
     rows = seg.groupBy("salt").applyInPandas(
         fn, schema=("doc_id long, score double, salt int,"
                     " blocks_total long, blocks_decoded long"))

@@ -270,3 +270,54 @@ def test_encode_postings_many_byte_identical():
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g == w
+
+
+@given(st.integers(1, 400), st.integers(0, 2 ** 32))
+@settings(max_examples=30, deadline=None)
+def test_v3_block_bounds_property(n_docs, seed):
+    """codec v3 per-block summaries must match a brute-force recompute:
+    bctx packs the block's hashgroup mask + max den/div/spam ranks,
+    bmin_pos/bmax_pos the block's position-value range."""
+    from open_source_search_engine_spark.functions.codec import (
+        BLOCK,
+        BlockMeta,
+        pack_block_ctx,
+        unpack_block_ctx,
+    )
+
+    rng = np.random.default_rng(seed)
+    arrs = make_postings(rng, n_docs)
+    doc_ids, tfs, dls, poss, ctxs, ranks = arrs
+    meta = BlockMeta(encode_postings(*arrs))
+    pos_cum = np.concatenate(([0], np.cumsum(tfs)))
+    for bi in range(meta.nblocks):
+        s, e = bi * BLOCK, min((bi + 1) * BLOCK, n_docs)
+        ps, pe = int(pos_cum[s]), int(pos_cum[e])
+        if pe == ps:
+            continue
+        assert int(meta.bctx[bi]) == pack_block_ctx(ctxs[ps:pe])
+        assert int(meta.bmin_pos[bi]) == int(poss[ps:pe].min())
+        assert int(meta.bmax_pos[bi]) == int(poss[ps:pe].max())
+        mask, mden, mdiv, mspam = unpack_block_ctx(
+            meta.bctx[bi:bi + 1])
+        c = ctxs[ps:pe].astype(np.uint32)
+        assert int(mden[0]) == int(((c >> 10) & 0x1F).max())
+        assert int(mdiv[0]) == int(((c >> 6) & 0xF).max())
+        assert int(mspam[0]) == int(((c >> 2) & 0xF).max())
+
+
+@given(st.integers(1, 16), st.integers(1, 48), st.integers(0, 2 ** 32),
+       st.booleans())
+@settings(max_examples=40, deadline=None)
+def test_png_codec_property(h, w, seed, gray):
+    """Stdlib PNG codec round-trips arbitrary rasters bit-exactly
+    through every filter the encoder emits (row % 5 covers all five)."""
+    from open_source_search_engine_spark.ops.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(px)), px)

@@ -29,7 +29,10 @@ def _corpus(spark):
         # every doc has alpha+beta+gamma with varying tf so BM25 varies
         body = ("alpha " * (1 + d % 7) + "beta " * (1 + d % 5)
                 + "gamma " * (1 + d % 3)
-                + " ".join(fillers[: 1 + d % len(fillers)]))
+                + " ".join(fillers[: 1 + d % len(fillers)])
+                # cold term (df = 50 < the ~130 salt threshold at this
+                # corpus size): exercises the shared-run WAND sublists
+                + (" coldword" if d % 26 == 0 else ""))
         rows.append({
             "url": f"http://h{d % 9}.example/w/{d}.html",
             "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(minutes=d),
@@ -154,10 +157,11 @@ def test_wand_prunes_blocks_on_skewed_scores(spark, small_conf,
 
 def test_mixed_hot_cold_uses_wand(wand_index, spark, small_conf,
                                   monkeypatch):
-    """Round 3: every termlist is salted uniformly, so a mixed-df AND
-    ('quartz' df ~2/7 of corpus, 'alpha' df = corpus) routes through the
-    per-salt WAND instead of the full-decode fallback (VERDICT r2 #1) —
-    and still returns the exact top-k."""
+    """Round 3: the salt threshold is low (~corpus/10 here), so a
+    mixed-df AND ('quartz' df ~2/7 of corpus, 'alpha' df = corpus —
+    both salted) routes through the per-salt WAND instead of the
+    full-decode fallback (VERDICT r2 #1) — and still returns the exact
+    top-k."""
     import open_source_search_engine_spark.query.executor as ex
 
     called = {}
@@ -176,14 +180,17 @@ def test_mixed_hot_cold_uses_wand(wand_index, spark, small_conf,
     _assert_topk_equiv(got, full, 10)
 
 
-def test_salt_all_gate_reads_meta(wand_index, spark, small_conf):
-    """salt_all indexes skip the per-query stats probe entirely."""
+def test_salt_scheme_gate_reads_meta(wand_index, spark, small_conf):
+    """salt_scheme indexes skip the per-query stats probe entirely; the
+    gate is a worth-it check (>=1 salted term by df)."""
     rd = IndexReader(spark, wand_index, small_conf)
-    assert rd.meta["conf"]["salt_all"] is True
+    scheme = rd.meta["conf"]["salt_scheme"]
+    assert scheme["version"] == 2 and scheme["min_df"] >= 64
     from open_source_search_engine_spark.query.executor import \
         _wand_salts_ok
 
-    assert _wand_salts_ok(rd, [1, 2, 3])
+    assert _wand_salts_ok(rd, [1, 2], {1: scheme["min_df"] + 1, 2: 1})
+    assert not _wand_salts_ok(rd, [1, 2], {1: 5, 2: 1})  # all cold
 
 
 def test_clustered_bounded_matches_full(wand_index, spark, small_conf):
@@ -205,3 +212,29 @@ def test_clustered_bounded_matches_full(wand_index, spark, small_conf):
     got_all = search_clustered(spark, wand_index, "alpha beta", k=50,
                                max_per_site=1, conf=small_conf).collect()
     assert [r["doc_id"] for r in got_all] == [r["doc_id"] for r in full[:50]]
+
+
+def test_wand_cold_shared_sublists(wand_index, spark, small_conf,
+                                   monkeypatch):
+    """A salted + cold (unsalted SALT_SHARED run) mix must still route
+    through WAND when the df ratio is non-selective: 'quartz' (df≈371,
+    salted) AND 'coldword' (df=50, cold — ratio 7.4 < 10x). The cold
+    term's shared blob fans out to every salt group, is residue-masked
+    when it pivots, and the result matches the full-decode truth."""
+    import open_source_search_engine_spark.query.executor as ex
+
+    called = {}
+    orig = ex._search_multi_wand
+
+    def spy(*a, **kw):
+        called["wand"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ex, "_search_multi_wand", spy)
+    got = ex.search(spark, wand_index, "quartz coldword", k=10,
+                    conf=small_conf).collect()
+    assert called.get("wand"), "salted+cold AND did not route via WAND"
+    full = search_all(spark, wand_index, "quartz coldword",
+                      conf=small_conf).collect()
+    assert len(full) > 0
+    _assert_topk_equiv(got, full, 10)
