@@ -257,6 +257,59 @@ def q_search_synonym_morph(spark, sf_dir):
     )
 
 
+def q_search_synonym_synset(spark, sf_dir):
+    """Synset-FILE ingestion end-to-end (Wiktionary.cpp getSynSet line
+    format, also used by the hand-override mysynonyms.txt): a
+    ``lang|w1,w2`` file is parsed — comment and wrong-language lines
+    skipped, every group member aliasing every other — installed into
+    the pluggable table, and the query expands through it exactly like
+    search_synonym. Pins parse_synset_lines + load_synset_file on the
+    driver contract (round-3 addition)."""
+    import tempfile
+
+    from open_source_search_engine_spark.functions.synonyms import (
+        load_synset_file,
+    )
+    from open_source_search_engine_spark.query.executor import search_all
+
+    with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", delete=False, encoding="utf-8") as f:
+        f.write("# wiktionary-buf format: lang|member,member,...\n"
+                "fr|sort,trier\n"          # wrong lang: must not load
+                "en|sort,order\n")
+        path = f.name
+    load_synset_file(path, lang="en")
+    os.unlink(path)
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_all(spark, d, "sort", synonyms=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
+def q_search_reference(spark, sf_dir):
+    """Reference-scorer path (PosdbTable.cpp mini-merge -> single/pair
+    ctx scoring -> sliding window -> siterank/lang multipliers) run
+    end-to-end over the driver corpus with k=None. No oracle_sql twin
+    (rows-only driver check): the ranking is a float formula chain, and
+    even the match SET is not SQL-expressible — the reference skips any
+    doc whose min-combined score is <= 0 (PosdbTable.cpp minScore
+    check), e.g. docs whose only hit for a term sits in a zero-weight
+    context, so the result is a formula-dependent subset of the AND
+    membership. The float goldens and the two-pass byte-identity are
+    pytest-pinned (tests/test_refscore.py)."""
+    from open_source_search_engine_spark.config import EngineConf
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    rconf = EngineConf(scorer="reference")
+    return (
+        search_all(spark, d, "key window stream", conf=rconf)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 def q_search_incremental(spark, sf_dir):
     """Docs matching the re-crawl-only token on the generational index
     (gen1 re-crawl visible, newest-wins)."""
@@ -875,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_field_site": q_search_field_site,
         "search_synonym": q_search_synonym,
         "search_synonym_morph": q_search_synonym_morph,
+        "search_synonym_synset": q_search_synonym_synset,
+        "search_reference": q_search_reference,
         "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
         "search_topk_wand": q_search_topk_wand,
@@ -1144,6 +1199,25 @@ cross join corpus
 where tf.tok in ('column')
 group by tf.doc_id
 """,
+        # synset-file path installs the same sort<->order alias the
+        # pluggable-table entry uses, so the expected scores are the
+        # identical BM25+syn-weight formula
+        "search_synonym_synset": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id,
+       round(sum((case when tf.tok = 'order'
+                       then 0.9::double * 0.9::double else 1.0 end)
+                 * ({_bm25_score()})), 6) as score
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('sort', 'order')
+group by tf.doc_id
+""",
+        # (search_reference intentionally has NO oracle_sql entry: the
+        # reference scorer's minScore<=0 skip makes even the match set
+        # formula-dependent — rows-only driver check; see the
+        # q_search_reference docstring)
         "search_site_clustered": f"""{_bm25_cte()},
 scored as (
   select tf.doc_id as doc_id, sum({_bm25_score()}) as score

@@ -175,73 +175,99 @@ def encode_postings(
     if nd == 0:
         return b"".join(p.tobytes() for p in parts)
 
-    blocks = _block_slices(nd)
-    nb = len(blocks)
+    # Fully vectorized across blocks, and ONE varint encode per region
+    # (meta span, stream span) instead of one per array/block — the
+    # per-call numpy fixed cost dominated the build's merge loop on
+    # tiny blobs and the per-block python loop dominated big ones.
+    # Byte output is identical to the per-array formulation (varints
+    # are self-delimiting; concatenation order IS the format).
+    nb = (nd + BLOCK - 1) // BLOCK
+    bstarts = np.arange(0, nd, BLOCK, dtype=np.int64)
+    counts = np.minimum(BLOCK, nd - bstarts)
+    bends = bstarts + counts
 
     # doc deltas with per-block reset against block_base
     deltas = np.empty(nd, dtype=np.uint64)
     deltas[0] = 0
     deltas[1:] = doc_ids[1:] - doc_ids[:-1]
-    block_base = np.array([doc_ids[s] for s, _ in blocks], dtype=np.uint64)
-    for s, _ in blocks:
-        deltas[s] = 0  # block_base carries the absolute value
+    deltas[bstarts] = 0  # block_base carries the absolute value
+    block_base = doc_ids[bstarts]
 
     # position deltas, reset at each doc start
     pos = positions.astype(np.uint64)
-    npos_total = int(tfs.sum())
+    pos_cum = np.zeros(nd + 1, dtype=np.int64)
+    pos_cum[1:] = np.cumsum(tfs).astype(np.int64)
+    npos_total = int(pos_cum[-1])
     if npos_total:
         pdelta = np.empty(npos_total, dtype=np.uint64)
         pdelta[0] = pos[0]
         pdelta[1:] = pos[1:] - pos[:-1]
-        doc_starts = np.zeros(nd, dtype=np.int64)
-        doc_starts[1:] = np.cumsum(tfs[:-1]).astype(np.int64)
+        doc_starts = pos_cum[:nd]
         pdelta[doc_starts] = pos[doc_starts]
     else:
         pdelta = np.empty(0, dtype=np.uint64)
 
-    # per-block stats + stream byte lengths
-    pos_cum = np.zeros(nd + 1, dtype=np.int64)
-    pos_cum[1:] = np.cumsum(tfs).astype(np.int64)
-    d_len = _varint_nbytes(deltas)
-    t_len = _varint_nbytes(tfs)
-    l_len = _varint_nbytes(doclens)
-    r_len = _varint_nbytes(ranks)
-    p_len = _varint_nbytes(pdelta) if npos_total else np.empty(0, dtype=np.int64)
+    # stream values in final layout: docs | per-block (tf*, dl*, rank*)
+    # | pos — built once so byte lengths come from one _varint_nbytes
+    cc = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=cc[1:])
+    within = np.arange(nd, dtype=np.int64) - np.repeat(cc[:-1], counts)
+    base3 = np.repeat(3 * cc[:-1], counts)
+    c_rep = np.repeat(counts, counts)
+    tfdl_vals = np.empty(3 * nd, dtype=np.uint64)
+    tfdl_vals[base3 + within] = tfs
+    tfdl_vals[base3 + c_rep + within] = doclens
+    tfdl_vals[base3 + 2 * c_rep + within] = ranks
+    stream_vals = np.concatenate([deltas, tfdl_vals, pdelta])
+    s_len = _varint_nbytes(stream_vals)
 
-    bmax_tf = np.empty(nb, dtype=np.uint64)
-    bmin_dl = np.empty(nb, dtype=np.uint64)
-    doc_bytes = np.empty(nb, dtype=np.uint64)
-    tfdl_bytes = np.empty(nb, dtype=np.uint64)
-    pos_bytes = np.empty(nb, dtype=np.uint64)
-    npos_blk = np.empty(nb, dtype=np.uint64)
+    # per-block stats + stream byte lengths (reduceat over block starts)
+    bmax_tf = np.maximum.reduceat(tfs, bstarts)
+    bmin_dl = np.minimum.reduceat(doclens, bstarts)
+    doc_bytes = np.add.reduceat(s_len[:nd], bstarts).astype(np.uint64)
+    tfdl_bytes = np.add.reduceat(s_len[nd:4 * nd],
+                                 3 * cc[:-1]).astype(np.uint64)
+    npos_blk = (pos_cum[bends] - pos_cum[bstarts]).astype(np.uint64)
     bctx = np.zeros(nb, dtype=np.uint64)
     bmin_pos = np.zeros(nb, dtype=np.uint64)
     bmax_pos = np.zeros(nb, dtype=np.uint64)
-    for bi, (s, e) in enumerate(blocks):
-        bmax_tf[bi] = tfs[s:e].max()
-        bmin_dl[bi] = doclens[s:e].min()
-        doc_bytes[bi] = d_len[s:e].sum()
-        tfdl_bytes[bi] = t_len[s:e].sum() + l_len[s:e].sum() + r_len[s:e].sum()
-        ps, pe = pos_cum[s], pos_cum[e]
-        pos_bytes[bi] = p_len[ps:pe].sum() if npos_total else 0
-        npos_blk[bi] = pe - ps
-        if pe > ps:
-            bctx[bi] = pack_block_ctx(ctxs[ps:pe])
-            bmin_pos[bi] = pos[ps:pe].min()
-            bmax_pos[bi] = pos[ps:pe].max()
-
-    for arr in (block_base, bmax_tf, bmin_dl, doc_bytes, tfdl_bytes,
-                pos_bytes, npos_blk, bctx, bmin_pos, bmax_pos):
-        parts.append(_varint_encode(arr))
-
-    # streams: docs, then per-block (tf*, dl*, rank*), then pos, then ctx
-    parts.append(_varint_encode(deltas))
-    for s, e in blocks:
-        parts.append(_varint_encode(tfs[s:e]))
-        parts.append(_varint_encode(doclens[s:e]))
-        parts.append(_varint_encode(ranks[s:e]))
+    pos_bytes = np.zeros(nb, dtype=np.uint64)
     if npos_total:
-        parts.append(_varint_encode(pdelta))
+        # guard reduceat against empty blocks (npos == 0): clip the
+        # start index and zero-mask the result afterwards
+        pstarts = np.minimum(pos_cum[bstarts], npos_total - 1)
+        nonempty = npos_blk > 0
+        p_len = s_len[4 * nd:]
+        pos_bytes = np.where(
+            nonempty, np.add.reduceat(p_len, pstarts), 0).astype(np.uint64)
+        c32 = ctxs.astype(np.uint32)
+        hg_bit = (np.uint32(1) << ((c32 >> 15) & 0xF)).astype(np.uint32)
+        mask = np.bitwise_or.reduceat(hg_bit, pstarts).astype(np.uint64)
+        den = np.maximum.reduceat(
+            ((c32 >> 10) & 0x1F).astype(np.uint64), pstarts)
+        div = np.maximum.reduceat(
+            ((c32 >> 6) & 0xF).astype(np.uint64), pstarts)
+        spam = np.maximum.reduceat(
+            ((c32 >> 2) & 0xF).astype(np.uint64), pstarts)
+        bctx = np.where(
+            nonempty,
+            (mask & np.uint64(0xFFFF)) << np.uint64(13)
+            | den << np.uint64(8) | div << np.uint64(4) | spam,
+            0).astype(np.uint64)
+        bmin_pos = np.where(nonempty,
+                            np.minimum.reduceat(pos, pstarts),
+                            0).astype(np.uint64)
+        bmax_pos = np.where(nonempty,
+                            np.maximum.reduceat(pos, pstarts),
+                            0).astype(np.uint64)
+
+    meta_vals = np.concatenate([
+        block_base.astype(np.uint64), bmax_tf.astype(np.uint64),
+        bmin_dl.astype(np.uint64), doc_bytes, tfdl_bytes, pos_bytes,
+        npos_blk, bctx, bmin_pos, bmax_pos])
+    parts.append(_varint_encode(meta_vals))
+    parts.append(_varint_encode(stream_vals))
+    if npos_total:
         c = ctxs.astype(np.uint32)
         cb = np.empty((len(c), 3), dtype=np.uint8)
         cb[:, 0] = c & 0xFF
@@ -427,17 +453,20 @@ class BlockMeta:
             return
         nb = (self.n_docs + BLOCK - 1) // BLOCK
         self.nblocks = nb
-        self.block_base, off = _varint_decode(buf, nb, off)
-        self.bmax_tf, off = _varint_decode(buf, nb, off)
-        self.bmin_dl, off = _varint_decode(buf, nb, off)
-        self.doc_bytes, off = _varint_decode(buf, nb, off)
-        self.tfdl_bytes, off = _varint_decode(buf, nb, off)
-        self.pos_bytes, off = _varint_decode(buf, nb, off)
-        self.npos, off = _varint_decode(buf, nb, off)
+        # all meta arrays sit back-to-back, so ONE varint decode of the
+        # whole span (then split) replaces 7/10 separate calls — each
+        # call re-scans continuation bits and pays numpy fixed costs,
+        # which dominated the build's multi-blob merge loop (2.5M tiny
+        # BlockMeta constructions at 200k docs)
+        n_arrays = 10 if self.version >= 3 else 7
+        flat, off = _varint_decode(buf, n_arrays * nb, off)
+        (self.block_base, self.bmax_tf, self.bmin_dl, self.doc_bytes,
+         self.tfdl_bytes, self.pos_bytes, self.npos) = (
+            flat[i * nb:(i + 1) * nb] for i in range(7))
         if self.version >= 3:
-            self.bctx, off = _varint_decode(buf, nb, off)
-            self.bmin_pos, off = _varint_decode(buf, nb, off)
-            self.bmax_pos, off = _varint_decode(buf, nb, off)
+            self.bctx = flat[7 * nb:8 * nb]
+            self.bmin_pos = flat[8 * nb:9 * nb]
+            self.bmax_pos = flat[9 * nb:10 * nb]
         else:  # v2: readers treat the bounds as unavailable
             self.bctx = self.bmin_pos = self.bmax_pos = None
         self.streams_off = off

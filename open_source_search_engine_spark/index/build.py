@@ -174,11 +174,20 @@ INDEX_FORMAT_VERSION = 11
 
 def _effective_salt_min_df(conf, n_docs: int) -> int:
     """Salting threshold: df above this splits a termlist into per-salt
-    runs. Low enough that every mid-df term is WAND-routable, floored so
-    tiny test corpora still salt their frequent terms, and capped by
-    corpus size so a 500-doc corpus salts its ~all-docs terms too."""
-    return max(64, min(int(getattr(conf, "salt_min_df", 1000)),
-                       max(1, n_docs // 10)))
+    runs. Corpus-relative (n_docs/40, i.e. 2.5% df) so the mini-run
+    fan-out only pays off where lists are big enough to matter — a
+    measured round-3 regression salted everything above a FLAT df of
+    1000, which multiplied the C2 merge's multi-blob groups 16x for the
+    low-df band and nearly doubled the segments stage at local[32] for
+    zero query benefit (full-decoding a <2.5%-df list is cheaper than
+    16-way fan-out). Capped by `salt_df_threshold` (default 100k) so at
+    web scale no single reducer ever owns more than that many postings
+    of one term (the skew bound), and scaled down for tiny test corpora
+    (n_docs/10 floor path) so their ~all-docs terms still salt and
+    exercise the WAND plan."""
+    cap = int(getattr(conf, "salt_df_threshold", 100_000))
+    floor = int(getattr(conf, "salt_min_df", 1000))
+    return max(64, min(cap, n_docs // 10, max(floor, n_docs // 40)))
 
 
 def _stats_gen_dirs(paths) -> list[str]:
