@@ -83,20 +83,32 @@ def unpack_block_ctx(bctx: np.ndarray):
 
 def _varint_encode(values: np.ndarray) -> np.ndarray:
     """Vectorized LEB128 encode of a uint64 array -> uint8 array."""
-    v = values.astype(np.uint64, copy=True)
+    return _varint_encode_len(values)[0]
+
+
+def _varint_encode_len(
+        values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128 encode + per-value byte lengths in one pass (the bulk
+    encoder needs both; computing lengths separately re-ran the
+    shift-loop over the same array)."""
+    v = np.asarray(values, dtype=np.uint64)
     if len(v) == 0:
-        return np.empty(0, dtype=np.uint8)
+        return (np.empty(0, dtype=np.uint8),
+                np.empty(0, dtype=np.int64))
     nbytes = np.ones(len(v), dtype=np.int64)
     tmp = v >> np.uint64(7)
     while tmp.any():
-        nz = tmp > 0
-        nbytes[nz] += 1
-        tmp = tmp >> np.uint64(7)
+        nbytes[tmp > 0] += 1
+        np.right_shift(tmp, np.uint64(7), out=tmp)
+    maxb = int(nbytes.max())
+    if maxb == 1:
+        # all values < 128: the encoding IS the byte values (common
+        # case for delta/tf streams) — no scatter loop needed
+        return v.astype(np.uint8), nbytes
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    maxb = int(nbytes.max())
     idx = starts.copy()
     shifted = v.copy()
     for k in range(maxb):
@@ -106,8 +118,8 @@ def _varint_encode(values: np.ndarray) -> np.ndarray:
         b[more] |= 0x80
         out[idx[alive]] = b
         idx[alive] += 1
-        shifted = shifted >> np.uint64(7)
-    return out
+        np.right_shift(shifted, np.uint64(7), out=shifted)
+    return out, nbytes
 
 
 def _varint_nbytes(values: np.ndarray) -> np.ndarray:
@@ -286,16 +298,19 @@ def encode_postings_many(
     positions: np.ndarray,
     ctxs: np.ndarray,
 ) -> list[bytes]:
-    """Bulk encoder for MANY single-block runs at once (every
-    ``run_nd[i] <= BLOCK``), byte-identical to calling
-    ``encode_postings`` per run but fully vectorized across runs — the
-    per-run fixed cost of ~30 numpy calls (~0.5ms) made tiny-term
-    encoding the build's hottest path (one web page contributes dozens
-    of df=1 fielded terms: exact-url, per-doc url tokens, ...).
+    """Bulk encoder for MANY runs of ANY length at once, byte-identical
+    to calling ``encode_postings`` per run but fully vectorized across
+    runs AND blocks — the per-run fixed cost of ~30 numpy calls
+    (~0.5ms) made per-run encoding the build's hottest path (one web
+    page contributes dozens of df=1 fielded terms, and every salted
+    hot-term run is a separate multi-block encode; at 32 threads the
+    segment stage was memory-bandwidth-bound on exactly these calls).
 
     Inputs are run-major concatenations: ``docs/tfs/doclens/ranks`` at
     doc level, ``positions/ctxs`` at posting level (aligned with tfs).
-    Returns one bytes blob per run, in run order.
+    Every ``run_nd[i]`` must be >= 1 (callers encode empty lists via
+    ``encode_postings`` directly). Returns one bytes blob per run, in
+    run order.
     """
     nrun = len(run_nd)
     if nrun == 0:
@@ -306,30 +321,54 @@ def encode_postings_many(
     doclens = doclens.astype(np.uint64)
     ranks = ranks.astype(np.uint64)
     pos = positions.astype(np.uint64)
+    ndocs = len(docs)
+    npos_total = len(pos)
 
     doc_ends = np.cumsum(run_nd)
     doc_starts = doc_ends - run_nd
 
-    # doc deltas, reset at run starts (block_base carries the absolute)
-    deltas = np.empty(len(docs), dtype=np.uint64)
+    # block structure: run i splits into ceil(nd_i / BLOCK) blocks of
+    # consecutive docs; blocks are globally doc-order contiguous
+    run_nb = (run_nd + BLOCK - 1) // BLOCK
+    nblk = int(run_nb.sum())
+    blk_before = np.cumsum(run_nb) - run_nb        # blocks before run i
+    blk_run = np.repeat(np.arange(nrun, dtype=np.int64), run_nb)
+    blk_within = np.arange(nblk, dtype=np.int64) - blk_before[blk_run]
+    blk_start = doc_starts[blk_run] + blk_within * BLOCK   # doc index
+    blk_count = np.minimum(BLOCK, doc_ends[blk_run] - blk_start)
+    blk_end = blk_start + blk_count
+
+    # doc deltas, reset at block starts (block_base holds the absolute)
+    deltas = np.empty(ndocs, dtype=np.uint64)
     deltas[1:] = docs[1:] - docs[:-1]
-    deltas[doc_starts] = 0
-    block_base = docs[doc_starts]
+    deltas[blk_start] = 0
+    block_base = docs[blk_start]
 
     # position deltas, reset at each DOC start
-    doc_pos_start = np.zeros(len(docs), dtype=np.int64)
-    doc_pos_start[1:] = np.cumsum(tfs[:-1]).astype(np.int64)
-    pdelta = np.empty(len(pos), dtype=np.uint64)
-    if len(pos):
+    pc = np.zeros(ndocs + 1, dtype=np.int64)
+    pc[1:] = np.cumsum(tfs).astype(np.int64)
+    doc_pos_start = pc[:ndocs]
+    pdelta = np.empty(npos_total, dtype=np.uint64)
+    if npos_total:
         pdelta[1:] = pos[1:] - pos[:-1]
         pdelta[doc_pos_start] = pos[doc_pos_start]
 
-    # global varint streams + per-element byte lengths
-    enc_d, len_d = _varint_encode(deltas), _varint_nbytes(deltas)
-    enc_t, len_t = _varint_encode(tfs), _varint_nbytes(tfs)
-    enc_l, len_l = _varint_encode(doclens), _varint_nbytes(doclens)
-    enc_r, len_r = _varint_encode(ranks), _varint_nbytes(ranks)
-    enc_p, len_p = _varint_encode(pdelta), _varint_nbytes(pdelta)
+    # tf/dl/rank stream: per block (tf*, dl*, rank*), block-major
+    cc = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(blk_count, out=cc[1:])
+    within = np.arange(ndocs, dtype=np.int64) - np.repeat(cc[:-1],
+                                                          blk_count)
+    base3 = np.repeat(3 * cc[:-1], blk_count)
+    c_rep = np.repeat(blk_count, blk_count)
+    tfdl_vals = np.empty(3 * ndocs, dtype=np.uint64)
+    tfdl_vals[base3 + within] = tfs
+    tfdl_vals[base3 + c_rep + within] = doclens
+    tfdl_vals[base3 + 2 * c_rep + within] = ranks
+
+    # ONE varint encode per stream for the whole batch
+    enc_d, len_d = _varint_encode_len(deltas)
+    enc_t, len_t = _varint_encode_len(tfdl_vals)
+    enc_p, len_p = _varint_encode_len(pdelta)
     c = ctxs.astype(np.uint32)
     cb = np.empty((len(c), 3), dtype=np.uint8)
     cb[:, 0] = c & 0xFF
@@ -337,58 +376,69 @@ def encode_postings_many(
     cb[:, 2] = (c >> 16) & 0xFF
     enc_c = cb.ravel()
 
-    # per-run byte/stat aggregates (single block per run)
-    doc_bytes = np.add.reduceat(len_d, doc_starts)
-    t_bytes = np.add.reduceat(len_t, doc_starts)
-    l_bytes = np.add.reduceat(len_l, doc_starts)
-    r_bytes = np.add.reduceat(len_r, doc_starts)
-    tfdl_bytes = t_bytes + l_bytes + r_bytes
-    npos_run = np.add.reduceat(tfs, doc_starts).astype(np.int64)
-    pos_run_start = doc_pos_start[doc_starts]
-    pos_bytes = np.add.reduceat(len_p, pos_run_start)
-    bmax_tf = np.maximum.reduceat(tfs, doc_starts)
-    bmin_dl = np.minimum.reduceat(doclens, doc_starts)
+    # per-block stats + byte spans
+    bmax_tf = np.maximum.reduceat(tfs, blk_start)
+    bmin_dl = np.minimum.reduceat(doclens, blk_start)
+    doc_bytes_blk = np.add.reduceat(len_d, blk_start).astype(np.uint64)
+    tfdl_bytes_blk = np.add.reduceat(len_t, 3 * cc[:-1]).astype(np.uint64)
+    blk_pos_start = pc[blk_start]
+    npos_blk = (pc[blk_end] - blk_pos_start).astype(np.uint64)
+    bctx = np.zeros(nblk, dtype=np.uint64)
+    bmin_pos = np.zeros(nblk, dtype=np.uint64)
+    bmax_pos = np.zeros(nblk, dtype=np.uint64)
+    pos_bytes_blk = np.zeros(nblk, dtype=np.uint64)
+    if npos_total:
+        pstarts = np.minimum(blk_pos_start, npos_total - 1)
+        nonempty = npos_blk > 0
+        pos_bytes_blk = np.where(
+            nonempty, np.add.reduceat(len_p, pstarts), 0).astype(np.uint64)
+        hg_bit = (np.uint32(1) << ((c >> 15) & 0xF)).astype(np.uint32)
+        mask = np.bitwise_or.reduceat(hg_bit, pstarts).astype(np.uint64)
+        den = np.maximum.reduceat(
+            ((c >> 10) & 0x1F).astype(np.uint64), pstarts)
+        div = np.maximum.reduceat(
+            ((c >> 6) & 0xF).astype(np.uint64), pstarts)
+        spam = np.maximum.reduceat(
+            ((c >> 2) & 0xF).astype(np.uint64), pstarts)
+        bctx = np.where(
+            nonempty,
+            (mask & np.uint64(0xFFFF)) << np.uint64(13)
+            | den << np.uint64(8) | div << np.uint64(4) | spam,
+            0).astype(np.uint64)
+        bmin_pos = np.where(nonempty,
+                            np.minimum.reduceat(pos, pstarts),
+                            0).astype(np.uint64)
+        bmax_pos = np.where(nonempty,
+                            np.maximum.reduceat(pos, pstarts),
+                            0).astype(np.uint64)
 
-    # per-run ctx-class summary + position value range (v3). tf >= 1
-    # per posting row, so every run has >= 1 position; guard anyway.
-    if len(pos) and int(npos_run.min()) > 0:
-        hg = ((c >> 15) & 0xF).astype(np.uint32)
-        den = ((c >> 10) & 0x1F).astype(np.uint64)
-        dv = ((c >> 6) & 0xF).astype(np.uint64)
-        spam = ((c >> 2) & 0xF).astype(np.uint64)
-        mask = np.bitwise_or.reduceat(
-            (np.uint32(1) << hg).astype(np.uint32), pos_run_start
-        ).astype(np.uint64)
-        bctx = ((mask & np.uint64(0xFFFF)) << np.uint64(13)
-                | np.maximum.reduceat(den, pos_run_start) << np.uint64(8)
-                | np.maximum.reduceat(dv, pos_run_start) << np.uint64(4)
-                | np.maximum.reduceat(spam, pos_run_start))
-        bmin_pos = np.minimum.reduceat(pos, pos_run_start)
-        bmax_pos = np.maximum.reduceat(pos, pos_run_start)
+    # meta values per run, array-major within the run (same layout as
+    # encode_postings): varint(nd) | base*nb | bmax_tf*nb | ... — built
+    # as ONE scatter-filled array so a single varint encode covers all
+    # runs' headers
+    meta_vals = np.empty(nrun + 10 * nblk, dtype=np.uint64)
+    run_base = blk_before * 10 + np.arange(nrun, dtype=np.int64)
+    meta_vals[run_base] = run_nd.astype(np.uint64)
+    blk_base_ix = run_base[blk_run] + 1 + blk_within
+    run_nb_blk = run_nb[blk_run]
+    for j, arr in enumerate((
+            block_base, bmax_tf.astype(np.uint64),
+            bmin_dl.astype(np.uint64), doc_bytes_blk, tfdl_bytes_blk,
+            pos_bytes_blk, npos_blk, bctx, bmin_pos, bmax_pos)):
+        meta_vals[blk_base_ix + j * run_nb_blk] = arr
+    enc_m, len_m = _varint_encode_len(meta_vals)
+    m_bytes = np.add.reduceat(len_m, run_base)
+
+    # per-run byte spans (streams are run-contiguous)
+    doc_bytes_run = np.add.reduceat(len_d, doc_starts)
+    tfdl_bytes_run = np.add.reduceat(len_t, 3 * cc[blk_before])
+    run_npos = (pc[doc_ends] - pc[doc_starts]).astype(np.int64)
+    if npos_total:
+        rp = np.minimum(pc[doc_starts], npos_total - 1)
+        pos_bytes_run = np.where(run_npos > 0,
+                                 np.add.reduceat(len_p, rp), 0)
     else:
-        bctx = np.zeros(nrun, dtype=np.uint64)
-        bmin_pos = np.zeros(nrun, dtype=np.uint64)
-        bmax_pos = np.zeros(nrun, dtype=np.uint64)
-
-    # header: varint [nd, base, bmax, bmin, doc_bytes, tfdl_bytes,
-    # pos_bytes, npos, bctx, bmin_pos, bmax_pos] per run (same order as
-    # encode_postings)
-    meta = np.empty((nrun, 11), dtype=np.uint64)
-    meta[:, 0] = run_nd
-    meta[:, 1] = block_base
-    meta[:, 2] = bmax_tf
-    meta[:, 3] = bmin_dl
-    meta[:, 4] = doc_bytes
-    meta[:, 5] = tfdl_bytes
-    meta[:, 6] = pos_bytes
-    meta[:, 7] = npos_run
-    meta[:, 8] = bctx
-    meta[:, 9] = bmin_pos
-    meta[:, 10] = bmax_pos
-    meta_flat = meta.ravel()
-    enc_m = _varint_encode(meta_flat)
-    len_m = _varint_nbytes(meta_flat)
-    m_bytes = np.add.reduceat(len_m, np.arange(0, nrun * 11, 11))
+        pos_bytes_run = np.zeros(nrun, dtype=np.int64)
 
     def offsets(per_run: np.ndarray) -> np.ndarray:
         out = np.zeros(nrun + 1, dtype=np.int64)
@@ -396,19 +446,15 @@ def encode_postings_many(
         return out
 
     mo = offsets(m_bytes)
-    do = offsets(doc_bytes)
-    to = offsets(t_bytes)
-    lo = offsets(l_bytes)
-    ro = offsets(r_bytes)
-    po = offsets(pos_bytes)
-    co = offsets(npos_run * 3)
+    do = offsets(doc_bytes_run)
+    to = offsets(tfdl_bytes_run)
+    po = offsets(pos_bytes_run)
+    co = offsets(run_npos * 3)
 
     ver = bytes([CODEC_VERSION])
     bm = memoryview(enc_m.tobytes())
     bd = memoryview(enc_d.tobytes())
     bt = memoryview(enc_t.tobytes())
-    bl = memoryview(enc_l.tobytes())
-    br = memoryview(enc_r.tobytes())
     bp = memoryview(enc_p.tobytes())
     bc = memoryview(enc_c.tobytes())
     out = []
@@ -418,8 +464,6 @@ def encode_postings_many(
             bm[mo[i]:mo[i + 1]],
             bd[do[i]:do[i + 1]],
             bt[to[i]:to[i + 1]],
-            bl[lo[i]:lo[i + 1]],
-            br[ro[i]:ro[i + 1]],
             bp[po[i]:po[i + 1]],
             bc[co[i]:co[i + 1]],
         )))

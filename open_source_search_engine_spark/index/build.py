@@ -633,11 +633,12 @@ def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
     """Encode a frame of postings SORTED by (term_id, salt, doc_id, pos)
     into one segment row per (term_id, salt) run (the RdbDump
     memtable->sorted-file compression, RdbDump.cpp + Posdb.h:228-233).
-    Runs of <= BLOCK docs (the vast majority: per-doc unique fielded
-    terms, rare words) encode through the vectorized bulk path
-    (codec.encode_postings_many); only multi-block runs pay the per-run
-    encode_postings cost."""
-    from ..functions.codec import BLOCK, encode_postings_many
+    ALL runs — single-block fielded/rare terms and multi-block salted
+    hot-term runs alike — encode through ONE call to the bulk
+    vectorized encoder (codec.encode_postings_many): per-run
+    encode_postings calls (~0.5ms numpy fixed cost each) made the
+    segment stage memory-bandwidth-bound at 32 threads."""
+    from ..functions.codec import encode_postings_many
 
     n = len(term)
     key_change = np.empty(n, dtype=bool)
@@ -657,27 +658,9 @@ def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
     cf_run = np.add.reduceat(tf_d, rstart_d).astype(np.int64)
     max_tf_run = np.maximum.reduceat(tf_d, rstart_d).astype(np.int64)
 
-    small = run_nd <= BLOCK
-    blobs: list = [None] * len(run_nd)
-    if small.any():
-        doc_mask = np.repeat(small, run_nd)
-        post_mask = np.repeat(doc_mask, tf_d.astype(np.int64))
-        small_blobs = encode_postings_many(
-            run_nd[small], docs_d[doc_mask], tf_d[doc_mask],
-            dl_d[doc_mask], rk_d[doc_mask],
-            pos[post_mask].astype(np.uint64),
-            ctx[post_mask].astype(np.uint64))
-        for j, i in enumerate(np.flatnonzero(small)):
-            blobs[i] = small_blobs[j]
-    for i in np.flatnonzero(~small):
-        sdoc = rstart_d[i]
-        edoc = sdoc + run_nd[i]
-        sp = didx[sdoc]
-        ep = didx[edoc] if edoc < len(didx) else n
-        blobs[i] = encode_postings(
-            docs_d[sdoc:edoc], tf_d[sdoc:edoc], dl_d[sdoc:edoc],
-            pos[sp:ep].astype(np.uint64), ctx[sp:ep].astype(np.uint64),
-            rk_d[sdoc:edoc])
+    blobs = encode_postings_many(
+        run_nd, docs_d, tf_d, dl_d, rk_d,
+        pos.astype(np.uint64), ctx.astype(np.uint64))
     return pd.DataFrame({
         "bucket": (run_tid % n_buckets).astype(np.int64),
         "term_id": run_tid.astype(np.int64),

@@ -231,8 +231,10 @@ def test_wand_prune_blocks_bound():
 
 
 def test_encode_postings_many_byte_identical():
-    """Bulk single-block encoder must produce byte-identical blobs to
-    the per-run reference encoder."""
+    """Bulk encoder must produce byte-identical blobs to the per-run
+    reference encoder — including MULTI-BLOCK runs (> BLOCK docs),
+    which since round 3 also route through the bulk path (the per-run
+    encode_postings calls were the segment stage's hottest path)."""
     import numpy as np
 
     from open_source_search_engine_spark.functions.codec import (
@@ -242,7 +244,9 @@ def test_encode_postings_many_byte_identical():
 
     rng = np.random.RandomState(7)
     runs = []
-    for nd in (1, 1, 2, 5, 128, 1, 37):
+    # single-block shapes, exact block boundaries (128, 256), one-over
+    # (129), and large multi-block (500)
+    for nd in (1, 1, 2, 5, 128, 1, 37, 129, 256, 500, 128, 3):
         docs = np.sort(np.unique(
             rng.randint(0, 1 << 38, size=nd * 3).astype(np.uint64)))[:nd]
         nd = len(docs)
