@@ -755,6 +755,116 @@ def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
         u_rk.astype(np.uint64))
 
 
+def merge_disjoint_blobs_many(
+    groups: list[list[bytes]],
+) -> tuple[list[bytes], np.ndarray, np.ndarray, np.ndarray]:
+    """Batched ``merge_disjoint_blobs``: merge EVERY group of same-key
+    mini-segment blobs with one shared sort and ONE bulk re-encode
+    (``encode_postings_many``) instead of a per-group encode — the
+    per-group numpy fixed costs made the C2 blob merge the segment
+    stage's second-hottest path after the C1 encode. Byte-identical
+    per group to ``merge_disjoint_blobs``.
+
+    Returns ``(blobs, df, cf, max_tf)`` in group order, so callers
+    get the merged stats without re-parsing block directories.
+    """
+    ngrp = len(groups)
+    if ngrp == 0:
+        return ([], np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    docs_l, tfs_l, dls_l, rks_l = [], [], [], []
+    pos_l, ctx_l, grp_l = [], [], []
+    for gi, blobs in enumerate(groups):
+        for b in blobs:
+            d = decode_postings(b)
+            n = len(d["doc_ids"])
+            if not n:
+                continue
+            docs_l.append(d["doc_ids"])
+            tfs_l.append(d["tfs"].astype(np.int64))
+            dls_l.append(d["doclens"])
+            rks_l.append(d["ranks"])
+            pos_l.append(d["positions"])
+            ctx_l.append(d["ctxs"])
+            grp_l.append(np.full(n, gi, dtype=np.int64))
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    ranks = np.concatenate(rks_l)
+    pos = np.concatenate(pos_l)
+    ctx = np.concatenate(ctx_l)
+    grp = np.concatenate(grp_l)
+    # absolute start of each doc's position span in the concatenated
+    # pos/ctx streams
+    starts = np.empty(len(docs), dtype=np.int64)
+    off = i = 0
+    for t in tfs_l:
+        n = len(t)
+        s = np.concatenate(([0], np.cumsum(t[:-1])))
+        starts[i:i + n] = s + off
+        off += int(t.sum())
+        i += n
+    # stable (group, doc) order == per-group argsort(docs, stable)
+    order = np.lexsort((docs, grp))
+    s_grp = grp[order]
+    s_docs = docs[order]
+    s_start = starts[order]
+    s_tf = tfs[order]
+    total = int(s_tf.sum())
+    if total:
+        ends = np.cumsum(s_tf)
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(ends - s_tf, s_tf)
+               + np.repeat(s_start, s_tf))
+        pos_out = pos[idx].astype(np.uint64)
+        ctx_out = ctx[idx].astype(np.uint64)
+    else:
+        pos_out = np.empty(0, dtype=np.uint64)
+        ctx_out = np.empty(0, dtype=np.uint64)
+
+    # combine duplicate docs within a group (body vs inlink-text
+    # partitions): sum tf, keep first dl/rank, re-sort the merged
+    # doc's positions ascending — a no-dup group passes through this
+    # path unchanged (its porder is the identity), so one code path
+    # serves both and stays byte-identical to merge_disjoint_blobs
+    first = np.empty(len(s_docs), dtype=bool)
+    first[0] = True
+    first[1:] = (s_docs[1:] != s_docs[:-1]) | (s_grp[1:] != s_grp[:-1])
+    dstarts = np.flatnonzero(first)
+    u_docs = s_docs[dstarts]
+    u_grp = s_grp[dstarts]
+    u_tf = np.add.reduceat(s_tf, dstarts)
+    u_dl = dls[order][dstarts]
+    u_rk = ranks[order][dstarts]
+    if not first.all():
+        doc_of_post = np.repeat(np.cumsum(first) - 1, s_tf)
+        porder = np.lexsort((pos_out, doc_of_post))
+        pos_out = pos_out[porder]
+        ctx_out = ctx_out[porder]
+
+    run_nd = np.bincount(u_grp, minlength=ngrp)
+    if (run_nd == 0).any():
+        # a group whose blobs were all empty (can't happen for mini
+        # rows, which always hold >=1 posting): per-group fallback
+        blobs_pg = [merge_disjoint_blobs(g) for g in groups]
+        metas = [BlockMeta(b) for b in blobs_pg]
+        return (blobs_pg,
+                np.array([m.n_docs for m in metas], dtype=np.int64),
+                np.array([int(m.npos.sum()) for m in metas],
+                         dtype=np.int64),
+                np.array([int(m.bmax_tf.max()) if m.nblocks else 0
+                          for m in metas], dtype=np.int64))
+    gstarts = np.zeros(ngrp, dtype=np.int64)
+    gstarts[1:] = np.cumsum(run_nd)[:-1]
+    cf = np.add.reduceat(u_tf, gstarts).astype(np.int64)
+    max_tf = np.maximum.reduceat(u_tf, gstarts).astype(np.int64)
+    blobs_out = encode_postings_many(
+        run_nd, u_docs.astype(np.uint64), u_tf.astype(np.uint64),
+        u_dl.astype(np.uint64), u_rk.astype(np.uint64),
+        pos_out, ctx_out)
+    return blobs_out, run_nd.astype(np.int64), cf, max_tf
+
+
 def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -> bytes:
     """K-way merge of same-term blobs from multiple segment generations,
     newest-wins per docId, dropping deleted docIds (negative-key

@@ -930,7 +930,7 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     byte-identical (the common case — rare terms live in one map
     partition); multi-blob runs k-way merge (docId sets disjoint by
     construction: one doc parses in exactly one partition)."""
-    from ..functions.codec import merge_disjoint_blobs
+    from ..functions.codec import merge_disjoint_blobs_many
 
     term = pdf["term_id"].to_numpy(np.int64)
     salt = pdf["salt"].to_numpy(np.int64)
@@ -946,24 +946,25 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     multi_starts = starts[~single]
     multi_lens = run_len[~single]
     if len(multi_starts):
-        from ..functions.codec import BlockMeta
-
-        recs = []
         blobs_col = pdf["postings"]
         bucket_col = pdf["bucket"].to_numpy(np.int64)
-        for s, n in zip(multi_starts, multi_lens):
-            blob = merge_disjoint_blobs(
-                [bytes(blobs_col.iloc[s + j]) for j in range(n)])
-            # stats from the merged block directory (docs can overlap
-            # across sources: body vs inlink-text partitions)
-            m = BlockMeta(blob)
-            recs.append((int(bucket_col[s]), int(term[s]), int(salt[s]),
-                         int(m.n_docs), int(m.npos.sum()),
-                         int(m.bmax_tf.max()) if m.nblocks else 0,
-                         len(blob), blob))
-        out_frames.append(pd.DataFrame(
-            recs, columns=["bucket", "term_id", "salt", "df", "cf",
-                           "max_tf", "n_bytes", "postings"]))
+        # batched merge: one shared sort + ONE bulk re-encode for all
+        # multi-blob groups (stats come back from the merged arrays —
+        # no per-group BlockMeta re-parse). Docs can overlap across
+        # sources (body vs inlink-text partitions); the merge combines
+        # them.
+        groups = [[bytes(blobs_col.iloc[s + j]) for j in range(n)]
+                  for s, n in zip(multi_starts, multi_lens)]
+        blobs, df_g, cf_g, mx_g = merge_disjoint_blobs_many(groups)
+        out_frames.append(pd.DataFrame({
+            "bucket": bucket_col[multi_starts],
+            "term_id": term[multi_starts],
+            "salt": salt[multi_starts],
+            "df": df_g, "cf": cf_g, "max_tf": mx_g,
+            "n_bytes": np.fromiter((len(b) for b in blobs),
+                                   dtype=np.int64, count=len(blobs)),
+            "postings": blobs,
+        }))
     out = pd.concat(out_frames, ignore_index=True)
     return out.sort_values(["term_id", "salt"], kind="mergesort")
 

@@ -325,3 +325,54 @@ def test_png_codec_property(h, w, seed, gray):
     shape = (h, w) if gray else (h, w, 3)
     px = rng.integers(0, 256, size=shape, dtype=np.uint8)
     assert np.array_equal(png_decode(png_encode(px)), px)
+
+
+def test_merge_disjoint_blobs_many_byte_identical():
+    """Batched C2 merge must produce byte-identical blobs and identical
+    stats to per-group merge_disjoint_blobs — including groups with
+    duplicate docs across sources (body vs inlink-text partitions) and
+    multi-block results."""
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codec import (
+        BlockMeta,
+        encode_postings,
+        merge_disjoint_blobs,
+        merge_disjoint_blobs_many,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def mk(doc_lo, nd, dup_doc=None):
+        docs = np.sort(rng.choice(
+            np.arange(doc_lo, doc_lo + nd * 4), size=nd,
+            replace=False).astype(np.uint64))
+        if dup_doc is not None:
+            docs[0] = dup_doc
+            docs = np.sort(docs)
+        tfs = rng.randint(1, 4, size=nd).astype(np.uint64)
+        dls = rng.randint(10, 900, size=nd).astype(np.uint64)
+        rks = rng.randint(0, 512, size=nd).astype(np.uint64)
+        pos = np.concatenate([
+            np.sort(rng.randint(0, 1 << 16, size=int(t)))
+            for t in tfs]).astype(np.uint64)
+        ctx = rng.randint(0, 1 << 19, size=int(tfs.sum())).astype(
+            np.uint64)
+        return encode_postings(docs, tfs, dls, pos, ctx, rks)
+
+    groups = [
+        [mk(0, 5), mk(1000, 7)],                       # disjoint, tiny
+        [mk(0, 200), mk(2000, 180), mk(5000, 150)],    # multi-block out
+        [mk(0, 3, dup_doc=77), mk(500, 4, dup_doc=77)],  # dup doc
+        [mk(0, 1), mk(10, 1), mk(20, 1)],
+    ]
+    want = [merge_disjoint_blobs(g) for g in groups]
+    got, df, cf, mx = merge_disjoint_blobs_many(groups)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        assert w == g
+    for i, b in enumerate(want):
+        m = BlockMeta(b)
+        assert df[i] == m.n_docs
+        assert cf[i] == int(m.npos.sum())
+        assert mx[i] == int(m.bmax_tf.max())
