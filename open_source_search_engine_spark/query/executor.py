@@ -69,6 +69,13 @@ class IndexReader:
         self._n_docs = None
         self._avgdl = None
         self._hf_ids = None
+        # serving-model caches (the reference keeps term freqs and
+        # RdbMaps resident in RAM across queries — Posdb.h:322,
+        # RdbMap.cpp): df lookups and segment-scan relations are
+        # per-reader memoized. A reader is a snapshot view (gens fixed
+        # at construction), so both caches are consistent by design.
+        self._df_cache: dict[int, int] = {}
+        self._seg_scan_cache: dict[tuple, DataFrame] = {}
 
     def _gen_dirs(self, table: str) -> list[str]:
         base = getattr(self.paths, table)
@@ -149,14 +156,18 @@ class IndexReader:
     def df_of(self, term_ids: list[int]) -> dict[int, int]:
         """Exact df lookup (Posdb::getTermFreq analog, but exact —
         SURVEY.md §2.3 'strictly better, still deterministic')."""
-        rows = (
-            self.term_stats()
-            .where(F.col("term_id").isin([int(t) for t in term_ids]))
-            .select("term_id", "df")
-            .collect()
-        )
-        found = {r["term_id"]: r["df"] for r in rows}
-        return {t: found.get(t, 0) for t in term_ids}
+        missing = [int(t) for t in term_ids if int(t) not in self._df_cache]
+        if missing:
+            rows = (
+                self.term_stats()
+                .where(F.col("term_id").isin(missing))
+                .select("term_id", "df")
+                .collect()
+            )
+            found = {r["term_id"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: self._df_cache[int(t)] for t in term_ids}
 
     def _seg_paths(self, term_ids: list[int]) -> list[str]:
         buckets = sorted({int(t) % self.conf.n_buckets for t in term_ids})
@@ -192,13 +203,16 @@ class IndexReader:
         normal = [t for t in tids if t not in self.hf_ids]
         frames = []
         if normal:
-            paths = self._seg_paths(normal)
+            paths = tuple(self._seg_paths(normal))
             if paths:
-                df = (
-                    self.spark.read
-                    .option("basePath", self.paths.segments)
-                    .parquet(*paths)
-                )
+                df = self._seg_scan_cache.get(paths)
+                if df is None:
+                    df = (
+                        self.spark.read
+                        .option("basePath", self.paths.segments)
+                        .parquet(*paths)
+                    )
+                    self._seg_scan_cache[paths] = df
                 frames.append(df.where(F.col("term_id").isin(normal)))
         if hf:
             from ..index.shortcuts import SUBDIR as HF_SUBDIR
@@ -207,8 +221,13 @@ class IndexReader:
             # ALREADY gen-resolved postings view, so _newest_wins must
             # pass them through untouched (a doc whose newest event is
             # an earlier delta generation would otherwise be dropped)
-            sc = (self.spark.read
-                  .parquet(os.path.join(self.paths.root, HF_SUBDIR))
+            hf_key = ("__hf__",)
+            hf_scan = self._seg_scan_cache.get(hf_key)
+            if hf_scan is None:
+                hf_scan = self.spark.read.parquet(
+                    os.path.join(self.paths.root, HF_SUBDIR))
+                self._seg_scan_cache[hf_key] = hf_scan
+            sc = (hf_scan
                   .where(F.col("term_id").isin(hf))
                   .withColumn("gen", F.lit(-1)))
             frames.append(sc)
@@ -462,19 +481,45 @@ def search_clustered(
         kprime = k * oversample
         base_rows = search(spark, index_dir, query, k=kprime, conf=conf,
                            reader=rd).collect()
-        out = _cluster_rank(
-            rd,
-            spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in base_rows],
-                "doc_id long, score double")
-            if base_rows else
-            spark.createDataFrame([], "doc_id long, score double"),
-            max_per_site, dedup_content, k)
-        if len(base_rows) < kprime:
-            return out  # buffer held the whole match set: exact
-        n_out = out.count()
-        if n_out >= k:
-            return out
+        # the candidate buffer is already rank-ordered in the driver
+        # (the reference's TopTree is likewise in-RAM, Msg51.h:20-92):
+        # fetch site/content metadata for just these docIds via a
+        # pushed-down docs lookup and apply the caps sequentially —
+        # no distributed window, no plan re-execution for the
+        # exhaustion check.
+        ids = [int(r["doc_id"]) for r in base_rows]
+        meta = {}
+        if ids:
+            meta = {r["doc_id"]: (r["site_id"], r["content_hash"])
+                    for r in rd.docs()
+                    .where(F.col("doc_id").isin(ids))
+                    .select("doc_id", "site_id", "content_hash")
+                    .collect()}
+        surv = []
+        per_site: dict = {}
+        seen_hash: set = set()
+        for r in base_rows:  # already (score DESC, doc_id ASC)
+            m = meta.get(int(r["doc_id"]))
+            if m is None:  # inner-join semantics of the k=None path
+                continue
+            site, ch = m
+            if dedup_content:
+                # rank-1-per-hash: a doc later dropped by the site cap
+                # still claims its hash (window order: content first)
+                if ch in seen_hash:
+                    continue
+                seen_hash.add(ch)
+            cnt = per_site.get(site, 0)
+            if cnt >= max_per_site:
+                continue
+            per_site[site] = cnt + 1
+            surv.append((int(r["doc_id"]), float(r["score"])))
+            if len(surv) == k and len(base_rows) >= kprime:
+                break
+        exact = len(base_rows) < kprime  # buffer held the whole match set
+        if exact or len(surv) >= k:
+            return spark.createDataFrame(
+                surv[:k], "doc_id long, score double")
         oversample *= 4  # site caps ate the buffer: refill
 
 
@@ -1718,103 +1763,59 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     membership (PosdbTable.cpp:5549 makeDocIdVoteBufForBoolQuery), score
     matched docs by BM25 over the query terms present.
 
-    Round 3 (VERDICT r2 #4): the expression tree is evaluated as a
-    composition of per-group doc-membership frames — rarest-first
-    semi-join chains for AND arms, unions for OR, domain-restricted
-    anti-joins for NOT — with candidate-doc block skipping flowing down
-    AND chains, so `rare AND stopword` decodes only the stopword blocks
-    that intersect the rare term's doc set instead of the whole
-    termlist. The BM25 scoring decode is likewise restricted to the
-    match set. Semantics unchanged: the evaluation domain is docs
-    holding >= 1 query term (a search engine never returns termless
-    docs; same in the reference's vote buffer), and the score sums every
-    query term present in a matched doc."""
-    tids = sorted({t for g in cq.groups for t in g.term_ids})
+    Round-3 plan (VERDICT r2 #4, then tightened): ONE decode of all
+    query termlists, candidate-restricted by the rarest top-level AND
+    arm when there is one. Per-group membership flags are codegen
+    aggregates over the decoded (doc_id, term_id) rows, the expression
+    tree compiles to a Column predicate over those flags (NOT evaluated
+    within the >=1-query-term domain, as in the reference's vote
+    buffer), and BM25 scoring reuses the SAME decoded rows — a
+    stopword-bearing boolean now costs one bounded decode instead of a
+    membership pass plus a scoring pass over each stopword termlist.
+    The evaluation domain and score (sum over every query term present
+    in a matched doc) are unchanged."""
+    import functools
+
+    tids = sorted({int(t) for g in cq.groups for t in g.term_ids})
     n = rd.n_docs
     avgdl = rd.avgdl
     dfs = rd.df_of(tids)
 
-    # collect-to-candidates cap: an AND arm's doc set prunes later arm
-    # decodes only if it fits comfortably in the driver (8B/doc)
+    # candidate-seed cap: an AND arm's doc set prunes the joint decode
+    # only if it fits comfortably in the driver (8B/doc)
     CAND_CAP = 1_000_000
-
-    def mem(group_index: int, cand: np.ndarray | None) -> DataFrame:
-        g = cq.groups[group_index]
-        return (rd.postings([int(t) for t in g.term_ids],
-                            candidate_docs=cand)
-                .select("doc_id").distinct())
 
     def min_df(node: BoolNode) -> int:
         if node.op == "TERM":
             g = cq.groups[node.group_index]
             return min(dfs.get(int(t), 0) for t in g.term_ids)
         if node.op == "NOT":
-            return n  # complements are big: evaluate last
+            return n  # complements are big: never a seed
         sub = [min_df(ch) for ch in node.children]
         return min(sub) if node.op == "AND" else sum(sub)
 
-    def union_all(cand: np.ndarray | None) -> DataFrame:
-        return (rd.postings(tids, candidate_docs=cand)
-                .select("doc_id").distinct())
-
-    def eval_node(node: BoolNode, cand: np.ndarray | None) -> DataFrame:
-        if node.op == "TERM":
-            return mem(node.group_index, cand)
-        if node.op == "NOT":
-            # domain-restricted complement: docs with >= 1 query term
-            # that do NOT match the child (delDocIdVotes analog)
-            dom = union_all(cand)
-            inner = eval_node(node.children[0], cand)
-            return dom.join(inner, "doc_id", "left_anti")
-        if node.op == "OR":
-            # OR over plain TERM children is ONE batched decode (a
-            # single scan + pushdown over all their termIds); only
-            # composite children recurse
-            term_tids = [int(t)
-                         for ch in node.children if ch.op == "TERM"
-                         for t in cq.groups[ch.group_index].term_ids]
-            frames = []
-            if term_tids:
-                frames.append(rd.postings(term_tids,
-                                          candidate_docs=cand)
-                              .select("doc_id"))
-            for ch in node.children:
-                if ch.op != "TERM":
-                    frames.append(eval_node(ch, cand))
-            out = frames[0]
-            for m in frames[1:]:
-                out = out.unionByName(m)
-            return out.distinct()
-        # AND: rarest-first (findCandidateDocIds seeds from the rarest
-        # group, PosdbTable.cpp:5374); each evaluated arm's doc set
-        # becomes the candidate filter for the next arm's decode
-        order = sorted(node.children, key=min_df)
-        acc = eval_node(order[0], cand)
-        for ch in order[1:]:
-            ids = acc.limit(CAND_CAP + 1).collect()
-            if len(ids) <= CAND_CAP:
-                run_cand = np.sort(np.array(
-                    [r["doc_id"] for r in ids], dtype=np.uint64))
-                if len(run_cand) == 0:
-                    return acc  # empty AND short-circuit
-            else:
-                run_cand = cand
-            m = eval_node(ch, run_cand)
-            acc = acc.join(m, "doc_id", "left_semi")
-        return acc
-
-    matched = eval_node(cq.boolean_expr, None)
-
-    # scoring decode restricted to the match set when it is small
-    m_rows = matched.limit(CAND_CAP + 1).collect()
-    if len(m_rows) <= CAND_CAP:
-        m_cand = np.sort(np.array([r["doc_id"] for r in m_rows],
-                                  dtype=np.uint64))
-        if len(m_cand) == 0:
+    # rarest-first seed (findCandidateDocIds, PosdbTable.cpp:5374): a
+    # top-level AND TERM arm every match must satisfy
+    root = cq.boolean_expr
+    seed_cand = None
+    seed_children = ([ch for ch in root.children if ch.op == "TERM"]
+                     if root.op == "AND" else
+                     [root] if root.op == "TERM" else [])
+    if seed_children:
+        seed = min(seed_children, key=min_df)
+        g = cq.groups[seed.group_index]
+        if min_df(seed) == 0 and len(g.term_ids) == 1:
             return spark.createDataFrame([], "doc_id long, score double")
-        posts = rd.postings(tids, candidate_docs=m_cand)
-    else:
-        posts = rd.postings(tids).join(matched, "doc_id", "left_semi")
+        rows = (rd.postings([int(t) for t in g.term_ids])
+                .select("doc_id").distinct()
+                .limit(CAND_CAP + 1).collect())
+        if len(rows) == 0:
+            return spark.createDataFrame([], "doc_id long, score double")
+        if len(rows) <= CAND_CAP:
+            seed_cand = np.sort(np.array([r["doc_id"] for r in rows],
+                                         dtype=np.uint64))
+
+    posts = rd.postings(tids, candidate_docs=seed_cand)
 
     idf_expr = F.create_map(
         *[x for t in tids for x in (F.lit(int(t)), F.lit(bm25_idf(n, dfs[t])))]
@@ -1827,8 +1828,37 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         idf_expr[F.col("term_id")] * (tf * (k1 + 1.0))
         / (tf + k1 * (1.0 - b + b * dl / F.lit(avgdl))),
     )
+
+    # one flag aggregate per distinct group term-set (duplicate query
+    # words share a flag)
+    gkey = {gi: tuple(sorted(int(t) for t in g.term_ids))
+            for gi, g in enumerate(cq.groups)}
+    flag_of = {}
+    aggs = [F.sum("tscore").alias("score")]
+    for gi in range(len(cq.groups)):
+        key = gkey[gi]
+        if key in flag_of:
+            continue
+        name = f"_g{len(flag_of)}"
+        flag_of[key] = name
+        aggs.append(
+            F.max(F.when(F.col("term_id").isin(list(key)), F.lit(1))
+                  .otherwise(F.lit(0))).alias(name))
+    agg = scored.groupBy("doc_id").agg(*aggs)
+
+    def to_pred(node: BoolNode):
+        if node.op == "TERM":
+            return F.col(flag_of[gkey[node.group_index]]) == 1
+        if node.op == "NOT":
+            return ~to_pred(node.children[0])
+        preds = [to_pred(ch) for ch in node.children]
+        op = (lambda a, b2: a & b2) if node.op == "AND" else \
+             (lambda a, b2: a | b2)
+        return functools.reduce(op, preds)
+
     out = (
-        scored.groupBy("doc_id").agg(F.sum("tscore").alias("score"))
+        agg.where(to_pred(root))
+        .select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     return out.limit(k) if k is not None else out

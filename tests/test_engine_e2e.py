@@ -668,3 +668,28 @@ def test_nonbody_positions_continue_stream(spark, small_conf, tmp_path):
     assert body_pos and title_pos
     # title continues AFTER the body stream with the +100 gap
     assert min(title_pos) >= max(body_pos) + 99
+
+
+def test_reader_caches_stable_across_repeat_queries(built, spark, small_conf):
+    """Serving-model caches (df_of memo, segment-scan relation reuse)
+    must be invisible: repeated lookups through one reader return the
+    same values as a fresh reader, including df=0 misses."""
+    from open_source_search_engine_spark.functions.gbhash import term_id
+
+    rd = IndexReader(spark, built, small_conf)
+    tids = [term_id("spark"), term_id("merge"), term_id("nosuchword")]
+    first = rd.df_of(tids)
+    again = rd.df_of(tids)          # full cache hit
+    mixed = rd.df_of(tids + [term_id("ranking")])  # partial miss
+    fresh = IndexReader(spark, built, small_conf).df_of(
+        tids + [term_id("ranking")])
+    assert first == again == {t: fresh[t] for t in tids}
+    assert mixed == fresh
+    assert fresh[term_id("nosuchword")] == 0
+
+    a = search(spark, built, "spark merge", k=5, conf=small_conf,
+               reader=rd).collect()
+    b = search(spark, built, "spark merge", k=5, conf=small_conf,
+               reader=rd).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == \
+        [(r["doc_id"], r["score"]) for r in b]
