@@ -631,6 +631,24 @@ def q_dedup_jaccard(spark, sf_dir):
         F.col("doc_a").cast("long"), F.col("doc_b").cast("long"), "jaccard")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Eval-set 13-gram decontamination (ops/dedup.py decontaminate —
+    the GPT-3 appendix C overlap test): docs with doc_id % 20 == 0
+    stand in for the eval set, the rest are the training corpus; a
+    (train, eval) pair is contaminated when it shares any 13-token
+    shingle. The eval shingle table is broadcast, so the train side
+    streams with no shuffle of the exploded corpus shingles."""
+    from open_source_search_engine_spark.ops.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(tr, ev, n=13).select(
+        F.col("doc_id").cast("long"),
+        F.col("eval_id").cast("long"),
+        F.col("n_shared").cast("long"))
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from open_source_search_engine_spark.ops.dedup import minhash_lsh_pairs
 
@@ -958,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_delete": q_search_after_delete,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
+        "decontaminate_13gram": q_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "split_assign": q_split_assign,
@@ -1464,6 +1483,21 @@ select md5(text) as text_md5, count(*)::bigint as n_dups,
 from documents group by 1 having count(*) > 1
 """,
         "dedup_jaccard": jaccard_sql,
+        "decontaminate_13gram": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sh as (
+  select doc_id,
+         unnest(list_distinct([list_aggregate(ts[i:i+12], 'string_agg', ' ')
+                               for i in range(1, len(ts) - 11)])) as shingle
+  from toks where len(ts) >= 13
+),
+tr as (select * from sh where doc_id % 20 != 0),
+ev as (select * from sh where doc_id % 20 = 0)
+select tr.doc_id::bigint as doc_id, ev.doc_id::bigint as eval_id,
+       count(*)::bigint as n_shared
+from tr join ev on tr.shingle = ev.shingle
+group by 1, 2
+""",
         "dedup_minhash_lsh": jaccard_sql,
         # same md5 bucket arithmetic as ops/sampling.py (hash60 % 1e6)
         "split_assign": """

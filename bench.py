@@ -115,6 +115,14 @@ def main() -> int:
     timed("op_minhash_lsh",
           lambda: minhash_lsh_pairs(docs, threshold=0.5).collect())
     timed("op_simhash", lambda: simhash(docs).count())
+    # eval-set 13-gram decontamination (broadcast eval shingles — the
+    # train side streams map-side, no corpus-shingle shuffle)
+    from open_source_search_engine_spark.ops.dedup import decontaminate
+
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    timed("op_decontaminate",
+          lambda: decontaminate(tr, ev, n=13).count())
     qv = [float(x)
           for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("op_ann_top10", lambda: brute_force_topk(emb, qv, 10).collect())

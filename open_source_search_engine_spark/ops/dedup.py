@@ -387,3 +387,32 @@ def dup_clusters(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b",
         F.count("*").alias("cluster_size"))
     return labels.join(sizes, "canonical_id").select(
         "doc_id", "canonical_id", "cluster_size")
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Eval-set contamination pairs: ``(doc_id, eval_id, n_shared)`` for
+    every training doc sharing at least one word n-gram (default: the
+    standard 13-gram overlap test, GPT-3 appendix C / PaLM / Llama
+    decontamination) with an eval doc. ``n_shared`` counts distinct
+    shared n-grams per (train, eval) pair; downstream policy (drop the
+    doc, mask the span) is the caller's.
+
+    Scale shape: eval sets are tiny next to a training corpus (MBs of
+    benchmark text vs TBs of web text), so the eval shingle table is
+    broadcast — the train side streams map-side with NO shuffle of the
+    exploded corpus shingles; only matched rows (rare by construction)
+    reach the pair aggregation. Set ``broadcast_eval=False`` for an
+    unusually large eval side to fall back to a shuffle hash join.
+    Docs shorter than n tokens yield no shingles on either side.
+    """
+    tr = shingles(train, n)
+    ev = (shingles(eval_docs, n)
+          .select(F.col("doc_id").alias("eval_id"), "shingle"))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -62,6 +62,41 @@ def test_ngram_jaccard_pairs(docs):
     assert got == want
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """decontaminate() must flag exactly the (train, eval) pairs sharing
+    an n-gram, count distinct shared shingles, and ignore docs shorter
+    than n tokens; verified against a pure-python shingle join."""
+    from open_source_search_engine_spark.ops.dedup import decontaminate
+
+    train = {
+        10: "the quick brown fox jumps over the lazy dog today",
+        11: "a completely unrelated training document goes right here",
+        12: "short doc",  # < n tokens: no shingles
+        13: "the quick brown fox jumps over the lazy dog today again",
+    }
+    evals = {
+        90: "watch the quick brown fox jumps over the lazy dog today ok",
+        91: "nothing in common with any training text at all friend",
+    }
+    n = 5
+    tr = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": k, "text": v} for k, v in train.items()]))
+    ev = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": k, "text": v} for k, v in evals.items()]))
+    got = {(r["doc_id"], r["eval_id"]): r["n_shared"]
+           for r in decontaminate(tr, ev, n=n).collect()}
+    want = {}
+    for tid, ttxt in train.items():
+        for eid, etxt in evals.items():
+            shared = _shingles(ttxt, n) & _shingles(etxt, n)
+            if shared:
+                want[(tid, eid)] = len(shared)
+    assert got == want and want  # non-vacuous
+    # shuffle-free eval side: the plan broadcasts the eval shingles
+    plan = decontaminate(tr, ev, n=n)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_minhash_lsh_finds_all_pairs_here(docs):
     from open_source_search_engine_spark.ops.dedup import (
         minhash_lsh_pairs,
