@@ -924,12 +924,25 @@ def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
     return encode_mini
 
 
-def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
+def _merge_runs(pdf: pd.DataFrame, bulk: bool = True) -> pd.DataFrame:
     """Merge a frame of mini-segment rows SORTED by (term_id, salt) into
     one segment row per (term_id, salt): single-blob runs pass through
     byte-identical (the common case — rare terms live in one map
     partition); multi-blob runs k-way merge (docId sets disjoint by
-    construction: one doc parses in exactly one partition)."""
+    construction: one doc parses in exactly one partition).
+
+    ``bulk`` picks the multi-blob strategy — byte-identical outputs,
+    different memory behavior (A/B-measured at 200k docs, same box):
+    - True: ONE shared sort + bulk re-encode for every group in the
+      batch. Fastest when each concurrent worker has memory bandwidth
+      to stream the batched arrays (≤ ~16 workers/node: 500k-doc
+      segments stage 312.9 → 238.9 s at local[8], 936.5 → 668.8 s at
+      local[2]).
+    - False: per-group merge. The small cache-resident working set
+      wins when MANY workers share one memory bus (local[32] segments
+      66.5 s per-group vs 92 s bulk — the bulk arrays turn the stage
+      DRAM-bandwidth-bound; an intermediate chunked-bulk variant
+      measured no better than full bulk)."""
     from ..functions.codec import merge_disjoint_blobs_many
 
     term = pdf["term_id"].to_numpy(np.int64)
@@ -948,14 +961,18 @@ def _merge_runs(pdf: pd.DataFrame) -> pd.DataFrame:
     if len(multi_starts):
         blobs_col = pdf["postings"]
         bucket_col = pdf["bucket"].to_numpy(np.int64)
-        # batched merge: one shared sort + ONE bulk re-encode for all
-        # multi-blob groups (stats come back from the merged arrays —
-        # no per-group BlockMeta re-parse). Docs can overlap across
-        # sources (body vs inlink-text partitions); the merge combines
-        # them.
+        # docs can overlap across sources (body vs inlink-text
+        # partitions); the merge combines them
         groups = [[bytes(blobs_col.iloc[s + j]) for j in range(n)]
                   for s, n in zip(multi_starts, multi_lens)]
-        blobs, df_g, cf_g, mx_g = merge_disjoint_blobs_many(groups)
+        if not bulk:
+            parts = [merge_disjoint_blobs_many([g]) for g in groups]
+            blobs = [p[0][0] for p in parts]
+            df_g = np.concatenate([p[1] for p in parts])
+            cf_g = np.concatenate([p[2] for p in parts])
+            mx_g = np.concatenate([p[3] for p in parts])
+        else:
+            blobs, df_g, cf_g, mx_g = merge_disjoint_blobs_many(groups)
         out_frames.append(pd.DataFrame({
             "bucket": bucket_col[multi_starts],
             "term_id": term[multi_starts],
@@ -1091,10 +1108,11 @@ def make_compact_merge(edocs: np.ndarray, egens: np.ndarray):
     return go
 
 
-def make_merge_partition():
+def make_merge_partition(bulk: bool = True):
     """mapInPandas body over mini-segment rows hash-shuffled on
     (term_id, salt) and sorted within: merges runs, carrying the
-    trailing incomplete run across Arrow batch boundaries."""
+    trailing incomplete run across Arrow batch boundaries. ``bulk``
+    picks the multi-blob merge strategy (see ``_merge_runs``)."""
 
     def merge_partition(iterator):
         carry: pd.DataFrame | None = None
@@ -1109,11 +1127,27 @@ def make_merge_partition():
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
-                yield _merge_runs(body)
+                yield _merge_runs(body, bulk)
         if carry is not None and len(carry):
-            yield _merge_runs(carry)
+            yield _merge_runs(carry, bulk)
 
     return merge_partition
+
+
+def _bulk_merge_ok(spark: SparkSession) -> bool:
+    """True when each NODE runs few enough concurrent workers that the
+    bulk (batched) multi-blob merge has memory bandwidth to win; false
+    on wide single-node executors where per-group merging's
+    cache-resident working set is faster (measured A/B in
+    ``_merge_runs``). Local mode: local[N] puts all N workers on one
+    bus. Cluster mode: spark.executor.cores is the per-JVM (and, for
+    the typical one-executor-per-node sizing, per-bus) concurrency."""
+    sc = spark.sparkContext
+    if sc.master.startswith("local"):
+        workers = sc.defaultParallelism
+    else:
+        workers = int(sc.getConf().get("spark.executor.cores", "4"))
+    return workers <= 16
 
 
 def build_index(
@@ -1227,7 +1261,8 @@ def build_index(
         seg = (
             mini.repartition(F.col("term_id"), F.col("salt"))
             .sortWithinPartitions("term_id", "salt")
-            .mapInPandas(make_merge_partition(), schema=SEGMENT_SCHEMA)
+            .mapInPandas(make_merge_partition(_bulk_merge_ok(spark)),
+                         schema=SEGMENT_SCHEMA)
         )
         out = os.path.join(paths.segments, f"gen={gen}")
         # consolidation shuffle of the ENCODED blobs (a fraction of the
