@@ -81,6 +81,16 @@ class EngineConf:
     # reference also gates behind conf.
     use_hf_shortcuts: bool = False
 
+    # C2 multi-blob merge strategy (ADVICE r3): None = auto — bulk
+    # (batched one-shared-sort) merge when each node runs <=16
+    # concurrent workers, per-group merge on wider shared-memory-bus
+    # nodes (measured A/B, BENCH.md §2). The auto heuristic reads
+    # local[N] / spark.executor.cores and ASSUMES one executor JVM per
+    # node (the typical sizing); deployments packing several executors
+    # per node should set this explicitly (outputs are byte-identical
+    # either way — this is perf-only).
+    bulk_merge: bool | None = None
+
     def bucket_of(self, term_id: int) -> int:
         return term_id % self.n_buckets
 

@@ -787,6 +787,18 @@ def merge_disjoint_blobs_many(
             pos_l.append(d["positions"])
             ctx_l.append(d["ctxs"])
             grp_l.append(np.full(n, gi, dtype=np.int64))
+    if not docs_l:
+        # every blob in every group decoded empty: the run_nd==0
+        # fallback below would be unreachable (the concatenates raise
+        # first), so take the per-group path here
+        blobs_pg = [merge_disjoint_blobs(g) for g in groups]
+        metas = [BlockMeta(b) for b in blobs_pg]
+        return (blobs_pg,
+                np.array([m.n_docs for m in metas], dtype=np.int64),
+                np.array([int(m.npos.sum()) for m in metas],
+                         dtype=np.int64),
+                np.array([int(m.bmax_tf.max()) if m.nblocks else 0
+                          for m in metas], dtype=np.int64))
     docs = np.concatenate(docs_l)
     tfs = np.concatenate(tfs_l)
     dls = np.concatenate(dls_l)

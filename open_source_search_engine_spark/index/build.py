@@ -1134,14 +1134,20 @@ def make_merge_partition(bulk: bool = True):
     return merge_partition
 
 
-def _bulk_merge_ok(spark: SparkSession) -> bool:
+def _bulk_merge_ok(spark: SparkSession,
+                   conf: EngineConf = DEFAULT_CONF) -> bool:
     """True when each NODE runs few enough concurrent workers that the
     bulk (batched) multi-blob merge has memory bandwidth to win; false
     on wide single-node executors where per-group merging's
     cache-resident working set is faster (measured A/B in
     ``_merge_runs``). Local mode: local[N] puts all N workers on one
-    bus. Cluster mode: spark.executor.cores is the per-JVM (and, for
-    the typical one-executor-per-node sizing, per-bus) concurrency."""
+    bus. Cluster mode: spark.executor.cores is the per-JVM concurrency,
+    and the heuristic ASSUMES one executor per node (the typical
+    sizing) — deployments packing several executors per node should set
+    ``conf.bulk_merge`` explicitly (ADVICE r3; perf-only, outputs are
+    byte-identical either way)."""
+    if conf.bulk_merge is not None:
+        return conf.bulk_merge
     sc = spark.sparkContext
     if sc.master.startswith("local"):
         workers = sc.defaultParallelism
@@ -1261,7 +1267,7 @@ def build_index(
         seg = (
             mini.repartition(F.col("term_id"), F.col("salt"))
             .sortWithinPartitions("term_id", "salt")
-            .mapInPandas(make_merge_partition(_bulk_merge_ok(spark)),
+            .mapInPandas(make_merge_partition(_bulk_merge_ok(spark, conf)),
                          schema=SEGMENT_SCHEMA)
         )
         out = os.path.join(paths.segments, f"gen={gen}")

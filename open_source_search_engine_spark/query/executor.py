@@ -490,11 +490,17 @@ def search_clustered(
         ids = [int(r["doc_id"]) for r in base_rows]
         meta = {}
         if ids:
+            dsel = rd.docs().select("doc_id", "site_id", "content_hash")
+            if len(ids) <= 10_000:
+                dsel = dsel.where(F.col("doc_id").isin(ids))
+            else:
+                # a literal IN-list this large bloats the plan
+                # (ADVICE r3): broadcast-join the ids instead
+                id_df = rd.spark.createDataFrame(
+                    [(i,) for i in ids], "doc_id long")
+                dsel = dsel.join(F.broadcast(id_df), "doc_id")
             meta = {r["doc_id"]: (r["site_id"], r["content_hash"])
-                    for r in rd.docs()
-                    .where(F.col("doc_id").isin(ids))
-                    .select("doc_id", "site_id", "content_hash")
-                    .collect()}
+                    for r in dsel.collect()}
         surv = []
         per_site: dict = {}
         seen_hash: set = set()
@@ -518,8 +524,14 @@ def search_clustered(
                 break
         exact = len(base_rows) < kprime  # buffer held the whole match set
         if exact or len(surv) >= k:
-            return spark.createDataFrame(
-                surv[:k], "doc_id long, score double")
+            # surv is built in rank order, but make the (score DESC,
+            # doc_id ASC) contract a plan-level invariant (ADVICE r3):
+            # downstream transformations must not depend on local-list
+            # row order
+            return (spark.createDataFrame(
+                        surv[:k], "doc_id long, score double")
+                    .orderBy(F.col("score").desc(),
+                             F.col("doc_id").asc()))
         oversample *= 4  # site caps ate the buffer: refill
 
 

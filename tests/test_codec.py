@@ -376,3 +376,52 @@ def test_merge_disjoint_blobs_many_byte_identical():
         assert df[i] == m.n_docs
         assert cf[i] == int(m.npos.sum())
         assert mx[i] == int(m.bmax_tf.max())
+
+
+def test_merge_disjoint_blobs_many_all_empty_groups():
+    """Every blob in every group empty: the batched merge must take the
+    per-group fallback instead of raising from an empty concatenate
+    (ADVICE r3 — public codec API, even though mini rows never hit it)."""
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codec import (
+        encode_postings,
+        merge_disjoint_blobs_many,
+    )
+
+    e = np.empty(0, dtype=np.uint64)
+    empty_blob = encode_postings(e, e, e, e, e, e)
+    groups = [[empty_blob], [empty_blob, empty_blob]]
+    blobs, df, cf, mx = merge_disjoint_blobs_many(groups)
+    assert len(blobs) == 2
+    assert list(df) == [0, 0]
+    assert list(cf) == [0, 0]
+    assert list(mx) == [0, 0]
+
+
+def test_merge_disjoint_blobs_many_one_empty_group():
+    """A mixed batch where ONE group decodes empty: per-group fallback
+    results must match merge_disjoint_blobs for the non-empty groups."""
+    import numpy as np
+
+    from open_source_search_engine_spark.functions.codec import (
+        encode_postings,
+        merge_disjoint_blobs,
+        merge_disjoint_blobs_many,
+    )
+
+    e = np.empty(0, dtype=np.uint64)
+    empty_blob = encode_postings(e, e, e, e, e, e)
+    docs = np.array([3, 9], dtype=np.uint64)
+    tfs = np.array([1, 2], dtype=np.uint64)
+    dls = np.array([10, 20], dtype=np.uint64)
+    pos = np.array([4, 1, 7], dtype=np.uint64)
+    ctx = np.array([0, 0, 0], dtype=np.uint64)
+    rks = np.array([5, 6], dtype=np.uint64)
+    full = encode_postings(docs, tfs, dls, pos, ctx, rks)
+    groups = [[empty_blob], [full]]
+    blobs, df, cf, mx = merge_disjoint_blobs_many(groups)
+    assert blobs[1] == merge_disjoint_blobs([full])
+    assert list(df) == [0, 2]
+    assert list(cf) == [0, 3]
+    assert mx[1] == 2
