@@ -192,29 +192,34 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification: recompute Jaccard only for candidate pairs.
-    # Plain shuffle join on doc_a — Catalyst/AQE may still choose a
-    # broadcast when cands is measurably small, but nothing forces an
-    # unbounded driver collect.
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a_sh.join(cands, "doc_a")
-        .join(b_sh, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # exact verification: build each candidate doc's shingle SET once
+    # (semi-joined to docs appearing in any candidate pair) and
+    # intersect with array_intersect — one aggregation + two joins
+    # where the old plan paid two (doc, shingle) explode joins plus
+    # three per-doc size joins (5 exchanges). Wire volume is
+    # comparable: a doc in P pairs ships its set P times either way,
+    # and max_band_docs bounds P. Plain shuffle joins — Catalyst/AQE
+    # may still choose a broadcast when cands is measurably small, but
+    # nothing forces an unbounded driver collect.
+    need = (cands.select(F.col("doc_a").alias("doc_id"))
+            .union(cands.select(F.col("doc_b").alias("doc_id")))
+            .distinct())
+    sets = (shingles(docs, n)
+            .join(need, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sset")))
+    sa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("sset").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sset").alias("set_b"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("inter").cast("double")
-             / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jac"),
-        )
+        cands.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn("jac",
+                    F.col("inter").cast("double")
+                    / (F.size("set_a") + F.size("set_b")
+                       - F.col("inter")))
         .where(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )

@@ -1369,34 +1369,84 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
 def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
                                k: int, conf: EngineConf,
                                dfs: dict[int, int]) -> DataFrame:
-    kprime = max(64, 8 * k)
+    # pass 1 runs ONCE per fetch level: it collects a deep ub prefix
+    # (driver-side, 16B/row) so certificate failures widen the
+    # candidate prefix without re-decoding every termlist — only the
+    # cheap candidate-restricted pass 2 reruns. The min-single bound
+    # sits ~2-4× above pair-dominated true scores on stopword docs, so
+    # the initial prefix starts at 32k rather than 8k (measured: 8k
+    # reran on every degenerate 3-term query, doubling latency).
+    kprime = max(256, 32 * k)
+    fetch = max(65_536, 4 * kprime)  # deep: 16B/row driver-side, and a
+    # deep prefix makes pass-1 refetches (full re-decode) rare
+    best: list[tuple[float, int]] = []  # (score, doc_id), merged rounds
+    scored_to = 0  # prefix length already exact-scored (delta rounds)
     while True:
-        cand, m_bound = _reference_candidates(spark, rd, cq, conf, dfs,
-                                              kprime)
-        if len(cand) == 0:
+        cand_all, ub_all = _reference_candidates(spark, rd, cq, conf,
+                                                 dfs, fetch)
+        if len(cand_all) == 0:
             return spark.createDataFrame([], "doc_id long, score double")
-        rows = (_reference_exact(spark, rd, cq, k, conf, dfs,
-                                 candidate_docs=np.sort(cand))
-                .collect())
-        kth = rows[k - 1]["score"] if len(rows) >= k else float("-inf")
-        if m_bound is None or kth >= m_bound:
-            out = spark.createDataFrame(
-                [(int(r["doc_id"]), float(r["score"])) for r in rows],
-                "doc_id long, score double")
-            return out.orderBy(F.col("score").desc(),
-                               F.col("doc_id").asc())
-        kprime *= 4  # rare: bound gap too tight — widen and rerun
+        exhausted = len(cand_all) < fetch  # every covered doc fetched
+        while True:
+            kprime = min(kprime, len(cand_all))
+            if kprime < len(cand_all):
+                # bound of the best excluded doc
+                m_bound = float(ub_all[kprime])
+            elif not exhausted:
+                # excluded docs lie beyond the fetch prefix; their ubs
+                # are <= the last fetched ub
+                m_bound = float(ub_all[-1])
+            else:
+                m_bound = None  # every covered doc is a candidate
+            # delta scoring: each widening round exact-scores only the
+            # docs not covered by a previous round; the true top-k of
+            # the union is contained in the union of per-round top-ks
+            delta = cand_all[scored_to:kprime]
+            if len(delta):
+                rows = (_reference_exact(spark, rd, cq, k, conf, dfs,
+                                         candidate_docs=np.sort(delta))
+                        .collect())
+                best.extend((float(r["score"]), int(r["doc_id"]))
+                            for r in rows)
+                best.sort(key=lambda t: (-t[0], t[1]))
+                del best[k:]
+                scored_to = kprime
+            kth = best[k - 1][0] if len(best) >= k else float("-inf")
+            if m_bound is None or kth >= m_bound:
+                return (spark.createDataFrame(
+                            [(d, s) for s, d in best],
+                            "doc_id long, score double")
+                        .orderBy(F.col("score").desc(),
+                                 F.col("doc_id").asc()))
+            if kprime >= len(cand_all):
+                break  # prefix exhausted without certificate: refetch
+            if kth > float("-inf"):
+                # jump straight to the certified prefix: the k-th
+                # exact score only grows with a wider prefix, so the
+                # first index whose ub drops below the CURRENT kth is
+                # a sufficient prefix end (ub_all is desc-sorted) —
+                # one extra pass-2 round instead of log4 blind
+                # widening across a flat ub plateau
+                need = int(np.searchsorted(-ub_all, -kth,
+                                           side="right"))
+                kprime = max(kprime * 4, need)
+            else:
+                kprime *= 4
+        fetch *= 8
 
 
 def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                           conf: EngineConf, dfs: dict[int, int],
-                          kprime: int):
-    """Pass 1: (candidate doc_ids, bound of the best excluded doc or
-    None when every covered doc is already a candidate)."""
+                          fetch: int):
+    """Pass 1: the top-``fetch`` covered docs by per-doc upper bound.
+    Returns (doc_ids desc-ub, ubs desc) as parallel numpy arrays —
+    the caller prefixes them for the certificate loop; a result
+    shorter than ``fetch`` means every covered doc was fetched."""
     from .refscore import (
         SITERANK_MULTIPLIER,
         WIKI_BIGRAM_WEIGHT,
         ScoringWeights,
+        bound_factor_rows,
         precompute_postings,
         term_freq_weight,
     )
@@ -1451,16 +1501,27 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                     pre = precompute_postings(
                         d["positions"].astype(np.int64),
                         d["ctxs"].astype(np.int64), weights)
-                    starts = np.concatenate(([0], np.cumsum(tf64[:-1])))
-                    u = np.add.reduceat(
-                        pre["s_single"].astype(np.float64), starts)
+                    # slot-structured bounds (max per modified
+                    # hashgroup + INLINKTEXT sum), ~tf× tighter than
+                    # the old every-posting sum on stopword docs —
+                    # fewer certificate-loop reruns downstream; the
+                    # pair factors bound min_pair, which dominates the
+                    # min-combine on proximity-flat stopword docs
+                    doc_of_post = np.repeat(
+                        np.arange(len(docs), dtype=np.int64), tf64)
+                    u, pf_s, pf_g, pf_l = bound_factor_rows(
+                        pre, doc_of_post, len(docs))
                 else:
                     u = np.zeros(len(docs), dtype=np.float64)
+                    pf_s = pf_g = pf_l = u
                 out.append(pd.DataFrame({
                     "term_id": np.full(len(docs), term_id, np.int64),
                     "doc_id": docs.astype(np.int64),
                     "rank": d["ranks"].astype(np.int32),
                     "u": u,
+                    "pf_s": pf_s,
+                    "pf_g": pf_g,
+                    "pf_l": pf_l,
                     "gen": np.full(len(docs), int(g), np.int32),
                 }))
             if out:
@@ -1468,33 +1529,72 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
 
     u_rows = seg.mapInPandas(
         decode_u,
-        schema="term_id long, doc_id long, rank int, u double, gen int")
+        schema=("term_id long, doc_id long, rank int, u double, "
+                "pf_s double, pf_g double, pf_l double, gen int"))
     u_rows = rd._newest_wins(u_rows)
 
     slot_expr = F.create_map(
         *[x for t in tids for x in (F.lit(int(t)),
                                     F.lit(tid_slot[t]))])
-    w_expr = F.create_map(
-        *[x for t in tids
-          for x in (F.lit(int(t)),
-                    F.lit(float(slot_tfw[t]) ** 2
-                          * float(WIKI_BIGRAM_WEIGHT) ** 2))])
-    # per-SLOT sums first (a slot's merged variant rows add), THEN the
-    # min over slots — min over raw rows would undercut the bound once
-    # a slot holds several sublists
+    # WIKI² only when the query carries wiki phrases — the exact path
+    # builds TermLists with half_stop=False so singles never
+    # wiki-boost, and min_score <= min_single keeps the bound sound
+    # (same reasoning as score_batch's in-batch bound)
+    wiki_factor = (float(WIKI_BIGRAM_WEIGHT) ** 2
+                   if any(int(g.wiki_phrase_id) for g in pos_groups)
+                   else 1.0)
+    tfw_slot = [0.0] * n_req
+    for t, s in slot_of.items():
+        tfw_slot[s] = tfw_of[t]
+    # per-SLOT pivot in ONE groupBy (sums across a slot's merged
+    # variant rows — min over raw rows would undercut the bound once a
+    # slot holds several sublists; one exchange instead of the old
+    # two-level groupBy's two)
+    aggs = []
+    for s in range(n_req):
+        cond = F.col("slot") == F.lit(s)
+        aggs += [
+            F.sum(F.when(cond, F.col("u"))).alias(f"u{s}"),
+            F.sum(F.when(cond, F.col("pf_s"))).alias(f"s{s}"),
+            F.max(F.when(cond, F.col("pf_g"))).alias(f"g{s}"),
+            F.sum(F.when(cond, F.col("pf_l"))).alias(f"l{s}"),
+        ]
     per_doc = (
         u_rows
         .withColumn("slot", slot_expr[F.col("term_id")])
-        .withColumn("u_eff", F.col("u") * w_expr[F.col("term_id")])
-        .groupBy("doc_id", "slot")
-        .agg(F.sum("u_eff").alias("u_slot"),
-             F.first("rank").alias("rank"))
         .groupBy("doc_id")
-        .agg(F.min("u_slot").alias("ub0"),
-             F.count("*").alias("cov"),
-             F.first("rank").alias("rank"))
-        .where(F.col("cov") == F.lit(n_req))
+        .agg(*aggs, F.first("rank").alias("rank"))
     )
+    covered = F.lit(True)
+    for s in range(n_req):
+        covered = covered & F.col(f"u{s}").isNotNull()
+    per_doc = per_doc.where(covered)
+    # ub0 = min(min-single bound, min-pair bound): the final score is
+    # min(min_pair, min_single) × multipliers, and on proximity-flat
+    # stopword docs min_pair binds — the single-only bound certified
+    # ~12% above true scores across a plateau of thousands of docs
+    singles = [F.col(f"u{s}")
+               * F.lit(float(tfw_slot[s]) ** 2 * wiki_factor)
+               for s in range(n_req)]
+    ub0 = F.least(*singles) if n_req > 1 else singles[0]
+    if n_req >= 2:
+        pair_bounds = []
+        for i in range(n_req):
+            for j in range(i + 1, n_req):
+                c1 = F.col(f"s{i}") * F.col(f"g{j}")
+                c2 = F.col(f"s{j}") * F.col(f"g{i}")
+                nolink = ((F.col(f"l{i}") == F.lit(0.0))
+                          & (F.col(f"l{j}") == F.lit(0.0)))
+                core = (F.when(nolink, F.least(c1, c2))
+                        .otherwise(c1 + c2
+                                   + F.col(f"l{i}") * F.col(f"l{j}")))
+                pair_bounds.append(
+                    core * F.lit(100.0 * float(tfw_slot[i])
+                                 * float(tfw_slot[j])))
+        pair_ub = (F.least(*pair_bounds) if len(pair_bounds) > 1
+                   else pair_bounds[0])
+        ub0 = F.least(ub0, pair_ub)
+    per_doc = per_doc.withColumn("ub0", ub0)
     if cq.negative_groups:
         neg_tids = [g.term_ids[0] for g in cq.negative_groups]
         neg_docs = rd.postings(neg_tids).select("doc_id").distinct()
@@ -1528,16 +1628,11 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
     top = (per_doc.withColumn("ub", ub)
            .select("doc_id", "ub")
            .orderBy(F.col("ub").desc(), F.col("doc_id").asc())
-           .limit(kprime + 1)
+           .limit(fetch)
            .collect())
-    if len(top) > kprime:
-        m_bound = float(top[kprime]["ub"])
-        cand = np.array([r["doc_id"] for r in top[:kprime]],
-                        dtype=np.uint64)
-    else:
-        m_bound = None  # every covered doc is a candidate: exact by
-        cand = np.array([r["doc_id"] for r in top], dtype=np.uint64)
-    return cand, m_bound
+    cand_all = np.array([r["doc_id"] for r in top], dtype=np.uint64)
+    ub_all = np.array([r["ub"] for r in top], dtype=np.float64)
+    return cand_all, ub_all
 
 
 def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
@@ -1628,7 +1723,7 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                                      F.lit(float(pt_default)))
 
     from .refscore import SITERANK_MULTIPLIER, WIKI_BIGRAM_WEIGHT, \
-        precompute_postings, termlist_from_slices
+        bound_factor_rows, precompute_postings, termlist_from_slices
 
     def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         import heapq
@@ -1667,8 +1762,9 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                 ctx_all = np.where(rep_syn, (ctx_all & ~0x3) | 0x2,
                                    ctx_all)
         pre = precompute_postings(pos_all, ctx_all, weights)
-        row_sum = np.add.reduceat(
-            pre["s_single"].astype(np.float64), row_off[:-1])
+        post_row = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+        row_sum, pf_s, pf_g, pf_l = bound_factor_rows(
+            pre, post_row, len(pdf))
 
         bounds = np.flatnonzero(
             np.concatenate(([True], doc_arr[1:] != doc_arr[:-1])))
@@ -1676,15 +1772,23 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
         n_docs_b = len(bounds) - 1
         # per-doc sound upper bound (getMaxPossibleScore analog,
         # PosdbTable.cpp:4064 prefilter): the final score is
-        # min-combined, so every SLOT's single-score sum bounds it
+        # min-combined, so every SLOT's single-score bound bounds it
         # (sum over the slot's merged rows — min over rows would be
         # unsound once variants put several rows in one slot);
-        # siterank adjustment bounded by the max inlinker rank 15
+        # siterank adjustment bounded by the max inlinker rank 15.
+        # The WIKI² factor applies only when the query carries wiki
+        # phrases: this path builds every TermList with
+        # half_stop=False, so singles never wiki-boost, but pair
+        # scores with matching wiki ids can reach WIKI_WEIGHT× —
+        # min_score <= min_single keeps the bound sound without it;
+        # the guard is defensive for a future half-stop wiring.
         tfw_of = np.zeros(n_req)
         for t, sidx in slot_of.items():
             tfw_of[sidx] = tfws[sidx]
+        wiki_factor = (float(WIKI_BIGRAM_WEIGHT) ** 2
+                       if any(wiki_ids) else 1.0)
         u_row = (row_sum * tfw_of[slot_arr] * tfw_of[slot_arr]
-                 * float(WIKI_BIGRAM_WEIGHT) ** 2)
+                 * wiki_factor)
         is_start = np.concatenate(([True], doc_arr[1:] != doc_arr[:-1]))
         doc_of_row = np.cumsum(is_start) - 1
         slot_sum = np.zeros((n_docs_b, n_req), dtype=np.float64)
@@ -1693,6 +1797,29 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
         slot_seen[doc_of_row, slot_arr] = True
         covered = slot_seen.sum(axis=1)
         ub = np.where(slot_seen, slot_sum, np.inf).min(axis=1)
+        if n_req >= 2:
+            # pair bound (see refscore.pair_factor_rows): min_pair
+            # binds on proximity-flat docs where the single bound
+            # plateaus above the true scores
+            s_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
+            g_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
+            l_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
+            np.add.at(s_slot, (doc_of_row, slot_arr), pf_s)
+            np.maximum.at(g_slot, (doc_of_row, slot_arr), pf_g)
+            np.add.at(l_slot, (doc_of_row, slot_arr), pf_l)
+            pair_ub = np.full(n_docs_b, np.inf)
+            for i in range(n_req):
+                for j in range(i + 1, n_req):
+                    c1 = s_slot[:, i] * g_slot[:, j]
+                    c2 = s_slot[:, j] * g_slot[:, i]
+                    nolink = (l_slot[:, i] == 0) & (l_slot[:, j] == 0)
+                    core = np.where(
+                        nolink, np.minimum(c1, c2),
+                        c1 + c2 + l_slot[:, i] * l_slot[:, j])
+                    pair_ub = np.minimum(
+                        pair_ub,
+                        core * (100.0 * tfw_of[i] * tfw_of[j]))
+            ub = np.minimum(ub, pair_ub)
         sr_doc = (rank_arr[bounds[:-1]].astype(np.int64) >> 6)
         lang_doc = rank_arr[bounds[:-1]].astype(np.int64) & 63
         adj = sr_doc + np.maximum(15 - sr_doc, 0) / 3.0

@@ -207,6 +207,136 @@ def precompute_postings(pos_all: np.ndarray, ctx_all: np.ndarray,
             "synm": synm, "inbody": inbody, "mhg": mhg, "s_single": s}
 
 
+def slot_bound_rows(pre: dict, row_of_post: np.ndarray,
+                    n_rows: int, scores: np.ndarray | None = None
+                    ) -> np.ndarray:
+    """Sound per-row upper bound on the row's exact single-term ctx sum
+    (``single_term_score`` before the tfw² scaling), vectorized over
+    MANY (term, doc) rows at once: INLINKTEXT postings each occupy
+    their own slot (so they sum), non-link postings contribute at most
+    their max per distinct modified hashgroup. Summing ALL slot maxima
+    dominates the exact path's MAX_TOP-capped, creation-ordered F32 sum
+    for every eviction order, so this bounds it from above (up to f32
+    vs f64 rounding — callers keep the ×1.001 margin). Replaces the
+    old sum-of-every-posting bound, which was ~tf× looser on stopword
+    docs (a tf-50 body term bounded at 50× its real slot max).
+
+    ``scores`` overrides the per-posting score array (default
+    ``s_single``) — the pair bound reuses the same slot structure over
+    the pair-formula factor g = den·hg·spam·syn."""
+    s64 = (pre["s_single"] if scores is None else scores).astype(
+        np.float64)
+    hg = pre["hg"]
+    is_link = hg == HASHGROUP_INLINKTEXT
+    out = np.zeros(n_rows, dtype=np.float64)
+    if is_link.any():
+        out += np.bincount(row_of_post[is_link], weights=s64[is_link],
+                           minlength=n_rows)
+    nl = ~is_link
+    if nl.any():
+        # mhg folds in-body hashgroups to BODY and is < 16 (Posdb.h
+        # MAXHASHGROUP), so (row, mhg) packs into one sortable key
+        key = row_of_post[nl] * 16 + pre["mhg"][nl]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        vs = s64[nl][order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1])))
+        gmax = np.maximum.reduceat(vs, starts)
+        out += np.bincount((ks[starts] // 16).astype(np.int64),
+                           weights=gmax, minlength=n_rows)
+    return out
+
+
+def pair_factor_rows(pre: dict, row_of_post: np.ndarray, n_rows: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row factors for a sound PAIR-score upper bound. Every pair
+    state scores 100·g_i·g_j/(dist+1) with g = den·hg·spam·syn — NO
+    diversity, unsquared — and divisor >= 1 (getTermPairScoreForAny /
+    getScoreForTermPair). The pair total is a slot sum whose
+    brotherhood rule collapses non-link states on m1 OR m2 match, so
+    with NO INLINKTEXT postings on either side the slots carry
+    all-distinct m1 AND all-distinct m2 and
+        total_ij <= 100·min(S_i·G_j, S_j·G_i);
+    with link postings present, link states never collapse on their
+    own side and the sound bound is the full decomposition
+        total_ij <= 100·(S_i·G_j + S_j·G_i + L_i·L_j).
+    Returns (S_rows, G_rows, L_rows):
+      S = slot-structured sum of g over NON-link postings
+          (distinct-mhg maxima),
+      G = plain max of g over ALL postings,
+      L = sum of g over INLINKTEXT postings (0 for most docs)."""
+    g = (pre["denw"].astype(np.float64)
+         * pre["hgw"].astype(np.float64)
+         * pre["spamw"].astype(np.float64)
+         * pre["synm"].astype(np.float64))
+    hg = pre["hg"]
+    is_link = hg == HASHGROUP_INLINKTEXT
+    s_rows = np.zeros(n_rows, dtype=np.float64)
+    nl = ~is_link
+    if nl.any():
+        key = row_of_post[nl] * 16 + pre["mhg"][nl]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        vs = g[nl][order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1])))
+        gmax = np.maximum.reduceat(vs, starts)
+        s_rows += np.bincount((ks[starts] // 16).astype(np.int64),
+                              weights=gmax, minlength=n_rows)
+    l_rows = np.zeros(n_rows, dtype=np.float64)
+    if is_link.any():
+        l_rows += np.bincount(row_of_post[is_link],
+                              weights=g[is_link], minlength=n_rows)
+    g_rows = np.zeros(n_rows, dtype=np.float64)
+    np.maximum.at(g_rows, row_of_post, g)
+    return s_rows, g_rows, l_rows
+
+
+def bound_factor_rows(pre: dict, row_of_post: np.ndarray, n_rows: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                 np.ndarray]:
+    """Fused ``slot_bound_rows`` + ``pair_factor_rows``: one shared
+    (row, mhg) sort serves both slot structures (the sort is the
+    dominant cost over millions of postings). Returns (U, S, G, L):
+      U = slot-structured sum of s_single (single-score bound),
+      S = slot-structured sum of g over non-link postings,
+      G = max of g over all postings,
+      L = sum of g over INLINKTEXT postings."""
+    s64 = pre["s_single"].astype(np.float64)
+    g = (pre["denw"].astype(np.float64)
+         * pre["hgw"].astype(np.float64)
+         * pre["spamw"].astype(np.float64)
+         * pre["synm"].astype(np.float64))
+    hg = pre["hg"]
+    is_link = hg == HASHGROUP_INLINKTEXT
+    u_rows = np.zeros(n_rows, dtype=np.float64)
+    s_rows = np.zeros(n_rows, dtype=np.float64)
+    l_rows = np.zeros(n_rows, dtype=np.float64)
+    nl = ~is_link
+    if nl.any():
+        key = row_of_post[nl] * 16 + pre["mhg"][nl]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1])))
+        gkeys = (ks[starts] // 16).astype(np.int64)
+        u_rows += np.bincount(
+            gkeys, weights=np.maximum.reduceat(s64[nl][order], starts),
+            minlength=n_rows)
+        s_rows += np.bincount(
+            gkeys, weights=np.maximum.reduceat(g[nl][order], starts),
+            minlength=n_rows)
+    if is_link.any():
+        u_rows += np.bincount(row_of_post[is_link],
+                              weights=s64[is_link], minlength=n_rows)
+        l_rows += np.bincount(row_of_post[is_link],
+                              weights=g[is_link], minlength=n_rows)
+    g_rows = np.zeros(n_rows, dtype=np.float64)
+    np.maximum.at(g_rows, row_of_post, g)
+    return u_rows, s_rows, g_rows, l_rows
+
+
 def _fill_termlist(tl, pre: dict, sl: slice, half_stop: bool):
     tl.pos = pre["pos"][sl]
     tl.hg = pre["hg"][sl]

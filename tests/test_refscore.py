@@ -486,15 +486,16 @@ def test_two_pass_routes_and_certifies(ref_two_pass_index, spark,
     orig = ex._reference_candidates
 
     def spy(*a, **kw):
-        calls.append(a[-1])  # kprime
+        calls.append(a[-1])  # fetch depth
         return orig(*a, **kw)
 
     monkeypatch.setattr(ex, "_reference_candidates", spy)
     got = ex.search(spark, ref_two_pass_index, "apple banana cherry",
                     k=10, conf=_two_pass_conf(small_conf)).collect()
     assert len(got) == 10
-    assert len(calls) >= 1
-    assert calls[0] == 80  # max(64, 8k)
+    # pass 1 runs ONCE: certificate failures widen the candidate prefix
+    # from the collected ub list without re-decoding the termlists
+    assert calls == [65536]  # max(65536, 4 * max(256, 32k))
 
 
 def test_reference_mode_variant_sublists(spark, small_conf, tmp_path):
