@@ -935,6 +935,72 @@ def q_multimodal_resize(spark, sf_dir):
         F.col("height").cast("long"))
 
 
+def _lined_docs(spark, sf_dir):
+    """Lined view of documents: consecutive 8-token windows joined by
+    newline. The synthetic text carries no newlines, so both the Spark
+    query and the DuckDB oracle derive lines the same deterministic
+    way — the line-dedup op itself is delimiter-generic."""
+    docs = _docs(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ts) / F.lit(8)).cast("int")
+    lns = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(ts, i * 8 + 1, 8)))
+    return docs.select("doc_id", F.array_join(lns, "\n").alias("text"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet §3.1 / RefinedWeb boilerplate-line removal: a line present
+    in >= 2 distinct docs is dropped from every doc (ops.dedup.
+    line_dedup); surviving lines rejoin in original order."""
+    from open_source_search_engine_spark.ops.dedup import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf_dir), min_df=2).select(
+        F.col("doc_id").cast("long"), "clean_text",
+        F.col("n_lines").cast("long"), F.col("n_removed").cast("long"))
+
+
+def q_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty: fraction of the doc's distinct shingles
+    that also appear in at least one other doc (ops.dedup.
+    novelty_scores) — the corpus-overlap quality signal."""
+    from open_source_search_engine_spark.ops.dedup import novelty_scores
+
+    return novelty_scores(_docs(spark, sf_dir), n=3).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_shingles").cast("long"),
+        F.col("n_shared").cast("long"),
+        "shared_frac")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic equal-allocation sampling: the 20 hash-smallest
+    docs per language (ops.sampling.stratified_sample) — balanced
+    training-mix construction on skewed corpora."""
+    from open_source_search_engine_spark.ops.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf_dir), n_per_stratum=20,
+        strata_cols=["lang"]).select(
+            F.col("doc_id").cast("long"), "lang",
+            F.col("stratum_rank").cast("int"))
+
+
+def q_keywords_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·ln(N/df)
+    (ops.textstats.keywords_tfidf), ties (tfidf DESC, term ASC)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        keywords_tfidf,
+    )
+
+    return keywords_tfidf(_docs(spark, sf_dir), top_k=3).select(
+        F.col("doc_id").cast("long"), "term",
+        F.col("tf").cast("long"), F.col("df").cast("long"),
+        "tfidf", F.col("rank").cast("int"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_doc_stats": q_index_doc_stats,
@@ -979,6 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_13gram": q_decontaminate,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "line_dedup": q_line_dedup,
+        "novelty": q_novelty,
+        "sample_stratified": q_sample_stratified,
+        "keywords_tfidf": q_keywords_tfidf,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -1483,6 +1553,69 @@ select md5(text) as text_md5, count(*)::bigint as n_dups,
 from documents group by 1 having count(*) > 1
 """,
         "dedup_jaccard": jaccard_sql,
+        "line_dedup": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+lined as (
+  select doc_id,
+         [array_to_string(ts[i:least(i+7, len(ts))], ' ')
+          for i in range(1, len(ts)+1, 8)] as lns
+  from toks),
+lines as (select doc_id, unnest(lns) as line from lined),
+dup as (
+  select line from (
+    select line, count(distinct doc_id) as ldf
+    from lines where length(trim(line)) >= 1
+    group by 1) t where ldf >= 2),
+dl as (select coalesce(list(line), []) as dlist from dup)
+select l.doc_id::bigint as doc_id,
+       coalesce(array_to_string(
+           list_filter(l.lns, x -> not list_contains(dl.dlist, x)),
+           chr(10)), '') as clean_text,
+       len(l.lns)::bigint as n_lines,
+       (len(l.lns)
+        - len(list_filter(l.lns, x -> not list_contains(dl.dlist, x))))::bigint
+         as n_removed
+from lined l, dl
+""",
+        "novelty": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sh as (
+  select doc_id, unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in range(1, len(ts) - 1)])) as shingle
+  from toks where len(ts) >= 3),
+sdf as (select shingle, count(*) as sdf from sh group by 1)
+select s.doc_id::bigint as doc_id,
+       count(*)::bigint as n_shingles,
+       sum(case when d.sdf > 1 then 1 else 0 end)::bigint as n_shared,
+       round(sum(case when d.sdf > 1 then 1 else 0 end)::double / count(*), 4)
+         as shared_frac
+from sh s join sdf d using (shingle) group by 1
+""",
+        "sample_stratified": """
+select doc_id::bigint as doc_id, lang, stratum_rank::int as stratum_rank from (
+  select doc_id, lang,
+         row_number() over (partition by lang
+             order by ('0x' || substr(md5('strat-v1' || doc_id::varchar),
+                                      1, 15))::bigint asc,
+                      doc_id asc) as stratum_rank
+  from documents) t
+where stratum_rank <= 20
+""",
+        "keywords_tfidf": """
+with tok as (select doc_id, unnest(string_split(text, ' ')) as term
+             from documents),
+tf as (select doc_id, term, count(*)::bigint as tf from tok group by 1, 2),
+dfc as (select term, count(*)::bigint as df from tf group by 1),
+nd as (select count(*)::double as n from documents)
+select doc_id::bigint as doc_id, term, tf, df,
+       round(tf * ln(n / df), 6) as tfidf, rank::int as rank
+from (
+  select tf.doc_id, tf.term, tf.tf, dfc.df, nd.n,
+         row_number() over (partition by tf.doc_id
+             order by tf.tf * ln(nd.n / dfc.df) desc, tf.term asc) as rank
+  from tf join dfc using (term), nd) t
+where rank <= 3
+""",
         "decontaminate_13gram": """
 with toks as (select doc_id, string_split(text, ' ') as ts from documents),
 sh as (

@@ -421,3 +421,83 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = 13,
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def line_dedup(docs: DataFrame, min_df: int = 2, min_chars: int = 1,
+               id_col: str = "doc_id", text_col: str = "text",
+               delimiter: str = "\n") -> DataFrame:
+    """Corpus-level duplicated-line removal (CCNet §3.1 paragraph-hash
+    dedup / RefinedWeb line-wise filtering): a line whose trimmed text
+    occurs in >= min_df DISTINCT documents is boilerplate — navigation,
+    cookie banners, footers — and is removed from every document.
+    Lines with trimmed length < min_chars never count as duplicates
+    (blank separators survive). Returns
+    ``(doc_id, clean_text, n_lines, n_removed)`` with surviving lines
+    rejoined in original order; a doc whose every line is boilerplate
+    keeps an empty clean_text.
+
+    Scale shape: one (line -> distinct-doc count) aggregation over the
+    exploded lines (partial counts map-side), one anti-join of the
+    exploded lines against the duplicated-line set, one per-doc
+    reassembly aggregation — the corpus never collects and no pairwise
+    work exists (unlike shingle dedup, line identity is exact-match).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), delimiter))
+        .alias("pos", "line"))
+    eligible = F.length(F.trim(F.col("line"))) >= min_chars
+    dup = (lines.where(eligible)
+           .select("line", "doc_id").distinct()
+           .groupBy("line").agg(F.count("*").alias("ldf"))
+           .where(F.col("ldf") >= min_df)
+           .select("line"))
+    kept = lines.join(dup, "line", "left_anti")
+    reassembled = (
+        kept.groupBy("doc_id")
+        .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("pos", "line"))),
+                    lambda s: s["line"]),
+                delimiter).alias("clean_text"),
+             F.count("*").alias("n_kept")))
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), delimiter)).alias("n_lines"))
+    return (totals.join(reassembled, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias(
+                        "clean_text"),
+                    F.col("n_lines").cast("long").alias("n_lines"),
+                    (F.col("n_lines")
+                     - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))
+
+
+def novelty_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc n-gram novelty (RefinedWeb-style corpus-overlap signal):
+    of the doc's distinct word n-gram shingles, what fraction also
+    appears in at least one OTHER document. Returns
+    ``(doc_id, n_shingles, n_shared, shared_frac)``; docs shorter than
+    n tokens are absent (they have no shingles). High shared_frac =
+    templated/boilerplate content even when no single pair crosses a
+    Jaccard threshold.
+
+    Scale shape: one shingle-df aggregation (partial map-side) + one
+    join back on shingle + one per-doc aggregation — linear in corpus
+    shingle volume, no pair space."""
+    sh = shingles(docs, n)
+    sdf = sh.groupBy("shingle").agg(
+        F.count("*").alias("sdf"))  # shingles() is distinct per doc
+    return (
+        sh.join(sdf, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.when(F.col("sdf") > 1, 1).otherwise(0))
+             .alias("n_shared"))
+        .select("doc_id",
+                F.col("n_shingles").cast("long").alias("n_shingles"),
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+                .alias("shared_frac")))

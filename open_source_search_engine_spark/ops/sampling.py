@@ -74,3 +74,34 @@ def deterministic_sample(docs: DataFrame, frac: float,
     thr = round(frac * BUCKETS)
     b = split_bucket(F.col(key_col).cast("string"), salt)
     return docs.where(b < F.lit(thr))
+
+
+def stratified_sample(docs: DataFrame, n_per_stratum: int,
+                      strata_cols: "list[str] | None" = None,
+                      id_col: str = "doc_id",
+                      salt: str = "strat-v1") -> DataFrame:
+    """Deterministic equal-allocation sampling: keep the n_per_stratum
+    rows with the smallest md5(salt || id) per stratum — the balanced
+    training-mix primitive (equal docs per language / per source
+    domain) that plain rate sampling can't give on skewed corpora.
+
+    Hash-ordering makes the sample (a) reproducible across reruns and
+    cluster sizes, (b) NESTED in n (the 100-per-stratum sample contains
+    the 50-per-stratum sample), like ``deterministic_sample``. Returns
+    the input plus a ``stratum_rank`` column (1-based hash rank within
+    the stratum).
+
+    Scale shape: one window over the strata — a single shuffle
+    partitioned by the stratum key. Strata counts are typically small
+    (languages, source domains), so per-partition top-N is the
+    rank-then-filter Catalyst already optimizes (WindowGroupLimit
+    pushes the n_per_stratum limit into the sort)."""
+    from pyspark.sql import Window
+
+    strata_cols = strata_cols or ["lang"]
+    hk = hash60(F.concat(F.lit(salt),
+                         F.col(id_col).cast("string")))
+    w = (Window.partitionBy(*[F.col(c) for c in strata_cols])
+         .orderBy(hk.asc(), F.col(id_col).asc()))
+    return (docs.withColumn("stratum_rank", F.row_number().over(w))
+            .where(F.col("stratum_rank") <= n_per_stratum))

@@ -363,3 +363,41 @@ def detect_language(docs: DataFrame) -> DataFrame:
     for lg in reversed(langs):
         pred = F.when((F.col(f"s_{lg}") == best) & (best > 0), lg).otherwise(pred)
     return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+def keywords_tfidf(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (ln-idf,
+    smooth-free: idf = ln(N / df), df = docs containing the term) —
+    the classic keyword/topic-labeling primitive for corpus triage.
+    Ties break (tfidf DESC, term ASC) so the output is deterministic.
+    Returns ``(doc_id, term, tf, df, tfidf, rank)``.
+
+    Scale shape: one explode + (doc, term) count aggregation, one
+    term-df aggregation (both with map-side partials), one join back on
+    term, one window per doc for the top-k — the same inverted-index
+    dataflow as the posting build, with the same skew character
+    (stopword terms have high df but the join fans out per doc, not
+    per pair)."""
+    from pyspark.sql import Window
+
+    ts = tokens_col(F.col("text"))
+    tf = (spread(docs)
+          .select("doc_id", F.explode(ts).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    n_docs = docs.count()
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (tf.join(dfc, "term")
+            .withColumn("tfidf",
+                        F.round(F.col("tf")
+                                * F.log(F.lit(float(n_docs))
+                                        / F.col("df")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("doc_id", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

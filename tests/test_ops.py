@@ -745,3 +745,91 @@ def test_decode_image_pixels_spark(spark):
     junk = decode_image_pixels(to_binary_payload(docs)).collect()
     assert all(r["format"] == "undecodable" and r["width"] is None
                for r in junk)
+
+
+def test_line_dedup_removes_cross_doc_lines(spark):
+    from open_source_search_engine_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "unique alpha\nshared footer\nmore text"),
+         (2, "other body\nshared footer"),
+         (3, "shared footer\nonly dup here\nshared footer"),
+         (4, "totally distinct")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_df=2).collect()}
+    assert out[1]["clean_text"] == "unique alpha\nmore text"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "other body"
+    # every occurrence removed, order of survivors preserved
+    assert out[3]["clean_text"] == "only dup here"
+    assert out[3]["n_removed"] == 2
+    assert out[4]["clean_text"] == "totally distinct"
+    assert out[4]["n_removed"] == 0
+
+
+def test_line_dedup_min_chars_keeps_blanks(spark):
+    from open_source_search_engine_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c\n\nx"), (2, "d e f\n\ny")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_df=2,
+                                              min_chars=1).collect()}
+    # the blank line occurs in both docs but is below min_chars: kept
+    assert out[1]["clean_text"] == "a b c\n\nx"
+    assert out[1]["n_removed"] == 0
+
+
+def test_novelty_scores(spark):
+    from open_source_search_engine_spark.ops.dedup import novelty_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+    # doc1 shingles: "a b c" (shared with doc2), "b c d" (unique)
+    assert out[1]["n_shingles"] == 2 and out[1]["n_shared"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[3]["n_shared"] == 0 and out[3]["shared_frac"] == 0.0
+
+
+def test_stratified_sample_nested_and_balanced(spark):
+    from open_source_search_engine_spark.ops.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en" if i % 3 else "da") for i in range(60)],
+        "doc_id long, text string, lang string")
+    s5 = stratified_sample(docs, 5, ["lang"])
+    s10 = stratified_sample(docs, 10, ["lang"])
+    got5 = {(r["lang"], r["doc_id"]) for r in s5.collect()}
+    got10 = {(r["lang"], r["doc_id"]) for r in s10.collect()}
+    assert len(got5) == 10 and len(got10) == 20  # 2 langs, balanced
+    assert got5 <= got10  # nested in n
+    # deterministic across invocations
+    assert got5 == {(r["lang"], r["doc_id"]) for r in
+                    stratified_sample(docs, 5, ["lang"]).collect()}
+
+
+def test_keywords_tfidf_ranking(spark):
+    import math
+
+    from open_source_search_engine_spark.ops.textstats import (
+        keywords_tfidf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "cherry common"),
+         (3, "durian common common")],
+        "doc_id long, text string")
+    out = [(r["term"], r["tfidf"], r["rank"])
+           for r in keywords_tfidf(docs, top_k=2)
+           .where(F.col("doc_id") == 1)
+           .orderBy("rank").collect()]
+    # df: apple 1, banana 1, common 3 -> idf ln(3/1)=1.0986, ln(3/3)=0
+    assert out[0][0] == "apple"
+    assert out[0][1] == round(2 * math.log(3.0), 6)
+    assert out[1][0] == "banana"  # tf 1, beats zero-idf 'common'
+    assert [o[2] for o in out] == [1, 2]
