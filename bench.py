@@ -115,6 +115,21 @@ def main() -> int:
     timed("op_minhash_lsh",
           lambda: minhash_lsh_pairs(docs, threshold=0.5).collect())
     timed("op_simhash", lambda: simhash(docs).count())
+    # CCNet-style duplicated-line removal + corpus-overlap novelty
+    # (lines derived as 8-token windows — the synthetic text has no
+    # newlines; same derivation as the driver-contract entry)
+    from open_source_search_engine_spark.ops.dedup import (
+        line_dedup,
+        novelty_scores,
+    )
+
+    _ts = F.split(F.col("text"), " ")
+    _lns = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(_ts) / F.lit(8)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(_ts, i * 8 + 1, 8)))
+    lined = docs.select("doc_id", F.array_join(_lns, "\n").alias("text"))
+    timed("op_line_dedup", lambda: line_dedup(lined).count())
+    timed("op_novelty", lambda: novelty_scores(docs).count())
     # eval-set 13-gram decontamination (broadcast eval shingles — the
     # train side streams map-side, no corpus-shingle shuffle)
     from open_source_search_engine_spark.ops.dedup import decontaminate

@@ -70,6 +70,14 @@ def main() -> int:
     timed("reference_3term",
           lambda: search(spark, idx, "the of and", k=10, conf=ref,
                          reader=rd).collect())
+    # 2-term (pair-bound-dominated) and 1-term (plateau certificate)
+    # reference shapes — the round-4 two-pass loop's worst cases
+    timed("reference_2term",
+          lambda: search(spark, idx, "the of", k=10, conf=ref,
+                         reader=rd).collect())
+    timed("reference_1term",
+          lambda: search(spark, idx, "the", k=10, conf=ref,
+                         reader=rd).collect())
 
     # mid-df flat-ratio 3-term AND (~10%-df topic words): non-stopword,
     # non-selective — the shape that used to fall back to full decode
@@ -153,12 +161,33 @@ def main() -> int:
           lambda: search(spark, idx, "the of and", k=10, conf=refhf,
                          reader=rd_rhf).collect())
 
+    # concurrent query THROUGHPUT (the reference's headline is ~8 qps
+    # on a 10M-page index, html/faq.html:316): latency above is
+    # per-job wall incl. scheduler overhead; a serving deployment runs
+    # queries concurrently in one SparkSession (FAIR scheduling across
+    # jobs), so qps >> 1/latency. 16 mixed warm queries on 8 threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    mixed = ["the of and", "topic01 topic02 topic03", "the",
+             '"of the"', "topic05 topic06", "the of",
+             "topic11 topic12 topic13", "of and"] * 2
+
+    def one(q):
+        return search(spark, idx, q, k=10, reader=rd).collect()
+
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(one, mixed[:4]))  # warm the thread/job path
+        t0 = time.time()
+        list(ex.map(one, mixed))
+        qps = round(len(mixed) / (time.time() - t0), 2)
+
     from open_source_search_engine_spark.functions.gbhash import term_id
 
     dfs = rd.df_of([term_id("the"), term_id("of"), term_id("and"),
                     term_id("topic01"), term_id("topic02"),
                     term_id("topic03")])
     out = {"n_docs": n_docs, "cpus": cpus, "queries": timings,
+           "concurrent_qps_16x8": qps,
            "term_dfs": {t: int(d) for t, d in
                         zip(("the", "of", "and", "topic01", "topic02",
                              "topic03"), dfs.values())},
