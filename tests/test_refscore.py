@@ -594,3 +594,102 @@ def test_two_pass_with_variants_matches_truth(ref_two_pass_index, spark,
             assert g["score"] == t["score"]
     finally:
         load_synonyms({})
+
+
+# ---------------------------------------------------------------------------
+# bound soundness (round 4): the two-pass certificate is only valid if
+# the per-doc upper bound dominates the exact score for EVERY posting
+# shape — property-tested over random termlists
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rand_ctx(draw, allow_link):
+    hgs = [HASHGROUP_BODY, HASHGROUP_TITLE, HASHGROUP_HEADING]
+    if allow_link:
+        hgs.append(HASHGROUP_INLINKTEXT)
+    return ctx(
+        hg=draw(st.sampled_from(hgs)),
+        den=draw(st.integers(0, MAXDENSITYRANK)),
+        div=draw(st.integers(0, MAXDIVERSITYRANK)),
+        spam=draw(st.integers(0, MAXWORDSPAMRANK)),
+        syn=draw(st.integers(0, 1)),
+    )
+
+
+@st.composite
+def _doc_terms(draw):
+    T = draw(st.integers(1, 3))
+    allow_link = draw(st.booleans())
+    terms = []
+    for _ in range(T):
+        n = draw(st.integers(1, 6))
+        poss = sorted(draw(st.lists(st.integers(0, 300), min_size=n,
+                                    max_size=n)))
+        ctxs = [_rand_ctx(draw, allow_link) for _ in range(n)]
+        terms.append((poss, ctxs))
+    tfws = [draw(st.sampled_from([0.5, 0.75, 1.0])) for _ in range(T)]
+    sr = draw(st.integers(0, 15))
+    return terms, tfws, sr
+
+
+def _batch_style_bound(tls, tfws, site_rank):
+    """The exact bound arithmetic of executor.score_batch /
+    _reference_candidates, re-derived here from the same refscore
+    helpers over one doc."""
+    import numpy as np
+
+    from open_source_search_engine_spark.query.refscore import (
+        SITERANK_MULTIPLIER,
+        bound_factor_rows,
+        precompute_postings,
+    )
+
+    n_req = len(tls)
+    pos_all = np.concatenate([t[0] for t in tls]).astype(np.int64)
+    ctx_all = np.concatenate([t[1] for t in tls]).astype(np.int64)
+    lens = np.array([len(t[0]) for t in tls], dtype=np.int64)
+    row_of = np.repeat(np.arange(n_req, dtype=np.int64), lens)
+    pre = precompute_postings(pos_all, ctx_all, W)
+    u, s, g, l = bound_factor_rows(pre, row_of, n_req)
+    ub = min(u[i] * tfws[i] * tfws[i] for i in range(n_req))
+    if n_req >= 2:
+        pair_ub = float("inf")
+        for i in range(n_req):
+            for j in range(i + 1, n_req):
+                c1 = s[i] * g[j]
+                c2 = s[j] * g[i]
+                if l[i] == 0 and l[j] == 0:
+                    core = min(c1, c2)
+                else:
+                    core = c1 + c2 + l[i] * l[j]
+                pair_ub = min(pair_ub,
+                              core * 100.0 * tfws[i] * tfws[j])
+        ub = min(ub, pair_ub)
+    sr = float(site_rank)
+    adj = sr + max(15.0 - sr, 0.0) / 3.0
+    return ub * (adj * float(SITERANK_MULTIPLIER) + 1.0) * 1.001 + 1e-12
+
+
+@settings(max_examples=300, deadline=None)
+@given(_doc_terms())
+def test_candidate_bound_dominates_exact_score(doc):
+    """For any posting shape (hashgroups incl. INLINKTEXT, densities,
+    diversities, spam ranks, syn flags, 1-3 terms, any positions), the
+    slot-structured single bound min-combined with the pair bound must
+    be >= the exact score_doc result — the soundness invariant the
+    two-pass certificate rests on (an excluded doc's true score can
+    never exceed its bound)."""
+    import numpy as np
+
+    terms, tfws, sr = doc
+    tls = [tl(np.asarray(p, dtype=np.int64),
+              np.asarray(c, dtype=np.int64)) for p, c in terms]
+    qpos = [2 * i for i in range(len(tls))]
+    exact = score_doc(tls, tfws, qpos, sr, W)
+    if exact is None:
+        return  # doc skipped by the reference (minScore <= 0)
+    bound = _batch_style_bound(terms, tfws, sr)
+    assert bound >= exact, (terms, tfws, sr, exact, bound)
