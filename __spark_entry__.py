@@ -988,6 +988,22 @@ def q_sample_stratified(spark, sf_dir):
             F.col("stratum_rank").cast("int"))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 A1.1) over documents:
+    every signal + per-rule verdicts + combined keep
+    (ops.textstats.gopher_quality_filter)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        gopher_quality_filter,
+    )
+
+    return gopher_quality_filter(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "n_words", "mean_word_len",
+        "symbol_ratio", "alpha_word_frac", "n_stop_hits",
+        "ellipsis_line_frac", "bullet_line_frac",
+        "ok_words", "ok_word_len", "ok_symbols", "ok_alpha",
+        "ok_stops", "ok_ellipsis", "ok_bullets", "keep")
+
+
 def q_keywords_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf·ln(N/df)
     (ops.textstats.keywords_tfidf), ties (tfidf DESC, term ASC)."""
@@ -1049,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": q_novelty,
         "sample_stratified": q_sample_stratified,
         "keywords_tfidf": q_keywords_tfidf,
+        "gopher_filter": q_gopher_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -1601,6 +1618,46 @@ select doc_id::bigint as doc_id, lang, stratum_rank::int as stratum_rank from (
   from documents) t
 where stratum_rank <= 20
 """,
+        "gopher_filter": """
+with base as (
+  select doc_id, text,
+         string_split(text, ' ') as ts,
+         string_split(text, chr(10)) as lns
+  from documents),
+sig as (
+  select doc_id,
+    len(ts)::bigint as n_words,
+    round(list_sum(list_transform(ts, t -> strlen(t)))::double / len(ts), 4)
+      as mean_word_len,
+    round((strlen(text)
+           - strlen(regexp_replace(text, '#|\\.\\.\\.|…', '', 'g')))::double
+          / len(ts), 4) as symbol_ratio,
+    round(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))::double
+          / len(ts), 4) as alpha_word_frac,
+    len(list_intersect(list_distinct(ts), [__STOPS__]))::bigint as n_stop_hits,
+    round(len(list_filter(lns, x -> ends_with(x, '...')
+                                    or ends_with(x, '…')))::double
+          / len(lns), 4) as ellipsis_line_frac,
+    round(len(list_filter(lns, x -> starts_with(x, '-')
+                                    or starts_with(x, '*')
+                                    or starts_with(x, '•')))::double
+          / len(lns), 4) as bullet_line_frac
+  from base)
+select *,
+  (n_words >= 50 and n_words <= 100000) as ok_words,
+  (mean_word_len >= 3.0 and mean_word_len <= 10.0) as ok_word_len,
+  (symbol_ratio <= 0.1) as ok_symbols,
+  (alpha_word_frac >= 0.8) as ok_alpha,
+  (n_stop_hits >= 2) as ok_stops,
+  (ellipsis_line_frac <= 0.3) as ok_ellipsis,
+  (bullet_line_frac <= 0.9) as ok_bullets,
+  ((n_words >= 50 and n_words <= 100000)
+   and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+   and symbol_ratio <= 0.1 and alpha_word_frac >= 0.8
+   and n_stop_hits >= 2 and ellipsis_line_frac <= 0.3
+   and bullet_line_frac <= 0.9) as keep
+from sig
+""".replace("__STOPS__", stops),
         "keywords_tfidf": """
 with tok as (select doc_id, unnest(string_split(text, ' ')) as term
              from documents),

@@ -1548,3 +1548,26 @@ def _manifest_path(paths: IndexPaths, gen: int, bucket: int) -> str:
 
 def _parquet_exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  min_to_merge: int = 4,
+                  conf: EngineConf = DEFAULT_CONF) -> dict | None:
+    """RdbBase merge-scheduling analog (RdbBase.h:193 `minToMerge`,
+    selection logic RdbBase.cpp:67): compact only when the live
+    generation count reaches ``min_to_merge`` — the policy the
+    reference applies per Rdb to keep file counts (and therefore
+    per-query k-way fan-in) bounded while amortizing merge cost.
+    Returns compact_index's metrics dict, or None when below the
+    threshold. Streaming ingest (streaming/ingest.py) folds one
+    generation per micro-batch, so a `maybe_compact` after each batch
+    gives the reference's steady-state behavior: reads see at most
+    min_to_merge generations."""
+    paths = IndexPaths(index_dir)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    gens = [g for g in meta.get("gens", [0])
+            if os.path.exists(paths.gen("segments", g))]
+    if len(gens) < min_to_merge:
+        return None
+    return compact_index(spark, index_dir, conf=conf)

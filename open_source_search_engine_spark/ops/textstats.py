@@ -401,3 +401,82 @@ def keywords_tfidf(docs: DataFrame, top_k: int = 3) -> DataFrame:
                     F.col("df").cast("long").alias("df"),
                     "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+) -> DataFrame:
+    """The Gopher rules (Rae et al. 2021, appendix A1.1): the standard
+    named document-quality gate for web-scale training corpora. Emits
+    every signal plus the per-rule verdicts and a combined ``keep`` —
+    downstream can drop, or keep-and-tag. All signals are Catalyst
+    array/string expressions (codegen, no UDF):
+      n_words, mean_word_len, symbol_ratio (#/… per word),
+      alpha_word_frac (words containing [a-z]),
+      n_stop_hits (distinct required stopwords present),
+      ellipsis_line_frac / bullet_line_frac (over newline lines).
+    Scale shape: a narrow projection — no shuffle, no join, linear
+    scan; composable with repetition_stats (the A1.2 repetition rules)
+    which needs its own n-gram aggregations."""
+    ts = tokens_col(F.col("text"))
+    n_words = F.size(ts)
+    mean_len = (F.aggregate(F.transform(ts, lambda t: F.length(t)),
+                            F.lit(0),
+                            lambda acc, x: acc + x).cast("double")
+                / n_words)
+    n_symbols = (F.length(F.col("text"))
+                 - F.length(F.regexp_replace(
+                     F.col("text"), r"#|\.\.\.|…", "")))
+    symbol_ratio = n_symbols.cast("double") / n_words
+    alpha_frac = (F.size(F.filter(ts, lambda t: t.rlike("[a-zA-Z]")))
+                  .cast("double") / n_words)
+    stops = F.array(*[F.lit(s) for s in _PY_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ts), stops))
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    ell = (F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+        .cast("double") / n_lines)
+    bul = (F.size(F.filter(
+        lines,
+        lambda x: x.startswith("-") | x.startswith("*")
+        | x.startswith("•")))
+        .cast("double") / n_lines)
+    sig = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        F.round(ell, 4).alias("ellipsis_line_frac"),
+        F.round(bul, 4).alias("bullet_line_frac"),
+    )
+    checks = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stops": F.col("n_stop_hits") >= min_stop_hits,
+        "ok_ellipsis": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "ok_bullets": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+    }
+    for name, expr in checks.items():
+        sig = sig.withColumn(name, expr)
+    keep = None
+    for name in checks:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return sig.withColumn("keep", keep)

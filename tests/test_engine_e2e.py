@@ -693,3 +693,27 @@ def test_reader_caches_stable_across_repeat_queries(built, spark, small_conf):
                reader=rd).collect()
     assert [(r["doc_id"], r["score"]) for r in a] == \
         [(r["doc_id"], r["score"]) for r in b]
+
+
+def test_maybe_compact_policy(spark, small_conf, tmp_index):
+    """RdbBase minToMerge analog: below the threshold maybe_compact is
+    a no-op; at the threshold it compacts to one generation."""
+    from open_source_search_engine_spark.index.build import maybe_compact
+
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf,
+                gen=0)
+    build_index(spark,
+                _webtext_df(spark, {2: "totally different now"}),
+                tmp_index, conf=small_conf, gen=1)
+    assert maybe_compact(spark, tmp_index, min_to_merge=4,
+                         conf=small_conf) is None
+    rd = IndexReader(spark, tmp_index, small_conf)
+    assert rd.gens == [0, 1]  # untouched below threshold
+    assert maybe_compact(spark, tmp_index, min_to_merge=2,
+                         conf=small_conf) is not None
+    rd2 = IndexReader(spark, tmp_index, small_conf)
+    assert rd2.gens == [2]
+    got = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "different",
+                      conf=small_conf).collect()}
+    assert got == {2}  # newest-wins preserved through the policy path

@@ -833,3 +833,30 @@ def test_keywords_tfidf_ranking(spark):
     assert out[0][1] == round(2 * math.log(3.0), 6)
     assert out[1][0] == "banana"  # tf 1, beats zero-idf 'common'
     assert [o[2] for o in out] == [1, 2]
+
+
+def test_gopher_quality_filter(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        gopher_quality_filter,
+    )
+
+    good = ("the quick brown fox jumps over a lazy dog and then it "
+            "runs on for quite a while longer because the rule wants "
+            "fifty words minimum so this sentence keeps going with "
+            "more plain english words to cross the threshold easily "
+            "and a few extra for safe margin okay done now truly")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "short doc"),                       # fails min_words
+         (3, " ".join(["####"] * 60)),           # symbols + no alpha
+         (4, " ".join(["zz"] * 60))],            # mean len + stopwords
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["ok_words"] is False
+    assert out[3]["keep"] is False
+    assert out[3]["ok_symbols"] is False and out[3]["ok_alpha"] is False
+    assert out[4]["keep"] is False and out[4]["ok_stops"] is False
+    # signals are emitted, not just verdicts
+    assert out[1]["n_words"] >= 50
+    assert 3.0 <= out[1]["mean_word_len"] <= 10.0
