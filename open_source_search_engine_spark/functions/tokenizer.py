@@ -27,6 +27,7 @@ Divergences (documented, pinned by golden fixtures in tests/):
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from dataclasses import dataclass, field
 
@@ -151,9 +152,99 @@ def _is_alnum_start(s: str, i: int) -> bool:
     return _is_word_char(ch)
 
 
+_ALNUM_RUN = re.compile(r"[0-9A-Za-z]+")
+_PUNCT_RUN_TAGS = re.compile(r"[^0-9A-Za-z<]+")
+_PUNCT_RUN = re.compile(r"[^0-9A-Za-z]+")
+
+
+def _tokenize_ascii(s: str, has_tags: bool, compute_ids: bool):
+    """Regex-run fast path of ``tokenize`` for pure-ASCII input — the
+    per-char scan is the parse stage's hottest python loop, and for
+    ASCII the script/ideograph/extend machinery is inert (old_script
+    stays 0), so maximal [0-9A-Za-z]+ runs ARE the char loop's spans.
+    The boundary rules (c++/c#, comma groups, decimals, apostrophe
+    merge) run per RUN, not per char, in the slow path's exact order
+    and guard conditions. Returns None (caller falls back to the char
+    loop) on a stray non-tag '<' under has_tags — the one shape whose
+    slow-path semantics aren't worth replicating here. Differentially
+    tested against the char loop (tests/test_tokenizer.py)."""
+    t = Tokens()
+    n = len(s)
+    i = 0
+    punct_re = _PUNCT_RUN_TAGS if has_tags else _PUNCT_RUN
+
+    def ch(k: int) -> str:
+        return s[k] if 0 <= k < n else "\0"
+
+    def alnum_at(k: int) -> bool:
+        return 0 <= k < n and _is_ascii_alnum(s[k])
+
+    while i < n:
+        if has_tags and s[i] == "<":
+            if not _is_tag_start(s, i):
+                return None
+            end = s.find(">", i + 1)
+            end = n if end < 0 else end + 1
+            raw = s[i:end]
+            t.append(TAG, raw, 0, _tag_name(raw), raw.startswith("</"))
+            i = end
+            continue
+        m = punct_re.match(s, i)
+        if m is not None:
+            t.append(PUNCT, m.group(0), 0)
+            i = m.end()
+            continue
+        # alnum word (same rule order as the char loop)
+        j = i
+        had_apostrophe = False
+        while True:
+            mr = _ALNUM_RUN.match(s, i)
+            if mr is not None:
+                i = mr.end()
+            if ch(i) == "+":
+                if ch(i + 1) == "+" and not alnum_at(i + 2):
+                    i += 2
+                elif not alnum_at(i + 1):
+                    i += 1
+            if ch(i) == "#" and not alnum_at(i + 1):
+                i += 1
+            if ch(i) == "," and i - j <= 3 and ch(i - 1).isdigit():
+                ok = True
+                if i - j >= 2 and not ch(i - 2).isdigit():
+                    ok = False
+                if ok and i - j >= 3 and not ch(i - 3).isdigit():
+                    ok = False
+                if ok:
+                    while (
+                        ch(i) == ","
+                        and ch(i + 1).isdigit()
+                        and ch(i + 2).isdigit()
+                        and ch(i + 3).isdigit()
+                        and not ch(i + 4).isdigit()
+                    ):
+                        i += 4
+            if ch(i) == "." and ch(i - 1).isdigit() and ch(i + 1).isdigit():
+                i += 1
+                while ch(i).isdigit():
+                    i += 1
+            if ch(i) == "'" and alnum_at(i + 1) and not had_apostrophe:
+                i += 1
+                had_apostrophe = True
+                continue
+            break
+        word = s[j:i]
+        wid = hash64_lower_utf8(word) if compute_ids else 1
+        t.append(ALNUM, word, wid)
+    return t
+
+
 def tokenize(s: str, has_tags: bool = False, compute_ids: bool = True) -> Tokens:
     """Words::set / addWords port. Returns the full word stream including
     punct "words" (wid 0) and, when ``has_tags``, tag words."""
+    if s.isascii():
+        fast = _tokenize_ascii(s, has_tags, compute_ids)
+        if fast is not None:
+            return fast
     t = Tokens()
     n = len(s)
     i = 0

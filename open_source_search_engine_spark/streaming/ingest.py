@@ -40,9 +40,18 @@ def stream_index(
     conf: EngineConf = DEFAULT_CONF,
     with_doc_id: bool = True,
     available_now: bool = True,
+    min_to_merge: int | None = None,
 ):
     """Start (and with available_now=True, drain) a streaming ingest of
     webtext parquet files landing in input_dir. Returns the query handle.
+
+    min_to_merge (optional) applies the RdbBase merge-scheduling policy
+    after each folded batch (`index.build.maybe_compact`): when the
+    live generation count reaches the threshold, generations compact to
+    one — so a long-running stream keeps query-side k-way fan-in
+    bounded, exactly like the reference's per-Rdb minToMerge
+    (RdbBase.h:193). Compaction is itself idempotent (a replayed batch
+    after a crash re-compacts to the same newest-wins state).
     """
     schema = WEBTEXT_DOCID_SCHEMA if with_doc_id else WEBTEXT_SCHEMA
     stream = (
@@ -58,6 +67,11 @@ def stream_index(
         build_index(spark, batch_df, index_dir, conf=conf, gen=gen,
                     resume=True)
         _register_gen(index_dir, gen)
+        if min_to_merge is not None:
+            from ..index.build import maybe_compact
+
+            maybe_compact(spark, index_dir, min_to_merge=min_to_merge,
+                          conf=conf)
 
     writer = (
         stream.writeStream.foreachBatch(fold_batch)

@@ -161,3 +161,40 @@ def test_streaming_url_seen_stateful(spark, tmp_path):
            for r in seen_output(spark, out).collect()}
     assert got == {"http://a.example/1": 1, "http://a.example/2": 2,
                    "http://b.example/1": 3, "http://a.example/3": 4}
+
+
+def test_stream_auto_compact_policy(spark, small_conf, tmp_index,
+                                    tmp_path):
+    """min_to_merge applies the RdbBase merge-scheduling policy inside
+    the fold: generations compact automatically once the live count
+    reaches the threshold, and queries stay newest-wins through it."""
+    from open_source_search_engine_spark.query.executor import (
+        IndexReader,
+        search_all,
+    )
+    from open_source_search_engine_spark.streaming.ingest import (
+        stream_index,
+    )
+
+    input_dir = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    _drop(spark, input_dir, {1: "rho sigma", 2: "sigma tau"}, 0)
+    stream_index(spark, input_dir, tmp_index, ckpt, conf=small_conf,
+                 min_to_merge=2)
+    rd = IndexReader(spark, tmp_index, small_conf)
+    assert len(rd.gens) == 1  # gen 0 folded... still one live gen
+
+    _drop(spark, input_dir, {2: "upsilon only", 3: "sigma phi"}, 1)
+    stream_index(spark, input_dir, tmp_index, ckpt, conf=small_conf,
+                 min_to_merge=2)
+    rd2 = IndexReader(spark, tmp_index, small_conf)
+    assert len(rd2.gens) == 1  # batch gen + prior gen compacted to one
+    got = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "sigma",
+                      conf=small_conf).collect()}
+    assert got == {1, 3}  # doc 2 re-crawl shadowed through compaction
+    got2 = {r["doc_id"] for r in
+            search_all(spark, tmp_index, "upsilon",
+                       conf=small_conf).collect()}
+    assert got2 == {2}

@@ -119,3 +119,58 @@ def test_diversity_ranks_bounded():
     t = tokenize("spark spark spark unique words here")
     dv = diversity_ranks(t, phrase_ids(t))
     assert all(0 <= v <= 15 for v in dv)
+
+
+def test_ascii_fast_path_differential():
+    """The regex-run ASCII fast path must produce the IDENTICAL token
+    stream (kinds, words, wids, tag names, closing flags) as the
+    char-scan loop on randomized ASCII inputs — boundary rules (c++,
+    c#, comma groups, decimals, apostrophes), tags, and punct spans
+    included."""
+    import random
+
+    from open_source_search_engine_spark.functions.tokenizer import (
+        Tokens,
+        _tokenize_ascii,
+        tokenize,
+    )
+
+    def slow(s, has_tags):
+        # force the char loop by bypassing the isascii gate
+        import open_source_search_engine_spark.functions.tokenizer as T
+        orig = T._tokenize_ascii
+        T._tokenize_ascii = lambda *a: None
+        try:
+            return tokenize(s, has_tags=has_tags)
+        finally:
+            T._tokenize_ascii = orig
+
+    rng = random.Random(42)
+    words = ["the", "Dave's", "c++", "c#", "j2ee", "1,000,000", "3.14",
+             "a", "1,23", "12,345", "x'''y", "A+", "e.g", "don't",
+             "100,1000", "5.", ".5", "q+r", "z#1"]
+    puncts = [" ", ", ", " - ", "...", "; ", "'", "+", "#", ". ", "!"]
+    tags = ["<b>", "</p>", "<br/>", "<!-- c -->", "<a href='x'>",
+            "<?xml?>"]
+    for trial in range(300):
+        has_tags = trial % 2 == 0
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            r = rng.random()
+            if r < 0.5:
+                parts.append(rng.choice(words))
+            elif r < 0.85 or not has_tags:
+                parts.append(rng.choice(puncts))
+            else:
+                parts.append(rng.choice(tags))
+        s = "".join(parts)
+        if not has_tags:
+            s = s.replace("<", "(")
+        a = _tokenize_ascii(s, has_tags, True)
+        b = slow(s, has_tags)
+        assert a is not None, s
+        assert a.kinds == b.kinds, s
+        assert a.words == b.words, s
+        assert a.wids == b.wids, s
+        assert a.tag_names == b.tag_names, s
+        assert a.tag_closing == b.tag_closing, s
