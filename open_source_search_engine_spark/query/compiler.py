@@ -239,16 +239,23 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
                                 fl.startswith("gbrevsortby"))
                 continue
             if fl == "gbdocid":
-                cq.docid_filter = int(value)
+                try:
+                    cq.docid_filter = int(value)
+                except ValueError:
+                    pass  # malformed docid: no constraint, never crash
                 continue
             if fl == "gbtermid":
                 # raw-termId probe (FIELD_GBTERMID, Query.h:80:
                 # "gbtermid:123456 matches the documents for the term
                 # with termid 123456") — debug surface, no prefix hash
+                try:
+                    raw_tid = int(value) & TERMID_MASK
+                except ValueError:
+                    continue  # malformed termid: no constraint
                 cq.groups.append(
                     TermGroup(
                         word=u,
-                        term_ids=[int(value) & TERMID_MASK],
+                        term_ids=[raw_tid],
                         required=(sign != "-"),
                         negative=(sign == "-"),
                         qpos=qpos,
@@ -260,9 +267,16 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
             if fl in ("gbmin", "gbmax", "gbminint", "gbmaxint",
                       "gbequal", "gbequalint"):
                 fld, _, num = value.partition(":")
+                try:
+                    v = float(num)
+                except ValueError:
+                    # malformed numeric operator ("gbmin:x:", junk
+                    # value): the reference treats an unparseable
+                    # number as no constraint — skip the filter,
+                    # never crash on user input (fuzz-pinned)
+                    continue
                 tid = _numeric_tid(fld, fl.endswith("int"))
                 lohi = cq.num_filters.setdefault(tid, [None, None])
-                v = float(num)
                 # gbequal[int]: exact match == degenerate [v, v] range
                 # (FIELD_GBNUMBEREQUALFLOAT/INT, Query.h:94-99)
                 if fl.startswith("gbequal"):
@@ -462,7 +476,21 @@ def _compile_boolean(q: str, cq: CompiledQuery) -> CompiledQuery:
         )
         return BoolNode("TERM", group_index=len(cq.groups) - 1)
 
-    cq.boolean_expr = parse_or()
+    try:
+        cq.boolean_expr = parse_or()
+    except IndexError:
+        # malformed boolean (trailing operator, unbalanced parens,
+        # empty groups like "(AND)"): degrade to a plain term query
+        # over the non-operator tokens — the reference likewise
+        # refuses to crash on user input (Query.cpp sets an error and
+        # serves what parsed). Fuzz-pinned in tests/test_compiler.py.
+        plain = " ".join(
+            w for w in q.replace("(", " ").replace(")", " ").split()
+            if w not in ("AND", "OR", "NOT", "&&", "||"))
+        fallback = compile_query(plain) if plain.strip() \
+            else CompiledQuery(raw=q)
+        fallback.raw = q
+        return fallback
     return cq
 
 

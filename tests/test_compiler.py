@@ -233,3 +233,32 @@ en|love,lover
         assert "love" in [w.lower() for w in cq.groups[0].syn_words]
     finally:
         load_synonyms({})
+
+
+def test_compile_query_never_crashes_fuzz():
+    """Robustness: arbitrary printable query strings must compile to a
+    CompiledQuery (possibly with zero groups) — never raise. Serving
+    engines see genuinely arbitrary user input."""
+    import random
+    import string
+
+    from open_source_search_engine_spark.query.compiler import (
+        compile_query,
+    )
+
+    rng = random.Random(7)
+    alphabet = (string.ascii_letters + string.digits
+                + " \"'()-+:._|&!<>#,~*[]{}$%^;/\\é中")
+    specials = ['""', '"', "((", "))", "AND", "OR", "NOT", "-", "+",
+                "site:", "gbsortby:", "gbmin:x:", "title:\"", ":",
+                "AND OR", "(AND)", "gbdocid:", "ip:", "type:"]
+    for trial in range(500):
+        if trial % 3 == 0:
+            parts = [rng.choice(specials) for _ in range(rng.randint(1, 5))]
+            q = " ".join(parts)
+        else:
+            q = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 40)))
+        for syn in (False, True):
+            cq = compile_query(q, synonyms=syn)
+            assert cq is not None, repr(q)

@@ -717,3 +717,18 @@ def test_maybe_compact_policy(spark, small_conf, tmp_index):
            search_all(spark, tmp_index, "different",
                       conf=small_conf).collect()}
     assert got == {2}  # newest-wins preserved through the policy path
+
+
+def test_degenerate_queries_never_crash(spark, small_conf, tmp_index):
+    """Serving robustness: malformed/degenerate user queries return a
+    (possibly empty) result frame — never raise. Compile-level shapes
+    are fuzz-pinned in test_compiler; this pins the full search path."""
+    from open_source_search_engine_spark.query.executor import search
+
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf,
+                gen=0)
+    for q in ["", "   ", '""', "(AND)", "a AND", "gbmin:x:",
+              "gbdocid:zz", "NOT", "merge (index OR", ")(",
+              "gbsortby:", "gbtermid:xx", "-index"]:
+        df = search(spark, tmp_index, q, k=5, conf=small_conf)
+        assert df.count() >= 0  # materializes without raising
