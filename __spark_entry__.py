@@ -988,6 +988,29 @@ def q_sample_stratified(spark, sf_dir):
             F.col("stratum_rank").cast("int"))
 
 
+def q_c4_filter(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) over a lined view
+    (8-token windows; every 3rd line gets a terminal period so the
+    terminal-punctuation rule discriminates — same derivation in the
+    oracle)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        c4_quality_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ts = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ts) / F.lit(8)).cast("int")
+    lns = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(ts, i * 8 + 1, 8)),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit(""))))
+    lined = docs.select("doc_id", F.array_join(lns, "\n").alias("text"))
+    return c4_quality_filter(lined).select(
+        F.col("doc_id").cast("long"), "n_lines", "n_kept_lines",
+        "has_badword", "has_brace", "clean_text", "keep")
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher quality rules (Rae et al. 2021 A1.1) over documents:
     every signal + per-rule verdicts + combined keep
@@ -1066,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "keywords_tfidf": q_keywords_tfidf,
         "gopher_filter": q_gopher_filter,
+        "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
         "text_quality": q_text_quality,
@@ -1617,6 +1641,35 @@ select doc_id::bigint as doc_id, lang, stratum_rank::int as stratum_rank from (
                       doc_id asc) as stratum_rank
   from documents) t
 where stratum_rank <= 20
+""",
+        "c4_filter": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+lined as (
+  select doc_id,
+         [array_to_string(ts[i:least(i+7, len(ts))], ' ')
+          || case when ((i-1)//8) % 3 = 0 then '.' else '' end
+          for i in range(1, len(ts)+1, 8)] as lns
+  from toks),
+sig as (
+  select doc_id, lns,
+    len(lns)::bigint as n_lines,
+    list_filter(lns, x -> regexp_matches(x, '[.!?\"]\\s*$')
+                          and len(list_filter(string_split(trim(x), ' '),
+                                              w -> w != '')) >= 5) as kept
+  from lined),
+base as (
+  select s.doc_id, s.n_lines,
+    len(s.kept)::bigint as n_kept_lines,
+    (contains(lower(d.txt), 'lorem ipsum')
+     or contains(lower(d.txt), 'javascript')) as has_badword,
+    (contains(d.txt, '{') or contains(d.txt, '}')) as has_brace,
+    coalesce(array_to_string(s.kept, chr(10)), '') as clean_text
+  from sig s join (select doc_id, array_to_string(lns, chr(10)) as txt
+                   from lined) d using (doc_id))
+select doc_id::bigint as doc_id, n_lines, n_kept_lines, has_badword,
+       has_brace, clean_text,
+  (n_kept_lines >= 3 and not has_badword and not has_brace) as keep
+from base
 """,
         "gopher_filter": """
 with base as (

@@ -480,3 +480,48 @@ def gopher_quality_filter(
     for name in checks:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return sig.withColumn("keep", keep)
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    badwords: "tuple[str, ...]" = ("lorem ipsum", "javascript"),
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2) — the other
+    standard named web-corpus gate, complementing the Gopher rules:
+      - a line is kept only if it ends in terminal punctuation
+        (. ! ? ") AND has >= min_line_words words;
+      - the doc is dropped if it has < min_kept_lines kept lines,
+        contains any badword phrase (case-insensitive), or contains
+        a curly brace (code leakage).
+    Emits per-doc counts + per-rule verdicts + combined ``keep`` and
+    the cleaned text (kept lines rejoined) — C4 keeps only the kept
+    lines of surviving docs. Pure Catalyst array ops: a narrow
+    projection, no shuffle.
+
+    (The reference engine has no corpus-cleaning stage — this family
+    generalizes its spam/adult gating, SURVEY §2.3, to training-data
+    curation.)"""
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda x: (x.rlike('[.!?"]\\s*$'))
+        & (F.size(F.split(F.trim(x), " +")) >= min_line_words))
+    lower = F.lower(F.col("text"))
+    has_bad = None
+    for b in badwords:
+        c = lower.contains(b.lower())
+        has_bad = c if has_bad is None else (has_bad | c)
+    has_brace = F.col("text").contains("{") | F.col("text").contains("}")
+    out = docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        has_bad.alias("has_badword"),
+        has_brace.alias("has_brace"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    keep = ((F.col("n_kept_lines") >= min_kept_lines)
+            & ~F.col("has_badword") & ~F.col("has_brace"))
+    return out.withColumn("keep", keep)

@@ -860,3 +860,31 @@ def test_gopher_quality_filter(spark):
     # signals are emitted, not just verdicts
     assert out[1]["n_words"] >= 50
     assert 3.0 <= out[1]["mean_word_len"] <= 10.0
+
+
+def test_c4_quality_filter(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        c4_quality_filter,
+    )
+
+    good = ("this is a perfectly fine sentence.\n"
+            "another line with enough words here!\n"
+            'a third quoted line with many words."\n'
+            "short one.")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "no terminal punctuation at all\nnot here either"),
+         (3, "lorem ipsum dolor sit amet something here.\n"
+             "two more lines that are fine right here.\n"
+             "and a third full line ending properly too."),
+         (4, "var x = { a: 1 }. this looks like code leaked in.\n"
+             "second line with enough words here too.\n"
+             "third line with plenty of words as well.")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_quality_filter(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_kept_lines"] == 3  # "short one." has < 5 words
+    assert "short one." not in out[1]["clean_text"]
+    assert out[2]["keep"] is False and out[2]["n_kept_lines"] == 0
+    assert out[3]["keep"] is False and out[3]["has_badword"] is True
+    assert out[4]["keep"] is False and out[4]["has_brace"] is True
