@@ -341,6 +341,21 @@ def q_search_topk_wand(spark, sf_dir):
     )
 
 
+def q_search_paged(spark, sf_dir):
+    """Second result page: k=10, offset=10 — the serving path's
+    firstResultNum pagination (SearchInput's ``s=`` parameter). The
+    engine fetches top-(k+offset) through the WAND path and drops the
+    first page; the oracle is the same ranking with LIMIT/OFFSET."""
+    from open_source_search_engine_spark.query.executor import search
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search(spark, d, "key window stream", k=10, offset=10)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_search_compacted(spark, sf_dir):
     """Physical compaction (RdbMerge analog): the 3-gen incremental
     index (base + re-crawl + tombstones) compacted into one generation
@@ -1056,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_clustered": q_search_site_clustered,
         "search_incremental": q_search_incremental,
         "search_topk_wand": q_search_topk_wand,
+        "search_paged": q_search_paged,
         "search_compacted": q_search_compacted,
         "search_snippets": q_search_snippets,
         "search_highlight": q_search_highlight,
@@ -1375,6 +1391,12 @@ with ranked as ({_bm25_query(['key', 'window', 'stream'])})
 select doc_id, score from ranked
 order by score desc, doc_id asc
 limit 10
+""",
+        "search_paged": f"""
+with ranked as ({_bm25_query(['key', 'window', 'stream'])})
+select doc_id, score from ranked
+order by score desc, doc_id asc
+limit 10 offset 10
 """,
         "search_after_delete": """
 select doc_id::bigint as doc_id from documents where doc_id % 100 != 0

@@ -401,20 +401,31 @@ def search(
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
     synonyms: bool = False,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k BM25 search. Returns (doc_id, score) ordered by
     (score DESC, doc_id ASC). k=None returns every matching doc
     (no LIMIT) — used by correctness oracles where a top-k boundary
     would be float-rounding sensitive. synonyms=True expands query words
-    with their synonym termIds at syn_weight^2 (Query.cpp:414-441)."""
+    with their synonym termIds at syn_weight^2 (Query.cpp:414-441).
+    offset=N skips the first N ranked results — the serving path's
+    firstResultNum pagination (SearchInput.cpp ``s=`` parameter /
+    Msg40 first-result offset): internally the engine fetches the top
+    (k + offset) through whichever pruned path serves the query, then
+    drops the first ``offset`` rows, so page 2 costs one slightly
+    deeper WAND pass, not a rescore."""
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     rd = reader or IndexReader(spark, index_dir, conf)
     cq = compile_query(query, synonyms=synonyms)
     if cq.docid_filter is not None and not cq.groups:
         # bare gbdocid:<N> — direct doc lookup (PageGet /get analog)
-        return (rd.docs().where(F.col("doc_id") == int(cq.docid_filter))
-                .select("doc_id", F.lit(0.0).alias("score")))
+        out = (rd.docs().where(F.col("doc_id") == int(cq.docid_filter))
+               .select("doc_id", F.lit(0.0).alias("score")))
+        return out.offset(offset) if offset else out
     # with a docid filter, score unlimited then filter, then cut to k
-    sub_k = None if cq.docid_filter is not None else k
+    deep_k = None if k is None else k + offset
+    sub_k = None if cq.docid_filter is not None else deep_k
     if cq.boolean_expr is not None:
         out = _search_boolean(spark, rd, cq, sub_k, conf)
     elif cq.sort_spec is not None or cq.num_filters:
@@ -425,8 +436,10 @@ def search(
         out = _search_default(spark, rd, cq, sub_k, conf)
     if cq.docid_filter is not None:
         out = out.where(F.col("doc_id") == int(cq.docid_filter))
-        if k is not None:
-            out = out.limit(k)
+        if deep_k is not None:
+            out = out.limit(deep_k)
+    if offset:
+        out = out.offset(offset)
     return out
 
 

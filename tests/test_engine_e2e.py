@@ -109,6 +109,26 @@ def test_topk_ordering_and_tiebreak(built, spark, small_conf):
     assert len(rows) == 3
 
 
+def test_pagination_offset(built, spark, small_conf):
+    """offset=N is the serving path's firstResultNum (SearchInput s=):
+    pages tile the full ranking exactly — page1 + page2 == top-(2k),
+    and an offset past the match set returns empty."""
+    full = [(r["doc_id"], r["score"])
+            for r in search(spark, built, "spark", k=4,
+                            conf=small_conf).collect()]
+    p1 = [(r["doc_id"], r["score"])
+          for r in search(spark, built, "spark", k=2,
+                          conf=small_conf).collect()]
+    p2 = [(r["doc_id"], r["score"])
+          for r in search(spark, built, "spark", k=2, offset=2,
+                          conf=small_conf).collect()]
+    assert p1 + p2 == full
+    assert search(spark, built, "spark", k=5, offset=1000,
+                  conf=small_conf).collect() == []
+    with pytest.raises(ValueError):
+        search(spark, built, "spark", k=2, offset=-1, conf=small_conf)
+
+
 def test_phrase_adjacency(built, spark, small_conf):
     got = {r["doc_id"] for r in
            search_all(spark, built, '"posting merge"',
