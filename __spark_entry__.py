@@ -975,6 +975,19 @@ def q_line_dedup(spark, sf_dir):
         F.col("n_lines").cast("long"), F.col("n_removed").cast("long"))
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021): an
+    8-token window occurring >= 2 times in the corpus is removed from
+    every occurrence except the first (doc_id, start); survivors rejoin
+    in order (ops.dedup.substring_dedup)."""
+    from open_source_search_engine_spark.ops.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), window=8,
+                           min_count=2).select(
+        F.col("doc_id").cast("long"), F.col("n_tokens").cast("long"),
+        F.col("n_removed_tokens").cast("long"), "clean_text")
+
+
 def q_novelty(spark, sf_dir):
     """Per-doc 3-gram novelty: fraction of the doc's distinct shingles
     that also appear in at least one other doc (ops.dedup.
@@ -986,6 +999,34 @@ def q_novelty(spark, sf_dir):
         F.col("n_shingles").cast("long"),
         F.col("n_shared").cast("long"),
         "shared_frac")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    log-likelihood ratio of target (lang='en') vs raw corpus, top-100
+    deterministic selection (ops.sampling.dsir_importance)."""
+    from open_source_search_engine_spark.ops.sampling import (
+        dsir_importance,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, docs.where("lang = 'en'"),
+                           n_buckets=4096, k=100).select(
+        F.col("doc_id").cast("long"), F.col("n_feats").cast("long"),
+        "logw", F.col("dsir_rank").cast("long"))
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet §4.3 LM quality bucketing: per-token cross-entropy under
+    an add-one unigram LM trained on the corpus, head/middle/tail by
+    per-language tertile (ops.textstats.lm_quality_buckets)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        lm_quality_buckets,
+    )
+
+    return lm_quality_buckets(_docs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long"), "lang",
+        F.col("n_tokens").cast("long"), "cross_entropy", "bucket")
 
 
 def q_sample_stratified(spark, sf_dir):
@@ -1102,7 +1143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
         "novelty": q_novelty,
+        "substring_dedup": q_substring_dedup,
         "sample_stratified": q_sample_stratified,
+        "lm_buckets": q_lm_buckets,
+        "dsir_select": q_dsir_select,
         "keywords_tfidf": q_keywords_tfidf,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -1640,6 +1684,34 @@ select l.doc_id::bigint as doc_id,
          as n_removed
 from lined l, dl
 """,
+        "substring_dedup": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sl as (select doc_id, ts,
+  [{'start': i - 1,
+    'h': ('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))::bigint}
+   for i in range(1, len(ts) - 6)] as sp
+  from toks where len(ts) >= 8),
+occ as (select doc_id, unnest(sp, recursive := true) from sl),
+flagged as (
+  select doc_id, start,
+         row_number() over (partition by h order by doc_id, start) as rn,
+         count(*) over (partition by h) as cnt
+  from occ),
+rem as (
+  select doc_id, list(start order by start) as rem
+  from flagged where cnt >= 2 and rn > 1 group by doc_id),
+kept as (
+  select t.doc_id, t.ts,
+         [t.ts[i] for i in range(1, len(t.ts) + 1)
+          if len(list_filter(coalesce(r.rem, []),
+                             s -> i - 1 >= s and i - 1 < s + 8)) = 0] as kp
+  from toks t left join rem r using (doc_id))
+select doc_id::bigint as doc_id,
+       len(ts)::bigint as n_tokens,
+       (len(ts) - len(kp))::bigint as n_removed_tokens,
+       coalesce(array_to_string(kp, ' '), '') as clean_text
+from kept
+""",
         "novelty": """
 with toks as (select doc_id, string_split(text, ' ') as ts from documents),
 sh as (
@@ -1653,6 +1725,57 @@ select s.doc_id::bigint as doc_id,
        round(sum(case when d.sdf > 1 then 1 else 0 end)::double / count(*), 4)
          as shared_frac
 from sh s join sdf d using (shingle) group by 1
+""",
+        "dsir_select": """
+with toks as (select doc_id, lang, string_split(text, ' ') as ts
+              from documents),
+grams as (
+  select doc_id, lang,
+         unnest(ts || case when len(ts) >= 2
+             then [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+             else [] end) as gram
+  from toks),
+feats as (select doc_id, lang,
+    ('0x' || substr(md5('dsir-v1' || gram), 1, 15))::bigint % 4096 as bucket
+  from grams),
+ct as (select bucket, count(*)::double as cnt_t from feats
+       where lang = 'en' group by 1),
+cr as (select bucket, count(*)::double as cnt_r from feats group by 1),
+tt as (select sum(cnt_t) as total_t from ct),
+tr as (select sum(cnt_r) as total_r from cr),
+ratio as (
+  select coalesce(ct.bucket, cr.bucket) as bucket,
+         ln((coalesce(cnt_t, 0) + 1.0) / (total_t + 4096.0))
+         - ln((coalesce(cnt_r, 0) + 1.0) / (total_r + 4096.0)) as llr
+  from ct full join cr using (bucket), tt, tr),
+perdoc as (
+  select f.doc_id, count(*)::bigint as n_feats, round(sum(r.llr), 4) as logw
+  from feats f join ratio r using (bucket) group by 1)
+select doc_id::bigint as doc_id, n_feats, logw,
+       row_number() over (order by logw desc, doc_id asc)::bigint as dsir_rank
+from perdoc
+qualify dsir_rank <= 100
+""",
+        "lm_buckets": """
+with tok as (select doc_id, lang, unnest(string_split(text, ' ')) as tok
+             from documents),
+cnt as (select tok, count(*)::double as cnt from tok group by 1),
+tot as (select sum(cnt) as total, count(*)::double as vsize from cnt),
+lm as (select tok, ln((cnt + 1.0) / (total + vsize)) as logp from cnt, tot),
+ce as (select t.doc_id, any_value(t.lang) as lang,
+              count(*)::bigint as n_tokens,
+              round(-avg(l.logp), 4) as cross_entropy
+       from tok t join lm l using (tok) group by t.doc_id),
+ranked as (select *,
+    row_number() over (partition by lang
+                       order by cross_entropy asc, doc_id asc) as r,
+    count(*) over (partition by lang) as n
+  from ce)
+select doc_id::bigint as doc_id, lang, n_tokens, cross_entropy,
+       case when r * 3 <= n then 'head'
+            when r * 3 <= 2 * n then 'middle'
+            else 'tail' end as bucket
+from ranked
 """,
         "sample_stratified": """
 select doc_id::bigint as doc_id, lang, stratum_rank::int as stratum_rank from (

@@ -501,3 +501,80 @@ def novelty_scores(docs: DataFrame, n: int = 3) -> DataFrame:
                 F.col("n_shared").cast("long").alias("n_shared"),
                 F.round(F.col("n_shared") / F.col("n_shingles"), 4)
                 .alias("shared_frac")))
+
+
+def substring_dedup(docs: DataFrame, window: int = 8, min_count: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", §3.1):
+    any ``window``-token span whose text occurs >= ``min_count`` times
+    in the corpus (across documents OR repeated inside one document) is
+    removed everywhere EXCEPT its first occurrence — first = smallest
+    (doc_id, start). Tokens covered by at least one removed span
+    occurrence are dropped; survivors rejoin in original order. This is
+    the token-window approximation of the paper's suffix-array
+    ExactSubstr (fixed window instead of maximal repeated substrings —
+    the standard Spark-friendly formulation, cf. RefinedWeb's
+    exact-substring stage). Returns
+    ``(doc_id, n_tokens, n_removed_tokens, clean_text)``.
+
+    Scale shape: one explode to (span-hash, doc_id, start) rows — same
+    cardinality as the posting index build's (term, doc) stream — one
+    aggregation on span-hash carrying (count, min-occurrence), one
+    re-join of occurrences against the duplicated hashes, one per-doc
+    collect of removal starts (bounded by the doc's own token count),
+    and a map-only coverage filter. No pairwise work, no driver
+    collect; skew on a viral span is bounded because the aggregation
+    keeps one row per hash, and the occurrence re-join is
+    hash-partitioned like any posting shuffle. The reference engine's
+    analog is the nosplit content-hash dedup (XmlDoc_Indexing.cpp:156
+    hashNoSplit) generalized from whole-doc to span granularity."""
+    toks = tokens_col(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       toks.alias("_toks"))
+    # one row per window start: start is 0-based, span covers tokens
+    # [start, start+window)
+    spans = (spread(base)
+             .where(F.size("_toks") >= window)
+             .select(
+                 "doc_id",
+                 F.explode(F.sequence(
+                     F.lit(0), F.size("_toks") - window)).alias("start"),
+                 F.col("_toks"))
+             .select(
+                 "doc_id", "start",
+                 hash60(F.array_join(
+                     F.slice(F.col("_toks"), F.col("start") + 1, window),
+                     " ")).alias("h")))
+    # per-hash total count + first occurrence (doc_id asc, start asc)
+    agg = (spans.groupBy("h")
+           .agg(F.count("*").alias("cnt"),
+                F.min(F.struct("doc_id", "start")).alias("first"))
+           .where(F.col("cnt") >= min_count))
+    # occurrences to remove: every duplicated-span occurrence that is
+    # not the keeper
+    removals = (spans.join(agg, "h")
+                .where(~((F.col("doc_id") == F.col("first.doc_id"))
+                         & (F.col("start") == F.col("first.start"))))
+                .groupBy("doc_id")
+                .agg(F.array_sort(F.array_distinct(
+                    F.collect_list("start"))).alias("rem")))
+    covered = lambda i, rem: F.exists(  # noqa: E731
+        rem, lambda s: (i >= s) & (i < s + window))
+    out = (base.join(removals, "doc_id", "left")
+           .select(
+               "doc_id",
+               F.size("_toks").cast("long").alias("n_tokens"),
+               F.filter(
+                   F.col("_toks"),
+                   lambda x, i: ~covered(
+                       i, F.coalesce(F.col("rem"),
+                                     F.array().cast("array<int>")))
+               ).alias("_kept"))
+           .select(
+               "doc_id", "n_tokens",
+               (F.col("n_tokens") - F.size("_kept")).cast("long")
+               .alias("n_removed_tokens"),
+               F.array_join("_kept", " ").alias("clean_text")))
+    return out

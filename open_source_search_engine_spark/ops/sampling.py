@@ -105,3 +105,92 @@ def stratified_sample(docs: DataFrame, n_per_stratum: int,
          .orderBy(hk.asc(), F.col(id_col).asc()))
     return (docs.withColumn("stratum_rank", F.row_number().over(w))
             .where(F.col("stratum_rank") <= n_per_stratum))
+
+
+DSIR_SALT = "dsir-v1"
+
+
+def _dsir_feats(docs: DataFrame, n_buckets: int, id_col: str,
+                text_col: str) -> DataFrame:
+    """(doc_id, bucket) — one row per hashed unigram+bigram OCCURRENCE.
+    Features follow Xie et al. 2023 §4: word uni+bigrams hashed into
+    n_buckets (their N=10k) — the bag the importance estimator counts."""
+    ts = F.split(F.col(text_col), " ")
+    grams = F.concat(
+        ts,
+        F.when(F.size(ts) >= 2,
+               F.transform(
+                   F.sequence(F.lit(1), F.size(ts) - 1),
+                   lambda i: F.concat_ws(
+                       " ", F.element_at(ts, i), F.element_at(ts, i + 1))))
+        .otherwise(F.array().cast("array<string>")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(grams).alias("gram"))
+            .select("doc_id",
+                    (hash60(F.concat(F.lit(DSIR_SALT), F.col("gram")))
+                     % F.lit(n_buckets)).alias("bucket")))
+
+
+def dsir_importance(docs: DataFrame, target: DataFrame,
+                    n_buckets: int = 4096, k: "int | None" = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much more
+    likely its hashed-ngram bag is under the TARGET distribution than
+    under the RAW distribution, ``logw(d) = Σ_f count_d(f) ·
+    (ln p_target(f) − ln p_raw(f))``, with add-one smoothing over the
+    n_buckets hashed features (word uni+bigrams, hash60 % n_buckets).
+    The paper then Gumbel-samples ∝ w; this implementation ranks
+    deterministically by (logw DESC, doc_id ASC) — reproducible across
+    reruns and cluster sizes, like every sampler in this module — and
+    keeps the top ``k`` when given. Returns
+    ``(doc_id, n_feats, logw, dsir_rank)``.
+
+    Scale shape: two bucket-count aggregations (n_buckets rows each —
+    broadcastable), one join of exploded feature occurrences against
+    the broadcast ratio table pre-aggregated per (doc, bucket)
+    map-side, one per-doc sum, and a global top-k only when k is given
+    (TakeOrderedAndProject, no full sort). The raw corpus never
+    collects; the 100-TB cost is the one explode+sum, the same shape as
+    the index build's posting stream."""
+    feats = _dsir_feats(docs, n_buckets, id_col, text_col)
+    tfeats = _dsir_feats(target, n_buckets, id_col, text_col)
+
+    ct = tfeats.groupBy("bucket").agg(F.count("*").alias("cnt_t"))
+    cr = feats.groupBy("bucket").agg(F.count("*").alias("cnt_r"))
+    tot_t = ct.agg(F.sum("cnt_t").cast("double").alias("total_t"))
+    tot_r = cr.agg(F.sum("cnt_r").cast("double").alias("total_r"))
+    B = F.lit(float(n_buckets))
+    # full-outer on bucket: a bucket absent from one side counts 0 there
+    # and takes that side's add-one floor
+    ratio = (ct.join(cr, "bucket", "full")
+             .crossJoin(F.broadcast(tot_t))
+             .crossJoin(F.broadcast(tot_r))
+             .select(
+                 "bucket",
+                 (F.log((F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                        / (F.col("total_t") + B))
+                  - F.log((F.coalesce(F.col("cnt_r"), F.lit(0)) + 1.0)
+                          / (F.col("total_r") + B))).alias("llr")))
+    # pre-aggregate per (doc, bucket) map-side, then one broadcast join
+    per_doc = (feats.groupBy("doc_id", "bucket")
+               .agg(F.count("*").alias("occ"))
+               .join(F.broadcast(ratio), "bucket")
+               .groupBy("doc_id")
+               .agg(F.sum("occ").cast("long").alias("n_feats"),
+                    F.round(F.sum(F.col("occ") * F.col("llr")), 4)
+                    .alias("logw")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+    if k is not None:
+        # distributed top-k first (TakeOrderedAndProject), THEN number
+        # the k survivors — the global rank window only ever sees k rows
+        per_doc = (per_doc
+                   .orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+                   .limit(k))
+    # k=None ranks the whole corpus: a global sort by construction —
+    # use k (the resampling size) at scale
+    return per_doc.withColumn(
+        "dsir_rank", F.row_number().over(w).cast("long"))

@@ -525,3 +525,70 @@ def c4_quality_filter(
     keep = ((F.col("n_kept_lines") >= min_kept_lines)
             & ~F.col("has_badword") & ~F.col("has_brace"))
     return out.withColumn("keep", keep)
+
+
+def lm_quality_buckets(docs: DataFrame, lm_docs: DataFrame | None = None,
+                       cutoffs: tuple[float, float] | None = None,
+                       per_lang: bool = True) -> DataFrame:
+    """CCNet §4.3 language-model quality bucketing (Wenzek et al. 2020):
+    score every document by its per-token cross-entropy under a unigram
+    LM estimated from ``lm_docs`` (CCNet uses a KenLM 5-gram trained on
+    Wikipedia; the deterministic stand-in here is an add-one-smoothed
+    unigram model — same bucketing mechanics, no external model file),
+    then label each doc ``head`` / ``middle`` / ``tail`` by where its
+    score falls in the per-language score distribution (CCNet computes
+    the cutoffs per language so a hard language never lands entirely in
+    tail). Returns ``(doc_id, lang, n_tokens, cross_entropy, bucket)``.
+
+    Two cutoff modes:
+    - ``cutoffs=None`` (default): exact tertiles via a rank window
+      partitioned by language — one task per language, which is how
+      CCNet derives its cutoffs (on a bounded sample). At 100 TB run
+      this on a sample, then reuse the learned constants:
+    - ``cutoffs=(c1, c2)``: explicit cross-entropy thresholds; bucket
+      assignment becomes a map-only projection with no shuffle beyond
+      the LM join (the production path once cutoffs are learned).
+
+    Scale shape: the LM table is one groupBy over exploded tokens
+    (map-side partial counts) and is vocabulary-sized, so the score
+    join broadcasts; everything else is narrow."""
+    from pyspark.sql import Window
+
+    lm_src = lm_docs if lm_docs is not None else docs
+    tok = lm_src.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("total"),
+                  F.count("*").cast("double").alias("vsize"))
+    lm = (cnt.crossJoin(F.broadcast(tot))
+          .select("tok",
+                  F.log((F.col("cnt") + 1.0)
+                        / (F.col("total") + F.col("vsize"))).alias("logp")))
+    dtok = docs.select("doc_id", "lang",
+                       F.explode(tokens_col(F.col("text"))).alias("tok"))
+    ce = (dtok.join(F.broadcast(lm), "tok", "left")
+          .crossJoin(F.broadcast(tot))
+          .groupBy("doc_id", "lang")
+          .agg(F.count("*").cast("long").alias("n_tokens"),
+               (-F.avg(F.coalesce(
+                   F.col("logp"),
+                   # add-one floor for tokens unseen by the LM corpus
+                   F.log(1.0 / (F.col("total") + F.col("vsize"))))))
+               .alias("_ce")))
+    ce = ce.select("doc_id", "lang", "n_tokens",
+                   F.round("_ce", 4).alias("cross_entropy"))
+    if cutoffs is not None:
+        c1, c2 = cutoffs
+        bucket = (F.when(F.col("cross_entropy") <= c1, "head")
+                  .when(F.col("cross_entropy") <= c2, "middle")
+                  .otherwise("tail"))
+        return ce.withColumn("bucket", bucket)
+    part = ["lang"] if per_lang else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col("cross_entropy").asc(), F.col("doc_id").asc())
+    wn = Window.partitionBy(*part)
+    r = F.row_number().over(w)
+    n = F.count("*").over(wn)
+    bucket = (F.when(r * 3 <= n, "head")
+              .when(r * 3 <= 2 * n, "middle")
+              .otherwise("tail"))
+    return ce.withColumn("bucket", bucket)

@@ -888,3 +888,85 @@ def test_c4_quality_filter(spark):
     assert out[2]["keep"] is False and out[2]["n_kept_lines"] == 0
     assert out[3]["keep"] is False and out[3]["has_badword"] is True
     assert out[4]["keep"] is False and out[4]["has_brace"] is True
+
+
+def test_substring_dedup_first_occurrence_kept(spark):
+    from open_source_search_engine_spark.ops.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h unique one tail"),
+         (2, "x y a b c d e f g h z w q r s t"),
+         (3, "no shared window content here at all today ok"),
+         (4, "too short"),
+         (5, "rep rep rep rep rep rep rep rep rep rep")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in substring_dedup(docs, window=8, min_count=2).collect()}
+    # first occurrence (doc 1) keeps the duplicated span verbatim
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[1]["clean_text"].startswith("a b c d e f g h")
+    # later occurrence loses exactly the 8 covered tokens
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[2]["clean_text"] == "x y z w q r s t"
+    # unique doc untouched; sub-window doc passes through whole
+    assert out[3]["n_removed_tokens"] == 0
+    assert out[4]["n_removed_tokens"] == 0
+    assert out[4]["clean_text"] == "too short"
+    # within-doc repetition is also deduplicated (overlapping windows
+    # erode the keeper span down to the unrepeated prefix)
+    assert out[5]["n_removed_tokens"] == 9
+    assert out[5]["clean_text"] == "rep"
+
+
+def test_lm_quality_buckets(spark):
+    from open_source_search_engine_spark.ops.textstats import (
+        lm_quality_buckets,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, common, "en") for i in range(1, 5)]
+        + [(5, "zxqj vvkw qqqz jjjx wwwv kkkq zzzj xxxq vvvw qqqk", "en")],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in lm_quality_buckets(docs).collect()}
+    # the gibberish doc has the highest cross-entropy -> tail
+    assert out[5]["bucket"] == "tail"
+    assert out[1]["bucket"] == "head"  # rank tertiles, doc_id tie-break
+    assert out[5]["cross_entropy"] > out[1]["cross_entropy"]
+    # explicit-cutoff mode is map-only and honors the thresholds
+    fixed = {r["doc_id"]: r["bucket"]
+             for r in lm_quality_buckets(
+                 docs, cutoffs=(out[1]["cross_entropy"],
+                                out[1]["cross_entropy"])).collect()}
+    assert fixed[1] == "head" and fixed[5] == "tail"
+    # a disjoint LM corpus exercises the OOV floor without crashing
+    lm_src = docs.where("doc_id <= 2")
+    scored = lm_quality_buckets(docs.where("doc_id = 5"), lm_docs=lm_src,
+                                cutoffs=(1.0, 2.0)).collect()
+    assert scored[0]["bucket"] == "tail"
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from open_source_search_engine_spark.ops.sampling import (
+        dsir_importance,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics energy quantum field theory lattice")
+         for i in range(3)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(1, "physics energy quantum field notes"),
+         (2, "cooking pasta recipe tomato basil sauce"),
+         (3, "energy field theory quantum lattice physics"),
+         (4, "celebrity gossip fashion week highlights")],
+        "doc_id long, text string")
+    out = dsir_importance(raw, target, n_buckets=512)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # target-like docs outrank off-domain docs
+    assert {rows[1]["dsir_rank"], rows[3]["dsir_rank"]} == {1, 2}
+    assert rows[2]["logw"] < min(rows[1]["logw"], rows[3]["logw"])
+    # k selects exactly the top-k with ranks 1..k
+    top2 = dsir_importance(raw, target, n_buckets=512, k=2).collect()
+    assert sorted(r["dsir_rank"] for r in top2) == [1, 2]
+    assert {r["doc_id"] for r in top2} == {1, 3}
