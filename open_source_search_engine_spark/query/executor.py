@@ -465,6 +465,9 @@ def search_clustered(
     dedup_content: bool = False,
     conf: EngineConf = DEFAULT_CONF,
     reader: IndexReader | None = None,
+    percent_similar_summary: int = 0,
+    dedup_url: bool = False,
+    text_source: DataFrame | None = None,
 ) -> DataFrame:
     """Site-clustered search: at most max_per_site results per site,
     ranked (score DESC, doc_id ASC) within and across sites — the
@@ -472,14 +475,46 @@ def search_clustered(
     'row_number over site' per SURVEY.md §2.5). dedup_content=True also
     keeps only the best-ranked doc per content checksum (Msg40's
     content-hash dedup over clusterdb records). k=None returns every
-    surviving doc."""
+    surviving doc.
+
+    Two more Msg40 visibility filters over the candidate buffer:
+    - ``percent_similar_summary`` > 0 drops a result whose title+summary
+      dedup vector is that percent similar (floor'd, computeSimilarity
+      XmlDoc.cpp:4693) to a surviving higher-ranked result
+      (CR_DUP_SUMMARY, Msg40.cpp:1526-1578). Needs ``text_source``
+      (doc_id, text) to build summaries.
+    - ``dedup_url=True`` keeps one result per normalized url — scheme /
+      trailing-slash / variant-subdomain stripped (CR_DUP_URL,
+      Msg40.cpp:1585-1650) — unless the query carries a positive
+      site:/suburl: field, exactly like the reference (:1589)."""
     rd = reader or IndexReader(spark, index_dir, conf)
-    if k is None:
+    if percent_similar_summary and text_source is None:
+        raise ValueError(
+            "percent_similar_summary needs text_source (doc_id, text)")
+    if dedup_url:
+        cq = compile_query(query)
+        if any(g.field in ("site", "inurl") and not g.negative
+               for g in cq.groups):
+            dedup_url = False  # Msg40.cpp:1589
+    extra = bool(percent_similar_summary) or dedup_url
+    if k is None and not extra:
         # exhaustive mode (correctness oracles): cluster the full
         # ranked match set
         base = search(spark, index_dir, query, k=None, conf=conf,
                       reader=rd)
         return _cluster_rank(rd, base, max_per_site, dedup_content, None)
+    if k is None:
+        # exhaustive mode with the sequential Msg40 filters: the greedy
+        # accept loop depends on the accepted set (pairwise similarity),
+        # so it runs driver-side over the full ranked list — the oracle
+        # path; bounded k is the serving path
+        base_rows = search(spark, index_dir, query, k=None, conf=conf,
+                           reader=rd).collect()
+        surv = _msg40_accept(
+            spark, rd, base_rows, None, max_per_site, dedup_content,
+            percent_similar_summary, dedup_url, text_source, query)
+        return (spark.createDataFrame(surv, "doc_id long, score double")
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
     # bounded mode (VERDICT r2 #5): cluster only a top-(k x M) WAND
     # candidate buffer and refill on exhaustion — the reference
@@ -494,47 +529,10 @@ def search_clustered(
         kprime = k * oversample
         base_rows = search(spark, index_dir, query, k=kprime, conf=conf,
                            reader=rd).collect()
-        # the candidate buffer is already rank-ordered in the driver
-        # (the reference's TopTree is likewise in-RAM, Msg51.h:20-92):
-        # fetch site/content metadata for just these docIds via a
-        # pushed-down docs lookup and apply the caps sequentially —
-        # no distributed window, no plan re-execution for the
-        # exhaustion check.
-        ids = [int(r["doc_id"]) for r in base_rows]
-        meta = {}
-        if ids:
-            dsel = rd.docs().select("doc_id", "site_id", "content_hash")
-            if len(ids) <= 10_000:
-                dsel = dsel.where(F.col("doc_id").isin(ids))
-            else:
-                # a literal IN-list this large bloats the plan
-                # (ADVICE r3): broadcast-join the ids instead
-                id_df = rd.spark.createDataFrame(
-                    [(i,) for i in ids], "doc_id long")
-                dsel = dsel.join(F.broadcast(id_df), "doc_id")
-            meta = {r["doc_id"]: (r["site_id"], r["content_hash"])
-                    for r in dsel.collect()}
-        surv = []
-        per_site: dict = {}
-        seen_hash: set = set()
-        for r in base_rows:  # already (score DESC, doc_id ASC)
-            m = meta.get(int(r["doc_id"]))
-            if m is None:  # inner-join semantics of the k=None path
-                continue
-            site, ch = m
-            if dedup_content:
-                # rank-1-per-hash: a doc later dropped by the site cap
-                # still claims its hash (window order: content first)
-                if ch in seen_hash:
-                    continue
-                seen_hash.add(ch)
-            cnt = per_site.get(site, 0)
-            if cnt >= max_per_site:
-                continue
-            per_site[site] = cnt + 1
-            surv.append((int(r["doc_id"]), float(r["score"])))
-            if len(surv) == k and len(base_rows) >= kprime:
-                break
+        surv = _msg40_accept(
+            spark, rd, base_rows, k if len(base_rows) >= kprime else None,
+            max_per_site, dedup_content, percent_similar_summary,
+            dedup_url, text_source, query)
         exact = len(base_rows) < kprime  # buffer held the whole match set
         if exact or len(surv) >= k:
             # surv is built in rank order, but make the (score DESC,
@@ -546,6 +544,94 @@ def search_clustered(
                     .orderBy(F.col("score").desc(),
                              F.col("doc_id").asc()))
         oversample *= 4  # site caps ate the buffer: refill
+
+
+def _msg40_accept(spark, rd: IndexReader, base_rows, k: int | None,
+                  max_per_site: int, dedup_content: bool,
+                  percent_similar_summary: int, dedup_url: bool,
+                  text_source: DataFrame | None, query: str):
+    """The driver-side greedy accept loop over the rank-ordered
+    candidate buffer (the reference's TopTree walk): content-hash
+    rank-1, site cap (Msg51), summary-similarity (Msg40.cpp:1526) and
+    normalized-URL (Msg40.cpp:1585) filters, in that order. A candidate
+    killed by an earlier filter never suppresses later ones, matching
+    the clusterLevels short-circuit (`*level != CR_OK → continue`).
+    Returns the surviving (doc_id, score) list in rank order; stops at
+    k when given (only safe when the buffer is known larger than k)."""
+    ids = [int(r["doc_id"]) for r in base_rows]
+    meta = {}
+    if ids:
+        cols = ["doc_id", "site_id", "content_hash"]
+        if percent_similar_summary or dedup_url:
+            cols += ["url", "title"]
+        dsel = rd.docs().select(*cols)
+        if len(ids) <= 10_000:
+            dsel = dsel.where(F.col("doc_id").isin(ids))
+        else:
+            # a literal IN-list this large bloats the plan
+            # (ADVICE r3): broadcast-join the ids instead
+            id_df = rd.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long")
+            dsel = dsel.join(F.broadcast(id_df), "doc_id")
+        meta = {r["doc_id"]: r for r in dsel.collect()}
+    texts = {}
+    if percent_similar_summary and ids and text_source is not None:
+        tsel = text_source.select("doc_id", "text")
+        if len(ids) <= 10_000:
+            tsel = tsel.where(F.col("doc_id").isin(ids))
+        else:
+            id_df = spark.createDataFrame([(i,) for i in ids],
+                                          "doc_id long")
+            tsel = tsel.join(F.broadcast(id_df), "doc_id")
+        texts = {r["doc_id"]: r["text"] for r in tsel.collect()}
+    qwords = None
+    if percent_similar_summary:
+        from .resultdedup import percent_similar, summary_vector
+        from .summary import _query_words, snippet_of, title_of
+        qwords = set(_query_words(query))
+    if dedup_url:
+        from .resultdedup import normalize_url_for_dedup
+    surv = []
+    per_site: dict = {}
+    seen_hash: set = set()
+    seen_urls: set = set()
+    kept_vecs: list = []
+    for r in base_rows:  # already (score DESC, doc_id ASC)
+        m = meta.get(int(r["doc_id"]))
+        if m is None:  # inner-join semantics of the k=None path
+            continue
+        site, ch = m["site_id"], m["content_hash"]
+        if dedup_content:
+            # rank-1-per-hash: a doc later dropped by the site cap
+            # still claims its hash (window order: content first)
+            if ch in seen_hash:
+                continue
+            seen_hash.add(ch)
+        cnt = per_site.get(site, 0)
+        if cnt >= max_per_site:
+            continue
+        # the slot is consumed here: Msg51 site clustering runs BEFORE
+        # Msg40's summary/url filters, so a doc those filters later
+        # kill has already claimed its site slot
+        per_site[site] = cnt + 1
+        if percent_similar_summary:
+            text = texts.get(int(r["doc_id"])) or ""
+            title = title_of(m["title"] or None, text)
+            vec = summary_vector(title, snippet_of(text, qwords))
+            # (int32_t)s >= dedupPercent marks the dup (Msg40.cpp:1570)
+            if any(int(percent_similar(pv, vec)) >=
+                   percent_similar_summary for pv in kept_vecs):
+                continue
+            kept_vecs.append(vec)
+        if dedup_url:
+            key = normalize_url_for_dedup(m["url"])
+            if key in seen_urls:
+                continue
+            seen_urls.add(key)
+        surv.append((int(r["doc_id"]), float(r["score"])))
+        if k is not None and len(surv) == k:
+            break
+    return surv
 
 
 def _cluster_rank(rd: IndexReader, base: DataFrame, max_per_site: int,

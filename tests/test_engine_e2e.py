@@ -752,3 +752,83 @@ def test_degenerate_queries_never_crash(spark, small_conf, tmp_index):
               "gbsortby:", "gbtermid:xx", "-index"]:
         df = search(spark, tmp_index, q, k=5, conf=small_conf)
         assert df.count() >= 0  # materializes without raising
+
+
+def test_summary_similarity_dedup(spark, small_conf, tmp_path_factory):
+    """Msg40 percentSimilarSummary dedup: near-identical title+summary
+    vectors collapse to the best-ranked result; a high threshold keeps
+    both (computeSimilarity is Dice*100 on deduped word-hash vectors)."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+    from open_source_search_engine_spark.query.resultdedup import (
+        percent_similar,
+        summary_vector,
+    )
+
+    docs = {1: "green apples fresh from the orchard today",
+            2: "green apples fresh from the orchard tonight",
+            3: "blue bicycles racing downhill fast apples"}
+    idx = str(tmp_path_factory.mktemp("sumdedup"))
+    src = _webtext_df(spark, docs)
+    build_index(spark, src, idx, conf=small_conf, gen=0)
+    # pure-function ground truth: 6 shared of 7+7 -> 85.71 -> floor 85
+    v1 = summary_vector(None, docs[1])
+    v2 = summary_vector(None, docs[2])
+    assert int(percent_similar(v1, v2)) == 85
+    assert percent_similar(v1, v1) == 100.0
+    assert percent_similar([], v1) == 0.0
+
+    kw = dict(k=None, max_per_site=99, conf=small_conf,
+              text_source=src.select("doc_id", "text"))
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "apples", percent_similar_summary=80, **kw).collect()}
+    assert got == {1, 3}
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "apples", percent_similar_summary=90, **kw).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_url_normalize_dedup(spark, small_conf, tmp_path_factory):
+    """Msg40 URL normalize-and-compare: scheme/trailing-slash/variant-
+    subdomain-stripped urls collapse; site: queries skip the filter."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+    from open_source_search_engine_spark.query.resultdedup import (
+        normalize_url_for_dedup as norm,
+    )
+
+    assert norm("http://www.dup.example/a/p.html") == "dup.example/a/p.html"
+    assert norm("https://dup.example/a/p.html/") == "dup.example/a/p.html"
+    assert norm("http://en.dup.example/a/p.html") == "dup.example/a/p.html"
+    # no path beyond "/": the subdomain stays (u.getPathLen() > 1 gate)
+    assert norm("http://www.dup.example/") == "www.dup.example"
+    # non-variant subdomain stays
+    assert norm("http://shop.dup.example/a/p.html") \
+        == "shop.dup.example/a/p.html"
+
+    rows = []
+    for did, (url, text) in {
+        1: ("http://www.dup.example/a/p.html", "wild otters swim happily"),
+        2: ("http://dup.example/a/p.html", "wild otters dive deep"),
+        3: ("http://other.example/b/q.html", "wild otters eat fish"),
+    }.items():
+        rows.append({"url": url,
+                     "warc_ts": dt.datetime(2024, 1, 1)
+                     + dt.timedelta(minutes=did),
+                     "html": f"<html><body><p>{text}</p></body></html>"
+                     .encode(),
+                     "text": text, "lang": "en", "doc_id": did})
+    idx = str(tmp_path_factory.mktemp("urldedup"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), idx,
+                conf=small_conf, gen=0)
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "otters", k=None, max_per_site=99, dedup_url=True,
+        conf=small_conf).collect()}
+    assert got == {1, 3}  # doc 2 is the same normalized url as doc 1
+    # a positive site: field disables the url dedup (Msg40.cpp:1589)
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "otters site:dup.example", k=None, max_per_site=99,
+        dedup_url=True, conf=small_conf).collect()}
+    assert got == {2}
