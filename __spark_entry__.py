@@ -399,6 +399,26 @@ def q_search_site_clustered(spark, sf_dir):
     )
 
 
+def q_search_family_filter(spark, sf_dir):
+    """SearchInput m_familyFilter through clustered search: adult docs
+    are dropped via a candidate-restricted gbisadult:1 termlist probe
+    (Msg3a.cpp:827). The driver corpus is clean, so the filtered result
+    equals plain site clustering — this pins that the probe fires and
+    never drops clean docs; actual removal is pinned by
+    tests/test_engine_e2e.py::test_family_filter."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (
+        search_clustered(spark, d, "key", k=None, max_per_site=2,
+                         family_filter=True)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def q_search_snippets(spark, sf_dir):
     """Msg20 analog: every match of a 2-term AND query rendered with
     title (first-8-token fallback) + best-window snippet (20-token
@@ -1110,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonym_synset": q_search_synonym_synset,
         "search_reference": q_search_reference,
         "search_site_clustered": q_search_site_clustered,
+        "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,
         "search_topk_wand": q_search_topk_wand,
         "search_paged": q_search_paged,
@@ -1409,6 +1430,21 @@ group by tf.doc_id
         # formula-dependent — rows-only driver check; see the
         # q_search_reference docstring)
         "search_site_clustered": f"""{_bm25_cte()},
+scored as (
+  select tf.doc_id as doc_id, sum({_bm25_score()}) as score
+  from tf
+  join stats on stats.tok = tf.tok
+  join dl on dl.doc_id = tf.doc_id
+  cross join corpus
+  where tf.tok in ('key')
+  group by tf.doc_id
+)
+select doc_id::bigint as doc_id, round(score, 6) as score
+from scored
+qualify row_number() over (partition by doc_id % 97
+                           order by score desc, doc_id asc) <= 2
+""",
+        "search_family_filter": f"""{_bm25_cte()},
 scored as (
   select tf.doc_id as doc_id, sum({_bm25_score()}) as score
   from tf

@@ -468,6 +468,7 @@ def search_clustered(
     percent_similar_summary: int = 0,
     dedup_url: bool = False,
     text_source: DataFrame | None = None,
+    family_filter: bool = False,
 ) -> DataFrame:
     """Site-clustered search: at most max_per_site results per site,
     ranked (score DESC, doc_id ASC) within and across sites — the
@@ -486,7 +487,13 @@ def search_clustered(
     - ``dedup_url=True`` keeps one result per normalized url — scheme /
       trailing-slash / variant-subdomain stripped (CR_DUP_URL,
       Msg40.cpp:1585-1650) — unless the query carries a positive
-      site:/suburl: field, exactly like the reference (:1589)."""
+      site:/suburl: field, exactly like the reference (:1589).
+    - ``family_filter=True`` drops adult results before any clustering
+      slot is consumed (SearchInput m_familyFilter; Msg3a.cpp:827 skips
+      adult cluster recs ahead of the hostname count). The adult set
+      comes from a candidate-restricted probe of the gbisadult:1
+      termlist — block-skipped to the buffer's docIds, never a full
+      termlist decode."""
     rd = reader or IndexReader(spark, index_dir, conf)
     if percent_similar_summary and text_source is None:
         raise ValueError(
@@ -496,7 +503,7 @@ def search_clustered(
         if any(g.field in ("site", "inurl") and not g.negative
                for g in cq.groups):
             dedup_url = False  # Msg40.cpp:1589
-    extra = bool(percent_similar_summary) or dedup_url
+    extra = bool(percent_similar_summary) or dedup_url or family_filter
     if k is None and not extra:
         # exhaustive mode (correctness oracles): cluster the full
         # ranked match set
@@ -512,7 +519,8 @@ def search_clustered(
                            reader=rd).collect()
         surv = _msg40_accept(
             spark, rd, base_rows, None, max_per_site, dedup_content,
-            percent_similar_summary, dedup_url, text_source, query)
+            percent_similar_summary, dedup_url, text_source, query,
+            family_filter)
         return (spark.createDataFrame(surv, "doc_id long, score double")
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
@@ -532,7 +540,7 @@ def search_clustered(
         surv = _msg40_accept(
             spark, rd, base_rows, k if len(base_rows) >= kprime else None,
             max_per_site, dedup_content, percent_similar_summary,
-            dedup_url, text_source, query)
+            dedup_url, text_source, query, family_filter)
         exact = len(base_rows) < kprime  # buffer held the whole match set
         if exact or len(surv) >= k:
             # surv is built in rank order, but make the (score DESC,
@@ -549,7 +557,8 @@ def search_clustered(
 def _msg40_accept(spark, rd: IndexReader, base_rows, k: int | None,
                   max_per_site: int, dedup_content: bool,
                   percent_similar_summary: int, dedup_url: bool,
-                  text_source: DataFrame | None, query: str):
+                  text_source: DataFrame | None, query: str,
+                  family_filter: bool = False):
     """The driver-side greedy accept loop over the rank-ordered
     candidate buffer (the reference's TopTree walk): content-hash
     rank-1, site cap (Msg51), summary-similarity (Msg40.cpp:1526) and
@@ -584,6 +593,18 @@ def _msg40_accept(spark, rd: IndexReader, base_rows, k: int | None,
                                           "doc_id long")
             tsel = tsel.join(F.broadcast(id_df), "doc_id")
         texts = {r["doc_id"]: r["text"] for r in tsel.collect()}
+    adult_ids: set = set()
+    if family_filter and ids:
+        from ..functions.gbhash import (
+            fielded_term_id,
+            hash64_lower_utf8,
+            prefix_hash,
+        )
+        tid = fielded_term_id(hash64_lower_utf8("1"),
+                              prefix_hash("gbisadult"))
+        cand = np.array(sorted(set(ids)), dtype=np.uint64)
+        adult_ids = {int(r["doc_id"]) for r in
+                     rd.postings([tid], candidate_docs=cand).collect()}
     qwords = None
     if percent_similar_summary:
         from .resultdedup import percent_similar, summary_vector
@@ -599,6 +620,11 @@ def _msg40_accept(spark, rd: IndexReader, base_rows, k: int | None,
     for r in base_rows:  # already (score DESC, doc_id ASC)
         m = meta.get(int(r["doc_id"]))
         if m is None:  # inner-join semantics of the k=None path
+            continue
+        if int(r["doc_id"]) in adult_ids:
+            # family filter skips adult docs before ANY slot is
+            # consumed (Msg3a.cpp:827 'goto skip' ahead of the
+            # hostname count)
             continue
         site, ch = m["site_id"], m["content_hash"]
         if dedup_content:

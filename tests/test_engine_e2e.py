@@ -832,3 +832,31 @@ def test_url_normalize_dedup(spark, small_conf, tmp_path_factory):
         spark, idx, "otters site:dup.example", k=None, max_per_site=99,
         dedup_url=True, conf=small_conf).collect()}
     assert got == {2}
+
+
+def test_family_filter(spark, small_conf, tmp_path_factory):
+    """SearchInput m_familyFilter: adult results vanish from clustered
+    search before consuming any site slot (Msg3a.cpp:827)."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    docs = {1: "wholesome gardening tips and tricks shared",
+            2: "porn xxx gardening content flagged here",
+            3: "gardening tools and soil advice daily"}
+    idx = str(tmp_path_factory.mktemp("famidx"))
+    build_index(spark, _webtext_df(spark, docs), idx, conf=small_conf,
+                gen=0)
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "gardening", k=None, max_per_site=99,
+        conf=small_conf).collect()}
+    assert got == {1, 2, 3}
+    got = {r["doc_id"] for r in search_clustered(
+        spark, idx, "gardening", k=None, max_per_site=99,
+        family_filter=True, conf=small_conf).collect()}
+    assert got == {1, 3}
+    # bounded mode takes the same filter
+    got = [r["doc_id"] for r in search_clustered(
+        spark, idx, "gardening", k=2, max_per_site=99,
+        family_filter=True, conf=small_conf).collect()]
+    assert 2 not in got and len(got) == 2
