@@ -130,6 +130,23 @@ def main() -> int:
     lined = docs.select("doc_id", F.array_join(_lns, "\n").alias("text"))
     timed("op_line_dedup", lambda: line_dedup(lined).count())
     timed("op_novelty", lambda: novelty_scores(docs).count())
+    # ExactSubstr-style duplicated-span removal (Lee et al. 2021)
+    from open_source_search_engine_spark.ops.dedup import substring_dedup
+
+    timed("op_substring_dedup",
+          lambda: substring_dedup(docs, window=8).count())
+    # CCNet unigram-LM quality bucketing + DSIR importance resampling
+    from open_source_search_engine_spark.ops.sampling import (
+        dsir_importance,
+    )
+    from open_source_search_engine_spark.ops.textstats import (
+        lm_quality_buckets,
+    )
+
+    timed("op_lm_buckets", lambda: lm_quality_buckets(docs).count())
+    timed("op_dsir",
+          lambda: dsir_importance(
+              docs, docs.where(F.col("lang") == "en"), k=100).collect())
     # eval-set 13-gram decontamination (broadcast eval shingles — the
     # train side streams map-side, no corpus-shingle shuffle)
     from open_source_search_engine_spark.ops.dedup import decontaminate
