@@ -137,6 +137,22 @@ def minhash_signatures(docs: DataFrame, n: int = 3, n_perm: int = 32) -> DataFra
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_key_array(n_perm: int, band_rows: int):
+    """LSH band keys as ONE array column over sig_* columns — a single
+    array + explode, NOT a union of n_bands projections: each union
+    branch would re-evaluate the whole minhash-signature subtree
+    (shingle + n_perm mins) — n_bands× the banding compute at every
+    scale. The md5 key embeds the band index, so keys collide only
+    within a band."""
+    assert n_perm % band_rows == 0
+    keys = []
+    for bi in range(n_perm // band_rows):
+        cols = [f"sig_{bi * band_rows + r}" for r in range(band_rows)]
+        keys.append(
+            F.md5(F.concat_ws(",", F.lit(bi), *[F.col(c) for c in cols])))
+    return F.array(*keys)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -163,20 +179,10 @@ def minhash_lsh_pairs(
     a driver broadcast (it is unbounded at corpus scale; VERDICT r1
     'What's wrong' #4)."""
     assert n_perm % band_rows == 0
-    n_bands = n_perm // band_rows
     sigs = minhash_signatures(docs, n, n_perm)
-    # one band_key array + explode, NOT a union of n_bands projections:
-    # each union branch would re-evaluate the whole minhash-signature
-    # subtree (shingle + n_perm mins) — n_bands× the banding compute at
-    # every scale. The md5 key embeds the band index, so keys collide
-    # only within a band, exactly as before.
-    keys = []
-    for bi in range(n_bands):
-        cols = [f"sig_{bi * band_rows + r}" for r in range(band_rows)]
-        keys.append(
-            F.md5(F.concat_ws(",", F.lit(bi), *[F.col(c) for c in cols])))
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*keys)).alias("band_key"))
+        "doc_id",
+        F.explode(band_key_array(n_perm, band_rows)).alias("band_key"))
     if max_band_docs is not None:
         hot = (
             bands.groupBy("band_key").agg(F.count("*").alias("bdf"))

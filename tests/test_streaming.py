@@ -198,3 +198,43 @@ def test_stream_auto_compact_policy(spark, small_conf, tmp_index,
             search_all(spark, tmp_index, "upsilon",
                        conf=small_conf).collect()}
     assert got2 == {2}
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Cross-batch near-dup admission gate: an intra-batch near-dup is
+    rejected (exact-verified LSH), a later-batch near-dup of an
+    admitted doc is rejected via band collision + signature agreement,
+    and a genuinely new doc is admitted."""
+    from open_source_search_engine_spark.streaming.dedupstream import (
+        admitted_output,
+        streaming_near_dup_filter,
+    )
+
+    inp = str(tmp_path / "drops2")
+    ckpt = str(tmp_path / "ckpt2")
+    out = str(tmp_path / "adm")
+    os.makedirs(inp, exist_ok=True)
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a2 = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    b = "one two three four five six seven eight nine ten"
+    c = "totally different content lives in this document right here ok"
+
+    def drop(rows):
+        import pandas as pd
+        recs = [{"url": f"http://x.example/{d}", "warc_ts":
+                 dt.datetime(2024, 1, 1), "html": b"x", "text": t,
+                 "lang": "en", "doc_id": d} for d, t in rows]
+        (spark.createDataFrame(pd.DataFrame(recs))
+         .coalesce(1).write.mode("append").parquet(inp))
+
+    # batch 1: a and its near-dup a2 (intra-batch), plus b
+    drop([(1, a), (2, a2), (3, b)])
+    streaming_near_dup_filter(spark, inp, ckpt, out)
+    got = {r["doc_id"] for r in admitted_output(spark, out).collect()}
+    assert got == {1, 3}
+    # batch 2: another near-dup of a (cross-batch), plus new doc c
+    drop([(10, a2), (11, c)])
+    streaming_near_dup_filter(spark, inp, ckpt, out)
+    got = {r["doc_id"] for r in admitted_output(spark, out).collect()}
+    assert got == {1, 3, 11}
