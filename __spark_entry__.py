@@ -1049,6 +1049,36 @@ def q_lm_buckets(spark, sf_dir):
         F.col("n_tokens").cast("long"), "cross_entropy", "bucket")
 
 
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb §3.1 URL filtering: domain blocklist + url badword
+    score + length/digit heuristics (ops.urlfilter.url_quality_filter).
+    Urls derive from doc_id with the same grammar the index wrapper
+    renders (webtext_from_documents), so the oracle re-derives them."""
+    from open_source_search_engine_spark.ops.urlfilter import (
+        url_quality_filter,
+    )
+
+    d = _docs(spark, sf_dir)
+    site = F.format_string("site%04d.example",
+                           (F.col("doc_id") % 97).cast("int"))
+    slug = F.translate(F.col("doc_id").cast("string"),
+                       "0123456789", "abcdefghij")
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("http://"), site, F.lit("/about/p"), slug,
+                 F.lit(".html"))
+    ).otherwise(
+        F.concat(F.lit("http://"), site, F.lit("/p/"),
+                 F.format_string("%06d", F.col("doc_id").cast("int")),
+                 F.lit(".html")))
+    withu = d.select("doc_id", url.alias("url"))
+    return url_quality_filter(
+        withu, blocked_domains=["site0003.example"]).select(
+        F.col("doc_id").cast("long"), "url", "domain",
+        F.col("n_badwords").cast("int"), "digit_frac",
+        "blocked_domain", "too_long", "keep")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic equal-allocation sampling: the 20 hash-smallest
     docs per language (ops.sampling.stratified_sample) — balanced
@@ -1168,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "lm_buckets": q_lm_buckets,
         "dsir_select": q_dsir_select,
+        "url_filter": q_url_filter,
         "keywords_tfidf": q_keywords_tfidf,
         "gopher_filter": q_gopher_filter,
         "c4_filter": q_c4_filter,
@@ -1791,6 +1822,40 @@ select doc_id::bigint as doc_id, n_feats, logw,
        row_number() over (order by logw desc, doc_id asc)::bigint as dsir_rank
 from perdoc
 qualify dsir_rank <= 100
+""",
+        "url_filter": """
+with u as (
+  select doc_id,
+    case when doc_id % 7 = 0
+      then 'http://site' || printf('%04d', doc_id % 97)
+           || '.example/about/p'
+           || translate(doc_id::varchar, '0123456789', 'abcdefghij')
+           || '.html'
+      else 'http://site' || printf('%04d', doc_id % 97)
+           || '.example/p/' || printf('%06d', doc_id) || '.html'
+    end as url
+  from documents),
+f as (
+  select doc_id, url, lower(url) as lu,
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:]+)', 1)
+      as domain
+  from u),
+g as (
+  select doc_id, url, domain,
+    (contains(lu, 'porn')::int + contains(lu, 'xxx')::int
+     + contains(lu, 'casino')::int + contains(lu, 'viagra')::int
+     + contains(lu, 'escort')::int + contains(lu, 'webcam')::int)::int
+      as n_badwords,
+    round((length(lu) - length(regexp_replace(lu, '[0-9]', '', 'g')))
+          ::double / greatest(length(lu), 1), 4) as digit_frac,
+    domain = 'site0003.example' as blocked_domain,
+    length(lu) > 256 as too_long
+  from f)
+select doc_id::bigint as doc_id, url, domain, n_badwords, digit_frac,
+       blocked_domain, too_long,
+       (not blocked_domain and n_badwords = 0 and not too_long
+        and digit_frac <= 0.5) as keep
+from g
 """,
         "lm_buckets": """
 with tok as (select doc_id, lang, unnest(string_split(text, ' ')) as tok

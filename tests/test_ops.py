@@ -970,3 +970,31 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     top2 = dsir_importance(raw, target, n_buckets=512, k=2).collect()
     assert sorted(r["dsir_rank"] for r in top2) == [1, 2]
     assert {r["doc_id"] for r in top2} == {1, 3}
+
+
+def test_url_quality_filter(spark):
+    from open_source_search_engine_spark.ops.urlfilter import (
+        url_quality_filter,
+    )
+
+    rows = [
+        (1, "http://good.example/articles/cooking.html"),
+        (2, "http://banned.example/anything.html"),
+        (3, "http://ok.example/free-casino-spins.html"),
+        (4, "http://ok.example/" + "x" * 300),
+        (5, "http://ok.example/123456789012345678901234567890.html"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_quality_filter(
+        df, blocked_domains=["banned.example"],
+        max_digit_frac=0.3).collect()}
+    assert out[1]["keep"] is True and out[1]["domain"] == "good.example"
+    assert out[2]["blocked_domain"] is True and out[2]["keep"] is False
+    assert out[3]["n_badwords"] == 1 and out[3]["keep"] is False
+    assert out[4]["too_long"] is True and out[4]["keep"] is False
+    assert out[5]["digit_frac"] > 0.3 and out[5]["keep"] is False
+    # DataFrame blocklist path: one broadcast join, same verdicts
+    bl = spark.createDataFrame([("banned.example",)], "domain string")
+    out2 = {r["doc_id"]: r["blocked_domain"]
+            for r in url_quality_filter(df, blocked_domains=bl).collect()}
+    assert out2[2] is True and out2[1] is False
