@@ -47,8 +47,14 @@ def _query_words(q: str) -> list[str]:
 
 def snippet_of(text: str, qwords: set[str], window_tokens: int = 20) -> str:
     """Best window snippet (Summary.cpp best-sentence scan, simplified to
-    fixed windows for determinism/oracle parity)."""
-    toks = tokenize(text or "")
+    fixed windows for determinism/oracle parity). Display text is run
+    through the unwanted-symbol filter FIRST (Pos.cpp:282
+    isUtf8UnwantedSymbols in the summary render loop), so emoji strip
+    and their fragments rejoin — 'bro😑😑wn' renders 'brown' (reference
+    golden test/system/test_result_summary.py summary_emoticon_*)."""
+    from ..functions.extractor import strip_unwanted_symbols
+
+    toks = tokenize(strip_unwanted_symbols(text or ""))
     words = [toks.words[k] for k in range(len(toks))
              if toks.kinds[k] == ALNUM]
     if not words:
@@ -69,8 +75,12 @@ def sentence_snippet_of(text: str, qwords: set[str],
     Sections-style segmentation (punct [.!?] / breaking tags); each
     sentence scores the number of DISTINCT query words it contains; the
     leftmost max-score run of ``max_sentences`` consecutive sentences
-    wins. Returns the winning sentences' words space-joined."""
-    toks = tokenize(text or "")
+    wins. Returns the winning sentences' words space-joined. Unwanted
+    symbols strip before tokenization (Pos.cpp:282), like
+    ``snippet_of``."""
+    from ..functions.extractor import strip_unwanted_symbols
+
+    toks = tokenize(strip_unwanted_symbols(text or ""))
     sids = sentence_ids(toks)
     # per-sentence word lists, in first-appearance order
     sent_words: dict[int, list[str]] = {}

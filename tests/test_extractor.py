@@ -310,3 +310,25 @@ def test_utf16_bom_stripped():
         t = extract_text(raw, charset=None)
         assert "﻿" not in t
         assert t == "bom body words"
+
+
+def test_emoticon_goldens_title_and_summary():
+    """Reference goldens (test/system/test_result_title.py and
+    test_result_summary.py, data/html/*emoticon*): emoji strip from
+    display titles AND summaries, rejoining split word fragments."""
+    from open_source_search_engine_spark.query.summary import (
+        snippet_of,
+        title_of,
+    )
+
+    raw_title = ("The\U0001F60D quick\U0001F608 bro\U0001F611\U0001F611"
+                 "wn\U0001F634 fox\U0001F60E jumps\U0001F60F "
+                 "over\U0001F63D the \U0001F631lazy "
+                 "d\U0001F633o\U0001F633g")
+    assert title_of(raw_title, "") == \
+        "The quick brown fox jumps over the lazy dog"
+    body = ("Li\U0001F631 Europan lingues es membres del sam "
+            "fam\U0001F634ilie and more words beyond")
+    snip = snippet_of(body, {"lingues"}, window_tokens=8)
+    assert snip.startswith("Li Europan lingues es membres del sam familie")
+    assert "\U0001F634" not in snip and "fam ilie" not in snip
