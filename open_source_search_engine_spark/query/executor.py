@@ -469,6 +469,7 @@ def search_clustered(
     dedup_url: bool = False,
     text_source: DataFrame | None = None,
     family_filter: bool = False,
+    offset: int = 0,
 ) -> DataFrame:
     """Site-clustered search: at most max_per_site results per site,
     ranked (score DESC, doc_id ASC) within and across sites — the
@@ -493,7 +494,13 @@ def search_clustered(
       adult cluster recs ahead of the hostname count). The adult set
       comes from a candidate-restricted probe of the gbisadult:1
       termlist — block-skipped to the buffer's docIds, never a full
-      termlist decode."""
+      termlist decode.
+
+    ``offset=N`` paginates the clustered ranking (firstResultNum over
+    the post-filter result list, like ``search(offset=)``): the buffer
+    targets k+offset survivors and the first page drops driver-side."""
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     rd = reader or IndexReader(spark, index_dir, conf)
     if percent_similar_summary and text_source is None:
         raise ValueError(
@@ -509,7 +516,8 @@ def search_clustered(
         # ranked match set
         base = search(spark, index_dir, query, k=None, conf=conf,
                       reader=rd)
-        return _cluster_rank(rd, base, max_per_site, dedup_content, None)
+        out = _cluster_rank(rd, base, max_per_site, dedup_content, None)
+        return out.offset(offset) if offset else out
     if k is None:
         # exhaustive mode with the sequential Msg40 filters: the greedy
         # accept loop depends on the accepted set (pairwise similarity),
@@ -521,7 +529,8 @@ def search_clustered(
             spark, rd, base_rows, None, max_per_site, dedup_content,
             percent_similar_summary, dedup_url, text_source, query,
             family_filter)
-        return (spark.createDataFrame(surv, "doc_id long, score double")
+        return (spark.createDataFrame(surv[offset:],
+                                      "doc_id long, score double")
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
 
     # bounded mode (VERDICT r2 #5): cluster only a top-(k x M) WAND
@@ -532,23 +541,25 @@ def search_clustered(
     # survives clustering depends only on docs ranked above it: the
     # first k survivors of the full list all sit inside any prefix that
     # contains >= k survivors.
+    need = k + offset
     oversample = 4
     while True:
-        kprime = k * oversample
+        kprime = need * oversample
         base_rows = search(spark, index_dir, query, k=kprime, conf=conf,
                            reader=rd).collect()
         surv = _msg40_accept(
-            spark, rd, base_rows, k if len(base_rows) >= kprime else None,
+            spark, rd, base_rows,
+            need if len(base_rows) >= kprime else None,
             max_per_site, dedup_content, percent_similar_summary,
             dedup_url, text_source, query, family_filter)
         exact = len(base_rows) < kprime  # buffer held the whole match set
-        if exact or len(surv) >= k:
+        if exact or len(surv) >= need:
             # surv is built in rank order, but make the (score DESC,
             # doc_id ASC) contract a plan-level invariant (ADVICE r3):
             # downstream transformations must not depend on local-list
             # row order
             return (spark.createDataFrame(
-                        surv[:k], "doc_id long, score double")
+                        surv[offset:need], "doc_id long, score double")
                     .orderBy(F.col("score").desc(),
                              F.col("doc_id").asc()))
         oversample *= 4  # site caps ate the buffer: refill

@@ -860,3 +860,35 @@ def test_family_filter(spark, small_conf, tmp_path_factory):
         spark, idx, "gardening", k=2, max_per_site=99,
         family_filter=True, conf=small_conf).collect()]
     assert 2 not in got and len(got) == 2
+
+
+def test_clustered_pagination(built, spark, small_conf):
+    """Clustered-search offset pages tile the clustered ranking exactly,
+    in both the bounded and exhaustive paths."""
+    from open_source_search_engine_spark.query.executor import (
+        search_clustered,
+    )
+
+    full = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=4, max_per_site=99,
+        conf=small_conf).collect()]
+    p1 = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=2, max_per_site=99,
+        conf=small_conf).collect()]
+    p2 = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=2, max_per_site=99, offset=2,
+        conf=small_conf).collect()]
+    assert p1 + p2 == full
+    # exhaustive (k=None) + offset through the _cluster_rank path
+    allr = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=None, max_per_site=99,
+        conf=small_conf).collect()]
+    tail = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=None, max_per_site=99, offset=1,
+        conf=small_conf).collect()]
+    assert tail == allr[1:]
+    # k=None + offset through the Msg40-filter driver path
+    tail2 = [(r["doc_id"], r["score"]) for r in search_clustered(
+        spark, built, "spark", k=None, max_per_site=99, offset=1,
+        dedup_url=True, conf=small_conf).collect()]
+    assert tail2 == allr[1:]  # fixture urls are all distinct
