@@ -113,6 +113,18 @@ def main() -> int:
           lambda: search_clustered(spark, idx, "the", k=10,
                                    reader=rd).collect())
 
+    # page-2 pagination (offset=10): one deeper WAND pass, no rescore
+    timed("paged_offset10",
+          lambda: search(spark, idx, "the of and", k=10, offset=10,
+                         reader=rd).collect())
+
+    # clustered + Msg40 url-dedup + family filter (driver-side buffer
+    # filters + one candidate-restricted gbisadult probe)
+    timed("clustered_msg40_filters",
+          lambda: search_clustered(spark, idx, "the", k=10,
+                                   dedup_url=True, family_filter=True,
+                                   reader=rd).collect())
+
     # numeric range probe + block-skip evidence (VERDICT r2 #6)
     from open_source_search_engine_spark.query.compiler import (
         _numeric_tid,
