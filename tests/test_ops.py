@@ -998,3 +998,45 @@ def test_url_quality_filter(spark):
     out2 = {r["doc_id"]: r["blocked_domain"]
             for r in url_quality_filter(df, blocked_domains=bl).collect()}
     assert out2[2] is True and out2[1] is False
+
+
+def test_substring_dedup_differential_random(spark):
+    """Differential pin: substring_dedup over 60 random small docs must
+    equal a direct pure-python evaluation of the rule (span hash ->
+    count+first occurrence -> coverage removal)."""
+    import random
+
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for d in range(1, 61):
+        n = rng.randint(2, 30)
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    W = 5
+
+    # pure-python reference
+    spans = {}
+    for d in sorted(docs):
+        ts = docs[d].split()
+        for s in range(0, max(0, len(ts) - W + 1)):
+            key = " ".join(ts[s:s + W])
+            spans.setdefault(key, []).append((d, s))
+    want = {}
+    for d in sorted(docs):
+        ts = docs[d].split()
+        rem = set()
+        for s in range(0, max(0, len(ts) - W + 1)):
+            occ = spans[" ".join(ts[s:s + W])]
+            if len(occ) >= 2 and occ[0] != (d, s):
+                rem.update(range(s, s + W))
+        kept = [t for i, t in enumerate(ts) if i not in rem]
+        want[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+
+    from open_source_search_engine_spark.ops.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"],
+                         r["clean_text"])
+           for r in substring_dedup(df, window=W, min_count=2).collect()}
+    assert got == want
