@@ -310,6 +310,26 @@ def q_search_reference(spark, sf_dir):
     )
 
 
+def q_search_bool_reference(spark, sf_dir):
+    """Boolean query under scorer='reference' (r4: the fork routes
+    booleans through its position scorer — the vote buffer picks
+    docids, the mini-merge scores whatever sublists each doc has;
+    PosdbTable.cpp:5549 + :2879). Rows-only like search_reference: the
+    result set excludes min-score<=0 docs (formula-dependent), so no
+    SQL twin; the AND↔plain-query byte-identity and OR-subset score
+    equalities are pytest-pinned
+    (tests/test_engine_e2e.py::test_boolean_reference_scoring)."""
+    from open_source_search_engine_spark.config import EngineConf
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_base_index(spark, sf_dir)
+    rconf = EngineConf(scorer="reference")
+    return (
+        search_all(spark, d, "key AND (window OR stream)", conf=rconf)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
 def q_search_incremental(spark, sf_dir):
     """Docs matching the re-crawl-only token on the generational index
     (gen1 re-crawl visible, newest-wins)."""
@@ -1159,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_synonym_morph": q_search_synonym_morph,
         "search_synonym_synset": q_search_synonym_synset,
         "search_reference": q_search_reference,
+        "search_bool_reference": q_search_bool_reference,
         "search_site_clustered": q_search_site_clustered,
         "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,

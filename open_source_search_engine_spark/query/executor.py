@@ -427,7 +427,10 @@ def search(
     deep_k = None if k is None else k + offset
     sub_k = None if cq.docid_filter is not None else deep_k
     if cq.boolean_expr is not None:
-        out = _search_boolean(spark, rd, cq, sub_k, conf)
+        if conf.scorer == "reference":
+            out = _search_boolean_reference(spark, rd, cq, sub_k, conf)
+        else:
+            out = _search_boolean(spark, rd, cq, sub_k, conf)
     elif cq.sort_spec is not None or cq.num_filters:
         out = _search_numeric(spark, rd, cq, sub_k, conf)
     elif conf.scorer == "reference":
@@ -1774,8 +1777,8 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
 def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                      k: int | None, conf: EngineConf,
                      dfs: dict[int, int] | None = None,
-                     candidate_docs: np.ndarray | None = None
-                     ) -> DataFrame:
+                     candidate_docs: np.ndarray | None = None,
+                     require_all: bool = True) -> DataFrame:
     """Reference-scorer exact path (SURVEY.md §4.6): decode positions +
     context bytes, score each candidate doc with the full Gigablast
     formula chain (refscore.score_doc: non-body matrix -> singles ->
@@ -1933,10 +1936,12 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
         slot_seen[doc_of_row, slot_arr] = True
         covered = slot_seen.sum(axis=1)
         ub = np.where(slot_seen, slot_sum, np.inf).min(axis=1)
-        if n_req >= 2:
+        if n_req >= 2 and require_all:
             # pair bound (see refscore.pair_factor_rows): min_pair
             # binds on proximity-flat docs where the single bound
-            # plateaus above the true scores
+            # plateaus above the true scores; partial-coverage docs
+            # (require_all=False) skip it — a missing slot would make
+            # the pair product vacuously 0 and unsound
             s_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
             g_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
             l_slot = np.zeros((n_docs_b, n_req), dtype=np.float64)
@@ -1976,7 +1981,7 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
         heap: list[float] = []
         out_docs, out_scores = [], []
         for d in order:
-            if covered[d] < n_req:
+            if require_all and covered[d] < n_req:
                 continue
             if k is not None and len(heap) >= k and ub[d] < heap[0]:
                 break  # docs are ub-descending: none below can enter
@@ -1985,11 +1990,15 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
             for r in range(s, e):
                 rows_by_slot[int(slot_arr[r])].append(r)
             terms: list = []
+            present: list[int] = []
             for sidx in range(n_req):
                 rs = rows_by_slot[sidx]
                 if not rs:
-                    terms = None
-                    break
+                    if require_all:
+                        terms = None
+                        break
+                    continue  # boolean mode: score present slots only
+                present.append(sidx)
                 if len(rs) == 1:
                     r0 = rs[0]
                     terms.append(termlist_from_slices(
@@ -2005,10 +2014,19 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
                     [np.arange(row_off[r], row_off[r + 1]) for r in rs])
                 idx = idx[np.argsort(pre["pos"][idx], kind="stable")]
                 terms.append(termlist_from_slices(pre, idx))
-            if terms is None:
+            if terms is None or not terms:
                 continue
-            sc = score_doc(terms, tfws, qpos, int(sr_doc[d]), weights,
-                           wiki_ids=wiki_ids, quote_ids=quote_ids,
+            if require_all or len(present) == n_req:
+                sub_tfws, sub_qpos = tfws, qpos
+                sub_wiki, sub_quote = wiki_ids, quote_ids
+            else:
+                sub_tfws = [tfws[i] for i in present]
+                sub_qpos = [qpos[i] for i in present]
+                sub_wiki = [wiki_ids[i] for i in present]
+                sub_quote = [quote_ids[i] for i in present]
+            sc = score_doc(terms, sub_tfws, sub_qpos, int(sr_doc[d]),
+                           weights,
+                           wiki_ids=sub_wiki, quote_ids=sub_quote,
                            doc_lang=int(lang_doc[d]),
                            page_temp=(float(pt_doc[d]) if use_pt else 1.0))
             if sc is None:
@@ -2032,11 +2050,15 @@ def _reference_exact(spark, rd: IndexReader, cq: CompiledQuery,
     return out.limit(k) if k is not None else out
 
 
-def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
-                    conf: EngineConf) -> DataFrame:
-    """Boolean query path: evaluate the expression tree over per-term doc
-    membership (PosdbTable.cpp:5549 makeDocIdVoteBufForBoolQuery), score
-    matched docs by BM25 over the query terms present.
+def _boolean_membership(spark, rd: IndexReader, cq: CompiledQuery,
+                        conf: EngineConf):
+    """Shared boolean evaluation core: evaluate the expression tree over
+    per-term doc membership (PosdbTable.cpp:5549
+    makeDocIdVoteBufForBoolQuery). Returns the filtered per-doc
+    aggregate frame carrying (doc_id, score) where score is the BM25
+    sum over every query term present — the BM25 path orders/limits it
+    directly; the reference path takes only the doc_ids as the
+    candidate set for position scoring. None means provably empty.
 
     Round-3 plan (VERDICT r2 #4, then tightened): ONE decode of all
     query termlists, candidate-restricted by the rarest top-level AND
@@ -2080,12 +2102,12 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         seed = min(seed_children, key=min_df)
         g = cq.groups[seed.group_index]
         if min_df(seed) == 0 and len(g.term_ids) == 1:
-            return spark.createDataFrame([], "doc_id long, score double")
+            return None
         rows = (rd.postings([int(t) for t in g.term_ids])
                 .select("doc_id").distinct()
                 .limit(CAND_CAP + 1).collect())
         if len(rows) == 0:
-            return spark.createDataFrame([], "doc_id long, score double")
+            return None
         if len(rows) <= CAND_CAP:
             seed_cand = np.sort(np.array([r["doc_id"] for r in rows],
                                          dtype=np.uint64))
@@ -2131,9 +2153,47 @@ def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
              (lambda a, b2: a | b2)
         return functools.reduce(op, preds)
 
-    out = (
-        agg.where(to_pred(root))
-        .select("doc_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    )
+    return agg.where(to_pred(root)).select("doc_id", "score")
+
+
+def _search_boolean(spark, rd: IndexReader, cq: CompiledQuery, k: int,
+                    conf: EngineConf) -> DataFrame:
+    """Boolean query path, BM25 mode: one candidate-restricted decode,
+    flag aggregates, expression predicate, BM25 over terms present
+    (see _boolean_membership)."""
+    member = _boolean_membership(spark, rd, cq, conf)
+    if member is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    out = member.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(k) if k is not None else out
+
+
+def _search_boolean_reference(spark, rd: IndexReader, cq: CompiledQuery,
+                              k: int | None, conf: EngineConf) -> DataFrame:
+    """Boolean query path under scorer="reference": the fork routes
+    boolean queries through the SAME position scorer as plain queries —
+    the vote buffer (makeDocIdVoteBufForBoolQuery, PosdbTable.cpp:5549)
+    only decides WHICH docids score; the mini-merge then scores each
+    matched doc over the query-term sublists it actually has. Spark
+    re-expression: the membership frame's doc_ids become the
+    candidate_docs set for a position-decode restricted _reference_exact
+    pass with require_all=False (a doc satisfying only one OR arm
+    scores over that one slot, min-combined over present slots/pairs).
+    Boolean match sets above the driver candidate cap (1M ids) fall
+    back to BM25 mode — documented: a degenerate full-corpus boolean
+    is not a position-scoring query shape at any scale."""
+    member = _boolean_membership(spark, rd, cq, conf)
+    if member is None:
+        return spark.createDataFrame([], "doc_id long, score double")
+    BOOL_REF_CAP = 1_000_000
+    rows = member.select("doc_id").limit(BOOL_REF_CAP + 1).collect()
+    if len(rows) > BOOL_REF_CAP:
+        out = member.orderBy(F.col("score").desc(),
+                             F.col("doc_id").asc())
+        return out.limit(k) if k is not None else out
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cand = np.sort(np.array([r["doc_id"] for r in rows],
+                            dtype=np.uint64))
+    return _reference_exact(spark, rd, cq, k, conf,
+                            candidate_docs=cand, require_all=False)

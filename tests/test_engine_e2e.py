@@ -892,3 +892,34 @@ def test_clustered_pagination(built, spark, small_conf):
         spark, built, "spark", k=None, max_per_site=99, offset=1,
         dedup_url=True, conf=small_conf).collect()]
     assert tail2 == allr[1:]  # fixture urls are all distinct
+
+
+def test_boolean_reference_scoring(built, spark, small_conf):
+    """Boolean queries under scorer='reference' route through the
+    position scorer (the fork's vote buffer only picks docids;
+    PosdbTable scores whatever sublists each doc has): a boolean AND
+    must score byte-identically to the plain AND query, and an OR
+    match scores exactly like the single-term reference query for
+    docs holding only that term."""
+    import dataclasses
+
+    ref_conf = dataclasses.replace(small_conf, scorer="reference")
+    plain = {r["doc_id"]: r["score"] for r in search_all(
+        spark, built, "spark merge", conf=ref_conf).collect()}
+    boolean = {r["doc_id"]: r["score"] for r in search_all(
+        spark, built, "spark AND merge", conf=ref_conf).collect()}
+    assert boolean == plain and plain  # byte-identical, non-vacuous
+
+    orq = {r["doc_id"]: r["score"] for r in search_all(
+        spark, built, "index OR proximity", conf=ref_conf).collect()}
+    assert set(orq) == {2, 4}
+    only_index = {r["doc_id"]: r["score"] for r in search_all(
+        spark, built, "index", conf=ref_conf).collect()}
+    only_prox = {r["doc_id"]: r["score"] for r in search_all(
+        spark, built, "proximity", conf=ref_conf).collect()}
+    assert orq[2] == only_index[2]
+    assert orq[4] == only_prox[4]
+    # NOT inside the expression still filters before scoring
+    notq = {r["doc_id"] for r in search_all(
+        spark, built, "spark AND NOT index", conf=ref_conf).collect()}
+    assert notq == {1, 3, 7}
