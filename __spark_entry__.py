@@ -704,6 +704,21 @@ def q_decontaminate(spark, sf_dir):
         F.col("n_shared").cast("long"))
 
 
+def q_decontaminate_remove(spark, sf_dir):
+    """Decontamination POLICY (GPT-3 appendix C 'remove the document'):
+    training docs sharing any 13-gram with the eval slice are dropped;
+    survivors pass through unchanged (ops.dedup.remove_contaminated)."""
+    from open_source_search_engine_spark.ops.dedup import (
+        remove_contaminated,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    return remove_contaminated(tr, ev, n=13).select(
+        F.col("doc_id").cast("long"), "lang")
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from open_source_search_engine_spark.ops.dedup import minhash_lsh_pairs
 
@@ -1211,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "decontaminate_13gram": q_decontaminate,
+        "decontaminate_remove": q_decontaminate_remove,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
@@ -2007,6 +2023,22 @@ select tr.doc_id::bigint as doc_id, ev.doc_id::bigint as eval_id,
        count(*)::bigint as n_shared
 from tr join ev on tr.shingle = ev.shingle
 group by 1, 2
+""",
+        "decontaminate_remove": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+sh as (
+  select doc_id,
+         unnest(list_distinct([list_aggregate(ts[i:i+12], 'string_agg', ' ')
+                               for i in range(1, len(ts) - 11)])) as shingle
+  from toks where len(ts) >= 13
+),
+tr as (select * from sh where doc_id % 20 != 0),
+ev as (select * from sh where doc_id % 20 = 0),
+flagged as (select distinct tr.doc_id from tr join ev using (shingle))
+select d.doc_id::bigint as doc_id, d.lang
+from documents d
+where d.doc_id % 20 != 0
+  and d.doc_id not in (select doc_id from flagged)
 """,
         "dedup_minhash_lsh": jaccard_sql,
         # same md5 bucket arithmetic as ops/sampling.py (hash60 % 1e6)

@@ -584,3 +584,17 @@ def substring_dedup(docs: DataFrame, window: int = 8, min_count: int = 2,
                .alias("n_removed_tokens"),
                F.array_join("_kept", " ").alias("clean_text")))
     return out
+
+
+def remove_contaminated(train: DataFrame, eval_docs: DataFrame,
+                        n: int = 13, min_shared: int = 1) -> DataFrame:
+    """Decontamination POLICY on top of ``decontaminate``: drop every
+    training doc sharing >= min_shared distinct word n-grams with ANY
+    eval doc (the GPT-3 appendix-C "remove the document" policy, also
+    the Llama / PaLM eval-leakage guard). Returns the surviving train
+    rows unchanged. Scale shape: decontaminate's broadcast-eval join
+    (no corpus-shingle shuffle) + one anti-join on doc_id."""
+    flagged = (decontaminate(train, eval_docs, n=n)
+               .where(F.col("n_shared") >= min_shared)
+               .select("doc_id").distinct())
+    return train.join(flagged, "doc_id", "left_anti")

@@ -1040,3 +1040,21 @@ def test_substring_dedup_differential_random(spark):
                          r["clean_text"])
            for r in substring_dedup(df, window=W, min_count=2).collect()}
     assert got == want
+
+
+def test_remove_contaminated_policy(spark):
+    from open_source_search_engine_spark.ops.dedup import (
+        remove_contaminated,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a completely unrelated training document goes right here"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(90, "watch the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string")
+    kept = {r["doc_id"]
+            for r in remove_contaminated(train, evals, n=5).collect()}
+    assert kept == {2, 3}  # doc 1 shares 5-grams; doc 3 too short to flag
