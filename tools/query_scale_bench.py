@@ -103,6 +103,15 @@ def main() -> int:
           lambda: search(spark, idx, "topic01 AND (the OR of)", k=10,
                          reader=rd).collect())
 
+    # boolean under the reference scorer (r4: vote-buffer membership ->
+    # candidate-restricted position scoring, require_all=False)
+    from open_source_search_engine_spark.config import EngineConf as _EC
+
+    _refc = _EC(scorer="reference")
+    timed("bool_stopword_reference",
+          lambda: search(spark, idx, "topic01 AND (the OR of)", k=10,
+                         conf=_refc, reader=rd).collect())
+
     # bounded site-clustered over a degenerate term (VERDICT r2 #5:
     # never scores the full match set)
     from open_source_search_engine_spark.query.executor import (
