@@ -483,6 +483,26 @@ def q_search_ext(spark, sf_dir):
     return _search_ids(spark, sf_dir, "ext:html")
 
 
+def q_search_json_gate(spark, sf_dir):
+    """CT_JSON docs are never term-indexed (BR 20160127 gate,
+    XmlDoc_Indexing.cpp:252-262: hashAll -> hashUrl(urlOnly=true) and
+    return): over a corpus where every doc_id%10==0 doc is served as a
+    raw JSON payload, a body-term query matches only the HTML docs."""
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.executor import search_all
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "jsongate")
+    if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        wt = webtext_from_documents(spark, sf_dir, body_only=True,
+                                    json_every=10)
+        build_index(spark, wt, d, gen=0)
+    return (search_all(spark, d, "key")
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
 def q_search_suburl(spark, sf_dir):
     """suburl:/inurl: tokenized-url-word field (Query.cpp:1662 maps
     suburl to the inurl termlists; XmlDoc_Indexing.cpp:337-420 hashUrl):
@@ -1207,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range": q_search_range,
         "search_docid": q_search_docid,
         "search_ext": q_search_ext,
+        "search_json_gate": q_search_json_gate,
         "search_suburl": q_search_suburl,
         "search_permalink": q_search_permalink,
         "search_country": q_search_country,
@@ -1646,6 +1667,11 @@ select doc_id::bigint as doc_id from documents where doc_id = 42
 """,
         "search_ext": """
 select doc_id::bigint as doc_id from documents
+""",
+        "search_json_gate": """
+select doc_id::bigint as doc_id from documents
+where doc_id % 10 != 0
+  and list_contains(string_split(text, ' '), 'key')
 """,
         "search_suburl": """
 select doc_id::bigint as doc_id from documents where doc_id % 7 = 0

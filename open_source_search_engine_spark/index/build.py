@@ -330,7 +330,45 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         meta_from_norm,
         normalize_html,
         title_from_norm,
+        to_utf8_text,
     )
+
+    # BR 20160127 (XmlDoc_Indexing.cpp:252-262): JSON and XML content is
+    # NEVER term-indexed — hashAll calls hashUrl(urlOnly=true), which
+    # stores the url: probe term (XmlDoc_Indexing.cpp:940-967) and
+    # returns, so the doc stays findable (and bannable) by url: only.
+    # Mirror that short-circuit before any of the expensive extraction:
+    # one PFX_URL posting, no body/meta/fielded terms, empty lexicon,
+    # no outlinks. The doc ROW is still stored (titledb keeps the
+    # record regardless).
+    sniffed = sniff_content_type(html) if html else "txt"
+    if sniffed in ("json", "xml"):
+        if doc_id is None:
+            doc_id = probable_doc_id(url)
+        host = url.split("://", 1)[-1].split("/", 1)[0]
+        if site_inlinks is None:
+            site_inlinks = gbhash.hash8(host.encode()) % 200
+        return {
+            "doc_id": doc_id,
+            "url": url,
+            "site_id": hash64_lower_utf8(host) & TERMID_MASK,
+            "site_rank": site_rank_from_inlinks(site_inlinks),
+            "lang_id": LANG_IDS.get((lang or "xx").lower(), 0),
+            "title": "",
+            "n_tokens": 0,
+            "term_ids": [fielded_term_id(hash64_lower_utf8(url), PFX_URL)],
+            "poss": [0],
+            "ctxs": [pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
+                              MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                              SYN_ORIGINAL)],
+            "lex_words": [],
+            "lex_ids": [],
+            "out_hrefs": [],
+            "out_texts": [],
+            "out_neigh": [],
+            "content_hash": hash64_lower_utf8(
+                to_utf8_text(html, charset=None)) & TERMID_MASK,
+        }
 
     doc_charset = detect_charset(html) if html else "utf-8"
     norm = normalize_html(html, charset=doc_charset) if html else ""
@@ -352,7 +390,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     # dedicated extraction above instead (reserved at :563-569)
     meta_custom = [m for m in (meta_from_norm(norm, t)
                                for t in CUSTOM_META_TAGS) if m] if html else []
-    content_type = sniff_content_type(html) if html else "txt"
+    content_type = sniffed
     if doc_id is None:
         doc_id = probable_doc_id(url)
     host = url.split("://", 1)[-1].split("/", 1)[0]

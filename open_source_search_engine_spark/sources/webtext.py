@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import json
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -181,7 +182,8 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
                            keep_doc_id: bool = True,
                            body_only: bool = True,
                            text_suffix: str = "",
-                           doc_filter=None) -> DataFrame:
+                           doc_filter=None,
+                           json_every: int | None = None) -> DataFrame:
     """Wrap the driver-provided documents table into webtext shape.
 
     url/warc_ts derive from doc_id; html renders the doc text through the
@@ -197,6 +199,11 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
     incremental-build tests); doc_filter is an optional Column predicate.
     With keep_doc_id the provided doc_id rides along so engine results
     join back to the documents table for oracle comparison.
+
+    json_every=N renders every doc with doc_id %% N == 0 as a raw JSON
+    payload instead of an HTML page (the bytes start with '{', so the
+    content sniff yields CT_JSON and the build's BR-20160127 gate
+    indexes only the url: probe term — XmlDoc_Indexing.cpp:252-262).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if doc_filter is not None:
@@ -224,6 +231,19 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
                 else:
                     url = f"http://site{site:04d}.example/p/{d:06d}.html"
                 body = ((text or "empty") + text_suffix).strip()
+                if json_every is not None and d % json_every == 0:
+                    html = json.dumps({"text": body}).encode("utf-8")
+                    rec = {
+                        "url": url,
+                        "warc_ts": EPOCH + _dt.timedelta(minutes=d % 100000),
+                        "html": html,
+                        "text": body,
+                        "lang": lang or "en",
+                    }
+                    if keep_doc_id:
+                        rec["doc_id"] = d
+                    recs.append(rec)
+                    continue
                 if body_only:
                     html = (
                         "<html><head></head><body><p>" + body +
