@@ -880,6 +880,20 @@ def q_token_bpe(spark, sf_dir):
         "bpe_per_ws")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing: global token
+    offsets + first/last training-sequence index per doc (doc_id
+    order, 1 EOS separator, 256-token sequences). Engine side is a
+    bucketed distributed prefix sum (no global single-partition
+    window); the oracle is the straightforward window cumsum."""
+    from open_source_search_engine_spark.ops.textstats import (
+        pack_sequences,
+    )
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256,
+                          sep_tokens=1, bucket_width=64)
+
+
 def q_chunk_docs(spark, sf_dir):
     """Sliding token-window chunking (LLM-ingest splitter): 32-token
     windows, 8-token overlap. Pure-codegen sequence/posexplode/slice;
@@ -1271,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "token_bpe": q_token_bpe,
         "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
@@ -2225,6 +2240,21 @@ select doc_id::bigint as doc_id,
        array_to_string(toks[st + 1 : st + 32], ' ') as chunk_text,
        least(n - st, 32)::bigint as n_chunk_tokens
 from s
+""",
+        "pack_sequences": """
+with t as (
+  select doc_id, len(string_split(text, ' '))::bigint as n_tokens
+  from documents),
+c as (
+  select doc_id, n_tokens,
+         coalesce(sum(n_tokens + 1) over (order by doc_id
+           rows between unbounded preceding and 1 preceding),
+           0)::bigint as tok_off
+  from t)
+select doc_id::bigint as doc_id, n_tokens, tok_off,
+       (tok_off // 256)::bigint as seq_first,
+       ((tok_off + n_tokens - 1) // 256)::bigint as seq_last
+from c
 """,
         "token_bpe": r"""
 select doc_id::bigint as doc_id,

@@ -98,6 +98,59 @@ def bpe_token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   sep_tokens: int = 1,
+                   bucket_width: int = 65536) -> DataFrame:
+    """(doc_id, n_tokens, tok_off, seq_first, seq_last): GPT-style
+    concat-and-chunk sequence-packing map. Documents concatenate in
+    doc_id order, each followed by ``sep_tokens`` separator tokens
+    (the EOS an LLM pretraining pipeline inserts between documents),
+    and the stream is cut into fixed ``seq_len``-token training
+    sequences. Each output row gives the doc's global token offset in
+    the packed stream plus the first/last sequence index its tokens
+    land in — the map a sharded tokenizer needs to emit sequences
+    without ever materializing the concatenated corpus.
+
+    The global prefix sum is computed scale-safely — no
+    single-partition global window: docs bucket by doc_id range
+    (``bucket_width`` ids per bucket), per-bucket token sums reduce to
+    one tiny frame (one row per bucket; ~15k rows even at 10^9 docs)
+    whose running totals become per-bucket base offsets, and the
+    within-bucket exclusive cumsum is a window PARTITIONED by bucket.
+    Every corpus-sized stage is parallel over buckets; the only
+    ordered scan is over the per-bucket sums frame. All codegen, no
+    UDF."""
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    n = F.size(tokens_col(F.col("text"))).cast("long")
+    slot = (n + sep_tokens).alias("slot")
+    t = docs.select(
+        "doc_id", n.alias("n_tokens"), slot,
+        (F.col("doc_id") / bucket_width).cast("long").alias("_b"))
+    # per-bucket totals -> running base offsets (tiny frame)
+    sums = t.groupBy("_b").agg(F.sum("slot").alias("_bsum"))
+    wb = (Window.orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    bases = sums.select(
+        "_b", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))
+        .alias("_base"))
+    # within-bucket exclusive cumsum, parallel over buckets
+    ww = (Window.partitionBy("_b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = (F.coalesce(F.sum("slot").over(ww), F.lit(0)) +
+           F.col("_base")).alias("tok_off")
+    out = (t.join(F.broadcast(bases), "_b")
+           .select("doc_id", "n_tokens", off))
+    return out.select(
+        "doc_id", "n_tokens", "tok_off",
+        F.expr(f"CAST(tok_off DIV {seq_len} AS BIGINT)")
+        .alias("seq_first"),
+        F.expr(f"CAST((tok_off + n_tokens - 1) DIV {seq_len} AS BIGINT)")
+        .alias("seq_last"))
+
+
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128,
                     overlap: int = 16) -> DataFrame:
     """(doc_id, chunk_id, chunk_text, n_chunk_tokens): sliding

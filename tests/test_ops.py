@@ -1058,3 +1058,40 @@ def test_remove_contaminated_policy(spark):
     kept = {r["doc_id"]
             for r in remove_contaminated(train, evals, n=5).collect()}
     assert kept == {2, 3}  # doc 1 shares 5-grams; doc 3 too short to flag
+
+
+def test_pack_sequences_differential(spark):
+    """pack_sequences == a pure-python concat-and-chunk evaluation,
+    exercising the multi-bucket prefix-sum path (bucket_width smaller
+    than the doc_id range)."""
+    from open_source_search_engine_spark.ops.textstats import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(60):
+        k = int(rng.integers(1, 40))
+        rows.append({"doc_id": d * 3,  # sparse ids
+                     "text": " ".join(f"w{j}" for j in range(k))})
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    L, SEP = 64, 1
+    got = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=L, sep_tokens=SEP,
+                          bucket_width=16).collect()}
+
+    off = 0
+    for r in sorted(rows, key=lambda x: x["doc_id"]):
+        n = len(r["text"].split(" "))
+        g = got[r["doc_id"]]
+        assert g["n_tokens"] == n
+        assert g["tok_off"] == off
+        assert g["seq_first"] == off // L
+        assert g["seq_last"] == (off + n - 1) // L
+        off += n + SEP
+    # every sequence index between first and last is contiguous corpus
+    # coverage: doc i's seq_first is <= doc i-1's seq_last + 1
+    ordered = [got[r["doc_id"]]
+               for r in sorted(rows, key=lambda x: x["doc_id"])]
+    for a, b in zip(ordered, ordered[1:]):
+        assert b["seq_first"] - a["seq_last"] <= 1
