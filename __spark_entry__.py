@@ -847,6 +847,21 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023): pick-first-quantizer cells,
+    within-cell centroid-cosine ranking, drop any point with pairwise
+    cosine >= threshold to an earlier-ranked (lower-centroid-cos)
+    cellmate. The oracle replicates the full pipeline in SQL — same
+    centroids (lowest-8 vec_ids), same argmax-cos/lowest-cell
+    assignment, same rank and upper-triangular drop rule — so this is
+    a full value-hash check of keep/drop decisions per vector."""
+    from open_source_search_engine_spark.ops.dedup import semdedup
+
+    return semdedup(_emb(spark, sf_dir), threshold=0.4, n_cells=8).select(
+        F.col("vec_id").cast("long"), F.col("cell").cast("int"),
+        "centroid_cos", F.col("keep").cast("int"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH top-10 served from the PERSISTED bucket table: the probe
     reads exactly the query's 8 bucket directories (partition-pruned
@@ -1289,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
+        "semdedup": q_semdedup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2309,6 +2325,7 @@ order by cos desc, vec_id asc
 limit 10
 """,
         "dedup_embedding": _emb_dup_sql(),
+        "semdedup": _semdedup_sql(),
         # the spark side PARSES these dims back out of real PNG IHDR /
         # GIF screen-descriptor bytes; the oracle recomputes them from
         # the deterministic generation rule — two independent paths
@@ -2391,6 +2408,52 @@ select cand.vec_id::bigint as vec_id,
 from cand cross join qv
 order by cos desc, vec_id asc
 limit 10
+"""
+
+
+def _semdedup_sql(threshold: float = 0.4, n_cells: int = 8) -> str:
+    """SQL replica of ops.dedup.semdedup: same pick-first centroids
+    (lowest n_cells vec_ids), same argmax-rounded-cos assignment with
+    lowest-cell tie-break, same (ccos asc, vec_id asc) in-cell rank,
+    same upper-triangular drop rule."""
+    return f"""
+with emb as (select vec_id, embedding::double[] as v from embeddings),
+cents as (
+  select row_number() over (order by vec_id) - 1 as cell, v as cv
+  from (select vec_id, v from emb order by vec_id limit {n_cells}) t
+),
+scored as (
+  select e.vec_id, e.v, c.cell,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 4) as ccos
+  from emb e cross join cents c
+),
+assigned as (
+  select vec_id, v, cell, ccos from (
+    select *, row_number() over (partition by vec_id
+                                 order by ccos desc, cell asc) as rn
+    from scored)
+  where rn = 1
+),
+ranked as (
+  select vec_id, v, cell, ccos,
+         row_number() over (partition by cell
+                            order by ccos asc, vec_id asc) as rk
+  from assigned
+),
+dropped as (
+  select distinct a.vec_id
+  from ranked a join ranked b
+    on a.cell = b.cell and b.rk < a.rk
+  where round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 4) >= {threshold}
+)
+select r.vec_id::bigint as vec_id, r.cell::int as cell,
+       r.ccos as centroid_cos,
+       (case when d.vec_id is null then 1 else 0 end)::int as keep
+from ranked r left join dropped d using (vec_id)
 """
 
 

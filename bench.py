@@ -155,6 +155,11 @@ def main() -> int:
     tr = docs.where(F.col("doc_id") % 20 != 0)
     timed("op_decontaminate",
           lambda: decontaminate(tr, ev, n=13).count())
+    # SemDedup semantic embedding dedup (cell-keyed pairwise stage)
+    from open_source_search_engine_spark.ops.dedup import semdedup
+
+    timed("op_semdedup",
+          lambda: semdedup(emb, threshold=0.4, n_cells=16).count())
     qv = [float(x)
           for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
     timed("op_ann_top10", lambda: brute_force_topk(emb, qv, 10).collect())

@@ -598,3 +598,75 @@ def remove_contaminated(train: DataFrame, eval_docs: DataFrame,
                .where(F.col("n_shared") >= min_shared)
                .select("doc_id").distinct())
     return train.join(flagged, "doc_id", "left_anti")
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.4, n_cells: int = 8,
+             centroids: list[list[float]] | None = None,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column via k-means cells + within-
+    cell pairwise cosine.
+
+    Returns (vec_id, cell, centroid_cos, keep) for EVERY input vector:
+
+    1. coarse cells from a deterministic quantizer (``ivf_centroids``
+       pick-first by default — oracle-expressible; pass
+       ``centroids=ivf_train_kmeans(...)`` for trained cells, dataflow
+       unchanged),
+    2. within each cell rank points by cosine-to-centroid ASCENDING
+       (ties: vec_id) — the paper keeps the point LEAST similar to the
+       centroid from each duplicate group,
+    3. drop a point iff some EARLIER-RANKED point in its cell has
+       pairwise cosine >= threshold (the official implementation's
+       upper-triangular max rule, not a chained-survivor scan).
+
+    Scale shape: assignment is one narrow projection (linear
+    ``_cell_of``-style expression, no shuffle); the rank window and the
+    pairwise self-join are both CELL-keyed, so the only shuffles hash on
+    cell and the quadratic stage is O(N^2 / n_cells) per cell — the
+    paper's own tractability argument (n_cells ~ sqrt(N) at corpus
+    scale bounds cells near sqrt(N)). No global window, no all-pairs
+    stage. Cosines round to 4 decimals (cross-engine float parity,
+    same margin as cosine_scores / embedding_dup_pairs)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from .ann import _dot, _dot2, _norm, ivf_centroids
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells, id_col, vec_col)
+    v = F.col(vec_col)
+    nv = _norm(v)
+    coses = []
+    for cent in centroids:
+        cn = math.sqrt(sum(x * x for x in cent)) or 1.0
+        coses.append(F.round(_dot(v, cent) / (nv * F.lit(cn)), 4))
+    arr = F.array(*coses)
+    assigned = emb.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("_v"), nv.alias("_n"),
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+        .alias("cell"),
+        F.array_max(arr).alias("centroid_cos"))
+    w = (Window.partitionBy("cell")
+         .orderBy(F.col("centroid_cos").asc(), F.col("vec_id").asc()))
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("vec_id", "cell", "rk",
+                      F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = ranked.select(F.col("vec_id").alias("vec_b"),
+                      F.col("cell").alias("cell_b"),
+                      F.col("rk").alias("rk_b"),
+                      F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    pair_cos = F.round(_dot2(F.col("_va"), F.col("_vb"))
+                       / (F.col("_na") * F.col("_nb")), 4)
+    dropped = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                      & (F.col("rk_b") < F.col("rk")))
+               .where(pair_cos >= F.lit(threshold))
+               .select("vec_id").distinct()
+               .withColumn("_dropped", F.lit(1)))
+    return (ranked.join(dropped, "vec_id", "left")
+            .select("vec_id", "cell", "centroid_cos",
+                    F.when(F.col("_dropped").isNull(), 1).otherwise(0)
+                    .alias("keep")))

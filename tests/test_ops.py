@@ -1095,3 +1095,36 @@ def test_pack_sequences_differential(spark):
                for r in sorted(rows, key=lambda x: x["doc_id"])]
     for a, b in zip(ordered, ordered[1:]):
         assert b["seq_first"] - a["seq_last"] <= 1
+
+
+def test_semdedup_keeps_low_centroid_sim(spark):
+    """SemDedup hand trace: 2 pick-first centroids (vecs 0/1), one
+    near-dup pair per cell. In each pair the paper rule keeps the
+    member with the LOWER centroid cosine — so the centroid itself
+    (ccos=1.0) is the one dropped."""
+    from open_source_search_engine_spark.ops.dedup import semdedup
+
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0, 0.0]},   # centroid c0
+        {"vec_id": 1, "embedding": [0.0, 1.0, 0.0, 0.0]},   # centroid c1
+        {"vec_id": 2, "embedding": [1.0, 0.1, 0.0, 0.0]},   # dup of 0
+        {"vec_id": 3, "embedding": [0.9, 0.5, 0.0, 0.0]},   # cell 0, uniq
+        {"vec_id": 4, "embedding": [0.1, 1.0, 0.0, 0.0]},   # dup of 1
+        {"vec_id": 5, "embedding": [0.0, 0.5, 0.9, 0.0]},   # cell 1, uniq
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.98, n_cells=2).collect()}
+
+    assert {v: out[v]["cell"] for v in range(6)} == {
+        0: 0, 2: 0, 3: 0, 1: 1, 4: 1, 5: 1}
+    # centroids score 1.0 against themselves
+    assert out[0]["centroid_cos"] == pytest.approx(1.0)
+    assert out[1]["centroid_cos"] == pytest.approx(1.0)
+    # dup pairs (0,2) and (1,4): the LOWER-ccos member survives
+    assert {v: out[v]["keep"] for v in range(6)} == {
+        0: 0, 2: 1, 3: 1, 1: 0, 4: 1, 5: 1}
+
+    # threshold above every pairwise cos -> everything kept
+    all_kept = semdedup(emb, threshold=1.01, n_cells=2).collect()
+    assert all(r["keep"] == 1 for r in all_kept)
