@@ -881,6 +881,52 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").cast("long"), "cos")
 
 
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ-flat top-10 by asymmetric-distance (ADC) table lookups over
+    16-code/8-subspace product-quantized codes (Jegou et al. 2011 /
+    FAISS PQ8x4). Deterministic pick-first codebooks (unit-normalized
+    lowest-16 vec_ids); the oracle replicates encode (argmin rounded
+    subspace L2, lowest-code ties) + LUT + ADC sum in SQL — full
+    value-hash check of the compressed scoring path."""
+    from open_source_search_engine_spark.ops.ann import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cbs = pq_codebooks(emb, n_sub=8, n_codes=16)
+    qv = _query_vec(spark, sf_dir)
+    return pq_adc_topk(pq_encode(emb, cbs), cbs, qv, k=10).select(
+        F.col("vec_id").cast("long"), "adc")
+
+
+def q_ann_ivfpq_probe(spark, sf_dir):
+    """IVF-PQ top-10 served from the PERSISTED index (FAISS IVFADC):
+    codes partitioned by cell on disk, the probe reads exactly the
+    query's nprobe=4 cell directories and ADC-scores codes only — no
+    float vectors touched at serve time. Oracle replicates cell
+    assignment + probe + encode + ADC in SQL."""
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivfpq_index,
+        ivf_centroids,
+        ivfpq_topk_indexed,
+        pq_codebooks,
+    )
+
+    emb = _emb(spark, sf_dir)
+    idx = _index_dir(sf_dir, "annivfpq")
+    cents = ivf_centroids(emb, 16)
+    cbs = pq_codebooks(emb, n_sub=8, n_codes=16)
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_ivfpq_index(emb, idx, n_cells=16, n_sub=8, n_codes=16,
+                          centroids=cents, codebooks=cbs)
+    qv = _query_vec(spark, sf_dir)
+    return ivfpq_topk_indexed(spark, idx, cents, cbs, qv, k=10,
+                              nprobe=4).select(
+        F.col("vec_id").cast("long"), "adc")
+
+
 def q_token_bpe(spark, sf_dir):
     """Whitespace vs BPE-ish piece counts (LLM token-budget estimator;
     RE2-compatible GPT-2-style split regex, pure codegen)."""
@@ -1298,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_ivfpq_probe": q_ann_ivfpq_probe,
         "token_bpe": q_token_bpe,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
@@ -2326,6 +2374,8 @@ limit 10
 """,
         "dedup_embedding": _emb_dup_sql(),
         "semdedup": _semdedup_sql(),
+        "ann_pq_adc": _pq_sql(probe=False),
+        "ann_ivfpq_probe": _pq_sql(probe=True),
         # the spark side PARSES these dims back out of real PNG IHDR /
         # GIF screen-descriptor bytes; the oracle recomputes them from
         # the deterministic generation rule — two independent paths
@@ -2408,6 +2458,79 @@ select cand.vec_id::bigint as vec_id,
 from cand cross join qv
 order by cos desc, vec_id asc
 limit 10
+"""
+
+
+def _pq_sql(probe: bool, n_sub: int = 8, n_codes: int = 16,
+            dim: int = 64, k: int = 10, n_cells: int = 16,
+            nprobe: int = 4) -> str:
+    """SQL replica of ops.ann PQ encode + ADC (and, with probe=True,
+    the IVF cell assignment + nprobe pruning of ivfpq_topk_indexed):
+    same unit normalization, same rounded argmin-L2 codes with
+    lowest-code ties, same per-subspace rounded LUT, same rounded ADC
+    sum, same (adc desc, vec_id asc) top-k."""
+    dsub = dim // n_sub
+    ivf_ctes = f""",
+cents as (select vec_id as cell, rv as cvv from eu where vec_id < {n_cells}),
+cosft as (
+  select e.vec_id, c.cell,
+         round(list_dot_product(e.rv, c.cvv)
+               / (sqrt(list_dot_product(e.rv, e.rv))
+                  * sqrt(list_dot_product(c.cvv, c.cvv))), 4) as ccos
+  from eu e cross join cents c),
+assign as (
+  select vec_id, cell from (
+    select vec_id, cell,
+           row_number() over (partition by vec_id
+                              order by ccos desc, cell asc) as rn
+    from cosft) where rn = 1),
+probe as (
+  select cell from (
+    select c.cell,
+           row_number() over (
+             order by round(list_dot_product(q0.qv, c.cvv)
+                            / (sqrt(list_dot_product(q0.qv, q0.qv))
+                               * sqrt(list_dot_product(c.cvv, c.cvv))), 4)
+                      desc, c.cell asc) as rn
+    from cents c cross join q0) where rn <= {nprobe})"""
+    adc_filter = ("join assign s on s.vec_id = codes.vec_id "
+                  "join probe p on p.cell = s.cell" if probe else "")
+    return f"""
+with q0 as (select embedding::double[] as qv from embeddings
+            where vec_id = 0),
+qu as (select list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+         as uq from q0),
+eu as (select vec_id, embedding::double[] as rv,
+              list_transform(embedding::double[],
+                  x -> x / sqrt(list_dot_product(
+                      embedding::double[], embedding::double[]))) as uv
+       from embeddings),
+cbv as (select vec_id as code, uv from eu where vec_id < {n_codes}),
+subs as (select unnest(generate_series(0, {n_sub - 1})) as m),
+csub as (select s.m, c.code,
+                c.uv[s.m*{dsub}+1 : s.m*{dsub}+{dsub}] as cv
+         from cbv c cross join subs s),
+vsub as (select e.vec_id, s.m,
+                e.uv[s.m*{dsub}+1 : s.m*{dsub}+{dsub}] as sv
+         from eu e cross join subs s),
+d2 as (select v.vec_id, v.m, c.code,
+              round(list_dot_product(v.sv, v.sv)
+                    - 2.0 * list_dot_product(v.sv, c.cv)
+                    + list_dot_product(c.cv, c.cv), 4) as d2
+       from vsub v join csub c using (m)),
+codes as (select vec_id, m, code from (
+    select *, row_number() over (partition by vec_id, m
+                                 order by d2 asc, code asc) as rn
+    from d2) where rn = 1),
+lut as (select c.m, c.code,
+               round(list_dot_product(
+                   q.uq[c.m*{dsub}+1 : c.m*{dsub}+{dsub}], c.cv), 4) as w
+        from csub c cross join qu q){ivf_ctes if probe else ''}
+select vec_id::bigint as vec_id, adc from (
+  select codes.vec_id, round(sum(lut.w), 4) as adc
+  from codes join lut using (m, code) {adc_filter}
+  group by codes.vec_id)
+order by adc desc, vec_id asc limit {k}
 """
 
 

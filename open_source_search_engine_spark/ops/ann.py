@@ -401,3 +401,159 @@ def rp_lsh_topk_indexed(spark, index_dir: str, query_vec: list[float],
         .select("vec_id", "embedding")
     )
     return brute_force_topk(cand, query_vec, k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / IVF-PQ) — compressed ANN for corpus scale
+# ---------------------------------------------------------------------------
+
+
+def _unit_col(vec_col):
+    """Unit-normalized copy of an array column (JVM-side)."""
+    n = _norm(vec_col)
+    return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def pq_codebooks(emb: DataFrame, n_sub: int = 8, n_codes: int = 16,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Deterministic PQ codebooks (Jegou et al. 2011 IVFADC, the FAISS
+    `PQ{n_sub}x{bits}` scheme): the UNIT-NORMALIZED lowest-``n_codes``
+    vec_ids, sliced into ``n_sub`` contiguous subvectors —
+    ``codebooks[m][c]`` is code c's dsub floats for subspace m. Same
+    pick-first-quantizer rationale as ``ivf_centroids``: deterministic
+    and oracle-expressible; at web scale swap in per-subspace k-means
+    (the encode/ADC dataflow below is unchanged). Collects
+    n_codes × dim floats — tiny."""
+    rows = (emb.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding"))
+            .orderBy("vec_id").limit(n_codes).collect())
+    vecs = [_unit([float(x) for x in r["embedding"]]) for r in rows]
+    dim = len(vecs[0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    return [[v[m * dsub:(m + 1) * dsub] for v in vecs]
+            for m in range(n_sub)]
+
+
+def _pq_codes_col(vec_col, codebooks: list[list[list[float]]]):
+    """array<int> of per-subspace codes: argmin squared-L2 between the
+    UNIT-normalized vector's m-th subvector and subspace m's codebook.
+    d2 rounds to 4 decimals with first-match (lowest-code) tie-break —
+    the same cross-engine parity margin as ``_cell_of``. Pure Catalyst
+    expression: n_sub × n_codes slice-dot terms, linear size."""
+    uv = _unit_col(vec_col)
+    n_sub = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code_cols = []
+    for m in range(n_sub):
+        sub = F.slice(uv, m * dsub + 1, dsub)
+        ss = _dot2(sub, sub)
+        dists = []
+        for cvec in codebooks[m]:
+            cc = float(sum(x * x for x in cvec))
+            dists.append(F.round(ss - F.lit(2.0) * _dot(sub, cvec)
+                                 + F.lit(cc), 4))
+        arr = F.array(*dists)
+        code_cols.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return F.array(*code_cols)
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, codes array<int>): the compressed representation —
+    n_sub small ints per vector instead of dim floats (8×log2(16) bits
+    = 4 bytes vs 256 bytes at dim=64/f32: the memory win that lets a
+    100 TB embedding corpus serve ANN from RAM-sized code tables). One
+    narrow projection, no shuffle."""
+    return emb.select(F.col(id_col).alias("vec_id"),
+                      _pq_codes_col(F.col(vec_col), codebooks)
+                      .alias("codes"))
+
+
+def _adc_score_col(codes_col, codebooks: list[list[list[float]]],
+                   query_vec: list[float]):
+    """Asymmetric-distance score: sum_m LUT[m][code_m] where LUT[m][c]
+    = dot(unit-query subvector m, codebook[m][c]) — approximates
+    cos(query, vec) for unit-normalized inputs. Each LUT entry rounds
+    to 4 decimals BEFORE the sum (fixed m-order in both engines), the
+    sum rounds again — stable across engines' addition order. LUT
+    rounding is half-away-from-zero (what Spark/DuckDB ``round`` do),
+    NOT Python's banker's ``round``."""
+
+    def _r4(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 10000.0 + 0.5), x) / 10000.0
+
+    q = _unit([float(x) for x in query_vec])
+    n_sub = len(codebooks)
+    dsub = len(codebooks[0][0])
+    score = None
+    for m in range(n_sub):
+        qs = q[m * dsub:(m + 1) * dsub]
+        lut = [_r4(sum(a * b for a, b in zip(qs, c)))
+               for c in codebooks[m]]
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
+                            F.element_at(codes_col, m + 1) + 1)
+        score = term if score is None else score + term
+    return F.round(score, 4)
+
+
+def pq_adc_topk(codes: DataFrame, codebooks: list[list[list[float]]],
+                query_vec: list[float], k: int = 10) -> DataFrame:
+    """PQ-flat top-k by ADC over a codes table: (vec_id, adc). A full
+    scan, but of the 64×-compressed codes — the table-lookup analog of
+    brute_force_topk. Ties break to the lowest vec_id."""
+    return (codes.select(
+                "vec_id",
+                _adc_score_col(F.col("codes"), codebooks, query_vec)
+                .alias("adc"))
+            .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+def build_ivfpq_index(emb: DataFrame, out_dir: str, n_cells: int = 16,
+                      n_sub: int = 8, n_codes: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      centroids: list[list[float]] | None = None,
+                      codebooks: list[list[list[float]]] | None = None,
+                      ):
+    """IVF-PQ index (FAISS IVFADC): nearest-cell assignment partitioned
+    by cell on disk, rows hold only (vec_id, codes). A probe reads
+    nprobe cell DIRECTORIES (partition pruning) and ADC-scores their
+    codes — at corpus scale the scan is nprobe/n_cells of the corpus ×
+    the PQ compression ratio. Returns (centroids, codebooks) for the
+    probe side."""
+    cents = (centroids if centroids is not None
+             else ivf_centroids(emb, n_cells, id_col, vec_col))
+    cbs = (codebooks if codebooks is not None
+           else pq_codebooks(emb, n_sub, n_codes, id_col, vec_col))
+    (emb.select(F.col(id_col).alias("vec_id"),
+                _cell_of(F.col(vec_col), cents).alias("cell"),
+                _pq_codes_col(F.col(vec_col), cbs).alias("codes"))
+     .write.mode("overwrite").partitionBy("cell").parquet(out_dir))
+    return cents, cbs
+
+
+def ivfpq_topk_indexed(spark, index_dir: str,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       query_vec: list[float], k: int = 10,
+                       nprobe: int = 4) -> DataFrame:
+    """Serve top-k from the persisted IVF-PQ index: scan = the query's
+    nprobe cell directories, score = ADC table lookups (no float
+    vectors read at all)."""
+    import os
+
+    paths = [
+        os.path.join(index_dir, f"cell={c}")
+        for c in _query_cells(query_vec, centroids, nprobe)
+        if os.path.exists(os.path.join(index_dir, f"cell={c}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, adc double")
+    cand = (spark.read.option("basePath", index_dir).parquet(*paths)
+            .select("vec_id", "codes"))
+    return pq_adc_topk(cand, codebooks, query_vec, k)

@@ -1128,3 +1128,53 @@ def test_semdedup_keeps_low_centroid_sim(spark):
     # threshold above every pairwise cos -> everything kept
     all_kept = semdedup(emb, threshold=1.01, n_cells=2).collect()
     assert all(r["keep"] == 1 for r in all_kept)
+
+
+def test_pq_encode_and_adc(spark):
+    """PQ sanity: a vector that IS a codebook entry encodes to that
+    code in every subspace; ADC of the query against its own code is
+    ~cos=1; IVF-PQ probe == PQ-flat restricted to the probe cells."""
+    import numpy as np
+
+    from open_source_search_engine_spark.ops.ann import (
+        build_ivfpq_index,
+        ivf_centroids,
+        ivfpq_topk_indexed,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 40
+    rows = [{"vec_id": i,
+             "embedding": [float(x) for x in rng.randn(dim)]}
+            for i in range(n)]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    cbs = pq_codebooks(emb, n_sub=4, n_codes=8)
+    codes = {r["vec_id"]: list(r["codes"])
+             for r in pq_encode(emb, cbs).collect()}
+    assert set(codes) == set(range(n))
+    # vec_ids 0..7 ARE the codebook entries -> each encodes to itself
+    for c in range(8):
+        assert codes[c] == [c, c, c, c]
+
+    qv = rows[3]["embedding"]  # query = codebook entry 3
+    top = pq_adc_topk(pq_encode(emb, cbs), cbs, qv, k=5).collect()
+    assert top[0]["vec_id"] == 3
+    assert top[0]["adc"] == pytest.approx(1.0, abs=2e-4)
+
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix="osse_test_ivfpq_")
+    try:
+        cents = ivf_centroids(emb, 4)
+        build_ivfpq_index(emb, d, n_cells=4, n_sub=4, n_codes=8,
+                          centroids=cents, codebooks=cbs)
+        probed = ivfpq_topk_indexed(spark, d, cents, cbs, qv, k=5,
+                                    nprobe=4).collect()  # all cells
+        flat = pq_adc_topk(pq_encode(emb, cbs), cbs, qv, k=5).collect()
+        assert [(r["vec_id"], r["adc"]) for r in probed] == \
+               [(r["vec_id"], r["adc"]) for r in flat]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
