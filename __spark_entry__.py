@@ -1125,6 +1125,22 @@ def q_line_dedup(spark, sf_dir):
         F.col("n_lines").cast("long"), F.col("n_removed").cast("long"))
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Dolma BFF Bloom-filter paragraph dedup over the lined view,
+    sized small (m=2^14, k=4) so the filter actually saturates and
+    FALSE-POSITIVE drops occur — the oracle replays sequential
+    test-then-insert semantics via the same min-order-per-bit
+    equivalence, so keep/drop parity (FPs included) is value-hashed."""
+    from open_source_search_engine_spark.ops.dedup import (
+        bloom_filter_dedup,
+    )
+
+    return bloom_filter_dedup(_lined_docs(spark, sf_dir),
+                              m_bits=1 << 14, k_hashes=4).select(
+        F.col("doc_id").cast("long"), F.col("para_idx").cast("long"),
+        "para", F.col("keep").cast("int"))
+
+
 def q_substring_dedup(spark, sf_dir):
     """ExactSubstr-style duplicated-span removal (Lee et al. 2021): an
     8-token window occurring >= 2 times in the corpus is removed from
@@ -1326,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "line_dedup": q_line_dedup,
+        "bloom_dedup": q_bloom_dedup,
         "novelty": q_novelty,
         "substring_dedup": q_substring_dedup,
         "sample_stratified": q_sample_stratified,
@@ -2374,6 +2391,7 @@ limit 10
 """,
         "dedup_embedding": _emb_dup_sql(),
         "semdedup": _semdedup_sql(),
+        "bloom_dedup": _bff_sql(),
         "ann_pq_adc": _pq_sql(probe=False),
         "ann_ivfpq_probe": _pq_sql(probe=True),
         # the spark side PARSES these dims back out of real PNG IHDR /
@@ -2458,6 +2476,47 @@ select cand.vec_id::bigint as vec_id,
 from cand cross join qv
 order by cos desc, vec_id asc
 limit 10
+"""
+
+
+def _bff_sql(m_bits: int = 1 << 14, k_hashes: int = 4) -> str:
+    """SQL replica of ops.dedup.bloom_filter_dedup over the lined view:
+    same md5-derived (a,b) position family, same doc_id*2^20+para_idx
+    order key, same min-order-per-bit ⟺ sequential test-then-insert
+    equivalence."""
+    from open_source_search_engine_spark.ops.dedup import (
+        MERSENNE_P,
+        _perm_coeffs,
+    )
+
+    coeffs = _perm_coeffs(k_hashes, seed="osse-bff")
+    pos_exprs = ", ".join(
+        f"({a} * x + {b}) % {MERSENNE_P} % {m_bits}" for a, b in coeffs)
+    return f"""
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+lined as (
+  select doc_id,
+         [array_to_string(ts[i:least(i+7, len(ts))], ' ')
+          for i in range(1, len(ts)+1, 8)] as lns
+  from toks),
+paras as (
+  select doc_id, unnest(range(len(lns))) as para_idx,
+         unnest(lns) as para
+  from lined),
+keyed as (
+  select doc_id, para_idx, para,
+         doc_id * {1 << 20} + para_idx as okey,
+         ('0x' || substr(md5(para), 1, 15))::bigint % {MERSENNE_P} as x
+  from paras),
+pos as (select okey, unnest([{pos_exprs}]) as bitpos from keyed),
+first as (select bitpos, min(okey) as fok from pos group by bitpos),
+verdict as (
+  select p.okey,
+         max(case when f.fok >= p.okey then 1 else 0 end) as keep
+  from pos p join first f using (bitpos) group by p.okey)
+select k.doc_id::bigint as doc_id, k.para_idx::bigint as para_idx,
+       k.para, v.keep::int as keep
+from keyed k join verdict v using (okey)
 """
 
 

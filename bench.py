@@ -129,6 +129,13 @@ def main() -> int:
         lambda i: F.concat_ws(" ", F.slice(_ts, i * 8 + 1, 8)))
     lined = docs.select("doc_id", F.array_join(_lns, "\n").alias("text"))
     timed("op_line_dedup", lambda: line_dedup(lined).count())
+    # Dolma BFF Bloom-filter paragraph dedup (two bounded shuffles)
+    from open_source_search_engine_spark.ops.dedup import (
+        bloom_filter_dedup,
+    )
+
+    timed("op_bloom_dedup",
+          lambda: bloom_filter_dedup(lined, m_bits=1 << 18).count())
     timed("op_novelty", lambda: novelty_scores(docs).count())
     # ExactSubstr-style duplicated-span removal (Lee et al. 2021)
     from open_source_search_engine_spark.ops.dedup import substring_dedup

@@ -670,3 +670,57 @@ def semdedup(emb: DataFrame, threshold: float = 0.4, n_cells: int = 8,
             .select("vec_id", "cell", "centroid_cos",
                     F.when(F.col("_dropped").isNull(), 1).otherwise(0)
                     .alias("keep")))
+
+
+def bloom_filter_dedup(docs: DataFrame, m_bits: int = 1 << 20,
+                       k_hashes: int = 4, text_col: str = "text",
+                       sep: str = "\n") -> DataFrame:
+    """Dolma-style Bloom-filter paragraph dedup (BFF, Soldaini et al.
+    2024 / allenai's bff tool), reproduced EXACTLY — false positives
+    included — with no sequential state.
+
+    Sequential BFF streams paragraphs in (doc_id, para_idx) order
+    through an m-bit Bloom filter: test the paragraph's k bit
+    positions, drop it iff all k are already set, then insert (dropped
+    paragraphs insert too — their bits are already set, so inserting
+    is a no-op). Bit b is therefore set from the FIRST paragraph in
+    stream order that emits b onward, which makes the sequential pass
+    order-free: "bit b already set when p arrives" ⟺ min_order(b) <
+    order(p). The whole filter is two bounded shuffles — explode to
+    (order_key, bitpos), groupBy bitpos → min(order_key), join back,
+    groupBy paragraph → keep iff ANY of its k bits has no earlier
+    first-setter. Exact duplicates always drop (they share all k
+    positions with their first occurrence); distinct paragraphs drop
+    spuriously exactly when sequential BFF would (k positions covered
+    by earlier paragraphs) — the standard (1-e^{-kn/m})^k FP rate, so
+    size m_bits ~ 20×corpus-paragraphs at k=4 just like the real tool.
+
+    Bit positions: (a_i·(hash60(para) mod P) + b_i) mod P mod m_bits,
+    md5-derived (a_i, b_i) — deterministic and SQL-replicable, same
+    int64-safe family as the MinHash permutations. order_key =
+    doc_id·2^20 + para_idx (safe for doc_id < 2^43 — posdb docids are
+    35-bit — and docs under 2^20 paragraphs).
+
+    Returns (doc_id, para_idx, para, keep 0/1) for every paragraph;
+    callers reassemble kept text with a groupBy(doc_id) collect_list
+    ordered by para_idx."""
+    coeffs = _perm_coeffs(k_hashes, seed="osse-bff")
+    paras = (spread(docs).select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("para_idx", "para"))
+        .withColumn("okey", F.col("doc_id").cast("long")
+                    * F.lit(1 << 20) + F.col("para_idx")))
+    x = hash60(F.col("para")) % MERSENNE_P
+    pos = paras.select(
+        "okey",
+        F.explode(F.array(*[
+            ((F.lit(a) * x + F.lit(b)) % MERSENNE_P % F.lit(m_bits))
+            for a, b in coeffs])).alias("bitpos"))
+    first = pos.groupBy("bitpos").agg(F.min("okey").alias("first_okey"))
+    verdict = (pos.join(first, "bitpos")
+               .groupBy("okey")
+               .agg(F.max(F.when(F.col("first_okey") >= F.col("okey"), 1)
+                          .otherwise(0)).alias("keep")))
+    return (paras.join(verdict, "okey")
+            .select("doc_id", "para_idx", "para", "keep"))

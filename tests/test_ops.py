@@ -1178,3 +1178,66 @@ def test_pq_encode_and_adc(spark):
                [(r["vec_id"], r["adc"]) for r in flat]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_filter_dedup_matches_sequential(spark):
+    """Differential pin: the distributed min-order-per-bit formulation
+    must equal a literal sequential test-then-insert Bloom pass
+    (false positives included) on a random corpus sized to saturate
+    the filter."""
+    import hashlib
+    import random
+
+    from open_source_search_engine_spark.ops.dedup import (
+        MERSENNE_P,
+        _perm_coeffs,
+        bloom_filter_dedup,
+    )
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(30)]
+    docs = []
+    paras_by_doc = []
+    for d in range(20):
+        paras = []
+        for _ in range(rng.randint(2, 6)):
+            if paras_by_doc and rng.random() < 0.3:
+                # re-use an earlier paragraph -> guaranteed exact dup
+                src = rng.choice(paras_by_doc)
+                paras.append(rng.choice(src))
+            else:
+                paras.append(" ".join(rng.choice(words)
+                                      for _ in range(rng.randint(2, 5))))
+        paras_by_doc.append(paras)
+        docs.append({"doc_id": d, "text": "\n".join(paras)})
+    df = spark.createDataFrame(pd.DataFrame(docs))
+
+    m_bits, k = 64, 3  # tiny filter -> false positives guaranteed
+    coeffs = _perm_coeffs(k, seed="osse-bff")
+
+    def positions(para):
+        x = int(hashlib.md5(para.encode()).hexdigest()[:15], 16) % MERSENNE_P
+        return [(a * x + b) % MERSENNE_P % m_bits for a, b in coeffs]
+
+    bits = set()
+    expected = {}
+    for d, paras in enumerate(paras_by_doc):
+        for i, p in enumerate(paras):
+            ps = positions(p)
+            expected[(d, i)] = 0 if all(b in bits for b in ps) else 1
+            bits.update(ps)
+
+    got = {(r["doc_id"], r["para_idx"]): r["keep"]
+           for r in bloom_filter_dedup(df, m_bits=m_bits,
+                                       k_hashes=k).collect()}
+    assert got == expected
+    # the tiny filter must actually have produced false positives:
+    # some dropped paragraph has no earlier identical occurrence
+    seen = set()
+    fp = 0
+    for d, paras in enumerate(paras_by_doc):
+        for i, p in enumerate(paras):
+            if expected[(d, i)] == 0 and p not in seen:
+                fp += 1
+            seen.add(p)
+    assert fp > 0
