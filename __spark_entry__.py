@@ -336,6 +336,24 @@ def q_search_incremental(spark, sf_dir):
     return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
 
 
+def q_search_asof(spark, sf_dir):
+    """Snapshot time travel (Iceberg VERSION AS OF over the committed
+    generation list): the same zzupdated query as search_incremental,
+    but through a reader pinned at as_of_gen=1 — BEFORE the gen-2
+    tombstones — so the 5 re-crawled docs that gen 2 later deleted are
+    visible again (50 rows vs the current snapshot's 45). Purely a
+    metadata filter: the scan prunes to gen<=1 directories."""
+    from open_source_search_engine_spark.query.executor import (
+        IndexReader,
+        search_all,
+    )
+
+    d = _ensure_incr_index(spark, sf_dir)
+    rd = IndexReader(spark, d, as_of_gen=1)
+    return (search_all(spark, d, "zzupdated", reader=rd)
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
 def q_search_after_delete(spark, sf_dir):
     """Tombstone coverage independent of the re-crawl term: ext:html
     matches EVERY doc in the generational index, so the result must be
@@ -1309,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_clustered": q_search_site_clustered,
         "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,
+        "search_asof": q_search_asof,
         "search_topk_wand": q_search_topk_wand,
         "search_paged": q_search_paged,
         "search_compacted": q_search_compacted,
@@ -1647,6 +1666,11 @@ qualify row_number() over (partition by doc_id % 97
         "search_incremental": """
 select doc_id::bigint as doc_id from documents
 where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        # as-of gen 1: the gen-2 tombstones (doc_id%100==0) are not yet
+        # visible, so every gen-1 re-crawled doc matches
+        "search_asof": """
+select doc_id::bigint as doc_id from documents where doc_id % 10 = 0
 """,
         "search_compacted": """
 select doc_id::bigint as doc_id from documents where doc_id % 100 != 0

@@ -58,13 +58,27 @@ class IndexReader:
     in Spark the 'merged view' is simply the latest segments snapshot)."""
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 conf: EngineConf = DEFAULT_CONF):
+                 conf: EngineConf = DEFAULT_CONF,
+                 as_of_gen: int | None = None):
+        """``as_of_gen`` pins the snapshot: the reader sees only
+        generations <= G — Iceberg ``VERSION AS OF`` time travel over
+        the generation list (sources/iceberg.py table: snapshot =
+        committed ``gens`` entry). Later re-crawls and tombstones are
+        invisible, so a query replays the index state as of that
+        commit. Purely a metadata filter — no data is rewritten and
+        the scan prunes to the same gen= directories it would have
+        read back then."""
         self.spark = spark
         self.paths = IndexPaths(index_dir)
         self.conf = conf
         with open(self.paths.meta) as f:
             self.meta = json.load(f)
         self.gens = self.meta.get("gens", [0])
+        if as_of_gen is not None:
+            self.gens = [g for g in self.gens if g <= as_of_gen]
+            if not self.gens:
+                raise ValueError(
+                    f"no generation <= {as_of_gen} in {self.meta.get('gens')}")
         self._tombstones = None
         self._n_docs = None
         self._avgdl = None

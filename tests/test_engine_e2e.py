@@ -923,3 +923,47 @@ def test_boolean_reference_scoring(built, spark, small_conf):
     notq = {r["doc_id"] for r in search_all(
         spark, built, "spark AND NOT index", conf=ref_conf).collect()}
     assert notq == {1, 3, 7}
+
+
+def test_as_of_gen_time_travel(spark, small_conf, tmp_index):
+    """Iceberg VERSION-AS-OF analog: a reader pinned at as_of_gen sees
+    only generations <= G — re-crawls and tombstones committed later
+    are invisible, replaying the index state at that commit."""
+    import pytest as _pytest
+
+    build_index(spark, _webtext_df(spark), tmp_index, conf=small_conf, gen=0)
+    build_index(
+        spark,
+        _webtext_df(spark, {2: "totally different now"}),
+        tmp_index, conf=small_conf, gen=1)
+    delete_docs(spark, tmp_index, [7], gen=2)
+    meta_p = os.path.join(tmp_index, "_index_meta.json")
+    meta = json.load(open(meta_p))
+    meta["gens"] = sorted(set(meta["gens"]) | {2})
+    json.dump(meta, open(meta_p, "w"))
+
+    # current snapshot: doc 2 re-crawled (old text gone), doc 7 deleted
+    cur = {r["doc_id"] for r in
+           search_all(spark, tmp_index, "index", conf=small_conf).collect()}
+    assert 2 not in cur and 7 not in cur
+
+    # as of gen 0: original text of doc 2 visible, doc 7 alive
+    rd0 = IndexReader(spark, tmp_index, small_conf, as_of_gen=0)
+    asof0 = {r["doc_id"] for r in
+             search_all(spark, tmp_index, "index", conf=small_conf,
+                        reader=rd0).collect()}
+    assert 2 in asof0
+    got_diff = {r["doc_id"] for r in
+                search_all(spark, tmp_index, "different", conf=small_conf,
+                           reader=rd0).collect()}
+    assert got_diff == set()  # the gen-1 re-crawl doesn't exist yet
+
+    # as of gen 1: re-crawl visible, tombstone not
+    rd1 = IndexReader(spark, tmp_index, small_conf, as_of_gen=1)
+    got_merge = {r["doc_id"] for r in
+                 search_all(spark, tmp_index, "merge", conf=small_conf,
+                            reader=rd1).collect()}
+    assert 7 in got_merge
+
+    with _pytest.raises(ValueError):
+        IndexReader(spark, tmp_index, small_conf, as_of_gen=-1)
