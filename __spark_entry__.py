@@ -865,6 +865,26 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-point damped PageRank (ops/graph.py) over a deterministic
+    synthetic link graph re-derived identically by the oracle: doc u
+    links to (u + j*37) mod N for j = 1..(2 + u%3). Integer fixed-point
+    arithmetic makes the 5-iteration result bit-identical under any
+    partitioning/engine — full value-hash of the iterative op."""
+    from open_source_search_engine_spark.ops.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(2) + F.col("doc_id") % 3))
+        .alias("j"))
+        .select("src", ((F.col("src") + F.col("j") * 37) % n).alias("dst")))
+    return pagerank(edges, n_iter=5).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("rank_fp").cast("long"))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDedup (Abbas et al. 2023): pick-first-quantizer cells,
     within-cell centroid-cosine ranking, drop any point with pairwise
@@ -1389,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
+        "pagerank": q_pagerank,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2416,6 +2437,7 @@ limit 10
         "dedup_embedding": _emb_dup_sql(),
         "semdedup": _semdedup_sql(),
         "bloom_dedup": _bff_sql(),
+        "pagerank": _pagerank_sql(),
         "ann_pq_adc": _pq_sql(probe=False),
         "ann_ivfpq_probe": _pq_sql(probe=True),
         # the spark side PARSES these dims back out of real PNG IHDR /
@@ -2615,6 +2637,38 @@ select vec_id::bigint as vec_id, adc from (
   group by codes.vec_id)
 order by adc desc, vec_id asc limit {k}
 """
+
+
+def _pagerank_sql(n_iter: int = 5, num: int = 85, den: int = 100,
+                  scale: int = 10 ** 9) -> str:
+    """SQL replica of ops.graph.pagerank over the same synthetic edge
+    grammar: unrolled iterations, identical int64 truncating-division
+    arithmetic — exact value equality by construction."""
+    base = scale * (den - num) // den
+    ctes = [f"""
+params as (select count(*)::bigint as n from documents),
+edges as (
+  select d.doc_id as src,
+         (d.doc_id + unnest(range(1, 3 + d.doc_id % 3)) * 37) % p.n as dst
+  from documents d cross join params p),
+outdeg as (select src, count(*)::bigint as og from edges group by src),
+nodes as (select distinct node from (
+  select src as node from edges union select dst from edges)),
+r0 as (select node, {scale}::bigint as r from nodes)"""]
+    for t in range(n_iter):
+        ctes.append(f"""
+r{t + 1} as (
+  select n.node,
+         ({base}::bigint + ({num} * coalesce(s.in_mass, 0)) // {den}) as r
+  from nodes n left join (
+    select e.dst as node, sum(r.r // o.og) as in_mass
+    from edges e
+    join r{t} r on r.node = e.src
+    join outdeg o on o.src = e.src
+    group by e.dst) s using (node))""")
+    return (f"with {','.join(ctes)}\n"
+            f"select node::bigint as doc_id, r::bigint as rank_fp "
+            f"from r{n_iter}")
 
 
 def _semdedup_sql(threshold: float = 0.4, n_cells: int = 8) -> str:

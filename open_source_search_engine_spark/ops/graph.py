@@ -1,0 +1,70 @@
+"""Link-graph operators.
+
+The reference engine's query-time quality signals are link-derived:
+siteNumInlinks -> siteRank (`PosdbTable.cpp:4237-4244` adjusted-
+siterank multiplier) and pageTemperature (`PageTemperatureRegistry.h:
+8-38`), both produced offline by its link-analysis pipeline over
+linkdb. `pagerank` is the corpus-scale generalization of that
+pipeline: damped PageRank over an (src, dst) edge frame, the standard
+input for page-quality priors in web-scale training-data curation
+(e.g. Common Crawl harmonic-centrality/PR page selection).
+
+Arithmetic is FIXED-POINT INT64 (rank scaled by `scale`, damping as
+the rational d_num/d_den, integer division throughout). That is not
+just a test convenience: integer sums are associative-commutative with
+NO float rounding, so results are bit-identical regardless of shuffle
+partitioning, aggregation order, or engine — reproducible builds and
+cross-engine oracles for free. Mass lost to truncation/dangling nodes
+is the standard practical concession (document-ranking uses relative
+order, not the exact eigenvector).
+
+Scale shape: each iteration is one (edges ⋈ ranks) hash join keyed on
+src + one groupBy(dst) sum with map-side partial combine, i.e. two
+shuffles per iteration, both on node keys — the same shape Spark's own
+GraphX/Pregel PageRank lowers to. Ranks frames are re-used across
+iterations; for large n_iter, localCheckpoint every few rounds to cut
+lineage. int64 headroom: a node's rank is bounded by scale × (total
+in-mass); at 10^12 nodes raise `scale` down / rescale per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: tuple[int, int] = (85, 100),
+             scale: int = 10 ** 9,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, rank_fp): fixed-point damped PageRank after ``n_iter``
+    synchronous iterations.
+
+    r_0(v) = scale;
+    r_{t+1}(v) = (scale*(den-num)) div den
+                 + (num * sum_{u->v} (r_t(u) div outdeg(u))) div den
+
+    Nodes = distinct src ∪ dst; dangling nodes contribute no mass
+    (practical-web-ranking convention). All arithmetic is int64 with
+    truncating division, so the result is deterministic under any
+    partitioning and replicable in plain SQL."""
+    num, den = damping
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("og"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    base = int(scale * (den - num)) // den
+    for _ in range(n_iter):
+        contrib = (e.join(ranks, e.src == ranks.node)
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("r div og").alias("c"))
+                   .groupBy("node").agg(F.sum("c").alias("in_mass")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({num} * coalesce(in_mass, 0L))"
+                                   f" div {den}")).alias("r")))
+    return ranks.select("node", F.col("r").alias("rank_fp"))

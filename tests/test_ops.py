@@ -1241,3 +1241,36 @@ def test_bloom_filter_dedup_matches_sequential(spark):
                 fp += 1
             seen.add(p)
     assert fp > 0
+
+
+def test_pagerank_fixed_point(spark):
+    """Cycle invariance (uniform stationary rank) + differential pin
+    against a literal pure-python fixed-point iteration on an
+    asymmetric graph."""
+    from open_source_search_engine_spark.ops.graph import pagerank
+
+    S = 10 ** 9
+
+    # 3-cycle: outdeg 1 everywhere -> rank stays exactly at scale
+    cyc = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 0]}))
+    got = {r["node"]: r["rank_fp"] for r in pagerank(cyc, 5).collect()}
+    assert got == {0: S, 1: S, 2: S}
+
+    # asymmetric: hub 0 -> 1,2,3; 1 -> 2; 2 -> 0; 3 dangling
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0)]
+    df = spark.createDataFrame(pd.DataFrame(e, columns=["src", "dst"]))
+
+    nodes = {0, 1, 2, 3}
+    outdeg = {0: 3, 1: 1, 2: 1}
+    r = {v: S for v in nodes}
+    base = S * 15 // 100
+    for _ in range(5):
+        mass = {v: 0 for v in nodes}
+        for s, d in e:
+            mass[d] += r[s] // outdeg[s]
+        r = {v: base + 85 * mass[v] // 100 for v in nodes}
+
+    got = {x["node"]: x["rank_fp"] for x in pagerank(df, 5).collect()}
+    assert got == r
+    assert got[2] > got[3]  # two in-links beat the dangling leaf
