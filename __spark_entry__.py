@@ -885,6 +885,25 @@ def q_pagerank(spark, sf_dir):
         F.col("rank_fp").cast("long"))
 
 
+def q_hits(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities (ops/graph.py) over the same
+    deterministic link graph as pagerank, fixed-point int64 with
+    max-normalization per round — bit-identical iterative results,
+    full value-hash via an unrolled-CTE SQL twin."""
+    from open_source_search_engine_spark.ops.graph import hits
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(2) + F.col("doc_id") % 3))
+        .alias("j"))
+        .select("src", ((F.col("src") + F.col("j") * 37) % n).alias("dst")))
+    return hits(edges, n_iter=5).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("hub_fp").cast("long"), F.col("auth_fp").cast("long"))
+
+
 def q_semdedup(spark, sf_dir):
     """SemDedup (Abbas et al. 2023): pick-first-quantizer cells,
     within-cell centroid-cosine ranking, drop any point with pairwise
@@ -1410,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
+        "hits_rank": q_hits,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2438,6 +2458,7 @@ limit 10
         "semdedup": _semdedup_sql(),
         "bloom_dedup": _bff_sql(),
         "pagerank": _pagerank_sql(),
+        "hits_rank": _hits_sql(),
         "ann_pq_adc": _pq_sql(probe=False),
         "ann_ivfpq_probe": _pq_sql(probe=True),
         # the spark side PARSES these dims back out of real PNG IHDR /
@@ -2669,6 +2690,42 @@ r{t + 1} as (
     return (f"with {','.join(ctes)}\n"
             f"select node::bigint as doc_id, r::bigint as rank_fp "
             f"from r{n_iter}")
+
+
+def _hits_sql(n_iter: int = 5, scale: int = 10 ** 6) -> str:
+    """SQL replica of ops.graph.hits over the pagerank edge grammar:
+    unrolled rounds, identical int64 sum/max-normalize arithmetic."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # round twice, and an inlined (re-evaluated) CTE chain would blow
+    # up exponentially across the unrolled rounds
+    ctes = [f"""
+params as materialized (select count(*)::bigint as n from documents),
+edges as materialized (
+  select d.doc_id as src,
+         (d.doc_id + unnest(range(1, 3 + d.doc_id % 3)) * 37) % p.n as dst
+  from documents d cross join params p),
+nodes as materialized (select distinct node from (
+  select src as node from edges union select dst from edges)),
+h0 as materialized (select node, {scale}::bigint as h from nodes)"""]
+    for t in range(n_iter):
+        ctes.append(f"""
+a{t + 1}r as materialized (select e.dst as node, sum(h.h) as a
+  from edges e join h{t} h on h.node = e.src group by e.dst),
+a{t + 1}m as materialized (select max(a) as m from a{t + 1}r),
+a{t + 1} as materialized (
+  select n.node, coalesce(r.a, 0) * {scale} // m.m as a
+  from nodes n left join a{t + 1}r r using (node) cross join a{t + 1}m m),
+h{t + 1}r as materialized (select e.src as node, sum(a.a) as h
+  from edges e join a{t + 1} a on a.node = e.dst group by e.src),
+h{t + 1}m as materialized (select max(h) as m from h{t + 1}r),
+h{t + 1} as materialized (
+  select n.node, coalesce(r.h, 0) * {scale} // m.m as h
+  from nodes n left join h{t + 1}r r using (node) cross join h{t + 1}m m)""")
+    return (f"with {','.join(ctes)}\n"
+            f"select h{n_iter}.node::bigint as doc_id,"
+            f" h{n_iter}.h::bigint as hub_fp,"
+            f" a{n_iter}.a::bigint as auth_fp "
+            f"from h{n_iter} join a{n_iter} using (node)")
 
 
 def _semdedup_sql(threshold: float = 0.4, n_cells: int = 8) -> str:

@@ -68,3 +68,57 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                           + F.expr(f"({num} * coalesce(in_mass, 0L))"
                                    f" div {den}")).alias("r")))
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def hits(edges: DataFrame, n_iter: int = 5, scale: int = 10 ** 6,
+         src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """(node, hub_fp, auth_fp): Kleinberg HITS after ``n_iter``
+    synchronous rounds, fixed-point int64 like ``pagerank``:
+
+    a_{t+1}(v) = sum_{u->v} h_t(u), then a := a*scale div max(a);
+    h_{t+1}(u) = sum_{u->v} a_{t+1}(v), then h := h*scale div max(h).
+
+    Max-normalization (instead of the L2 norm) keeps everything in
+    integers while preserving the ranking — HITS scores are only
+    meaningful relative to each other. Nodes with no in-links get
+    authority 0, no out-links hub 0. Two node-keyed aggregation
+    shuffles per round plus one scalar max (a collected 1-row agg);
+    deterministic under any partitioning, SQL-replicable.
+
+    int64 bound: the normalization product is (sum of scale-bounded
+    scores) * scale <= n_nodes * scale^2, so scale=1e6 is safe to ~9e6
+    nodes; shrink scale (or move the product to decimal128) beyond
+    that — relative ranking only needs ~1e-6 resolution."""
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct()
+             .localCheckpoint())
+    hub = nodes.withColumn("h", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        # localCheckpoint each round: the per-round max() is an ACTION,
+        # so without truncation every round would recompute the whole
+        # iteration lineage from scratch (quadratic work), and the
+        # checkpointed frame is what the next round's join reads
+        raw_a = (e.join(hub, e.src == hub.node)
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("h").alias("a"))
+                 .localCheckpoint())
+        amax = raw_a.agg(F.max("a")).collect()[0][0] or 1
+        auth = (nodes.join(raw_a, "node", "left")
+                .select("node",
+                        F.expr(f"coalesce(a, 0L) * {scale}L div {amax}L")
+                        .alias("a")))
+        raw_h = (e.join(auth, e.dst == auth.node)
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("a").alias("h"))
+                 .localCheckpoint())
+        hmax = raw_h.agg(F.max("h")).collect()[0][0] or 1
+        hub = (nodes.join(raw_h, "node", "left")
+               .select("node",
+                       F.expr(f"coalesce(h, 0L) * {scale}L div {hmax}L")
+                       .alias("h")))
+    return (hub.join(auth, "node")
+            .select("node", F.col("h").alias("hub_fp"),
+                    F.col("a").alias("auth_fp")))

@@ -1274,3 +1274,37 @@ def test_pagerank_fixed_point(spark):
     got = {x["node"]: x["rank_fp"] for x in pagerank(df, 5).collect()}
     assert got == r
     assert got[2] > got[3]  # two in-links beat the dangling leaf
+
+
+def test_hits_fixed_point(spark):
+    """Differential pin vs a pure-python fixed-point HITS loop, plus
+    the structural expectation: on 0->{1,2,3}, 1->2, 2->0 the sole
+    3-outlink hub (0) must dominate hubs and the doubly-cited node (2)
+    must dominate authorities."""
+    from open_source_search_engine_spark.ops.graph import hits
+
+    S = 10 ** 6
+    e = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0)]
+    df = spark.createDataFrame(pd.DataFrame(e, columns=["src", "dst"]))
+
+    nodes = {0, 1, 2, 3}
+    h = {v: S for v in nodes}
+    a = {}
+    for _ in range(5):
+        ra = {v: 0 for v in nodes}
+        for s_, d_ in e:
+            ra[d_] += h[s_]
+        am = max(ra.values()) or 1
+        a = {v: ra[v] * S // am for v in nodes}
+        rh = {v: 0 for v in nodes}
+        for s_, d_ in e:
+            rh[s_] += a[d_]
+        hm = max(rh.values()) or 1
+        h = {v: rh[v] * S // hm for v in nodes}
+
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"])
+           for r in hits(df, 5).collect()}
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    assert got[0][0] == S and all(got[v][0] < S for v in (1, 2, 3))
+    assert got[2][1] == S
+    assert got[3][0] == 0  # dangling leaf: no out-links -> hub 0
