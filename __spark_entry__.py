@@ -582,6 +582,18 @@ def q_spell_suggest(spark, sf_dir):
     return suggestions(spark, d, ["custoner", "windoq", "key"])
 
 
+def q_suggest_prefix(spark, sf_dir):
+    """Query autocompletion: top-k lexicon terms under a prefix ranked
+    by the index's own exact df (query/spell.py suggest_prefix) — the
+    serving-side complement of spell_suggest. Prefix predicate pushes
+    into the lexicon parquet scan; no posting data touched."""
+    from open_source_search_engine_spark.query.spell import suggest_prefix
+
+    d = _ensure_base_index(spark, sf_dir)
+    return suggest_prefix(spark, d, "s", k=10).select(
+        "term", F.col("df").cast("long"))
+
+
 def q_search_adult(spark, sf_dir):
     """gbisadult: adult-bit field (hashIsAdult XmlDoc_Indexing.cpp:1660,
     scorer AdultCheck.cpp:501): the driver corpus is clean, so
@@ -1383,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_type": q_search_type,
         "search_hf_shortcut": q_search_hf_shortcut,
         "spell_suggest": q_spell_suggest,
+        "suggest_prefix": q_suggest_prefix,
         "search_adult": q_search_adult,
         "search_isclean": q_search_isclean,
         "search_charset": q_search_charset,
@@ -1877,6 +1890,12 @@ group by tf.doc_id
         "search_range_int": """
 select doc_id::bigint as doc_id from documents
 where doc_id % 100000 between 51 and 300
+""",
+        "suggest_prefix": f"""
+with tok as ({_TOK})
+select tok as term, count(distinct doc_id)::bigint as df
+from tok where tok like 's%'
+group by tok order by df desc, term asc limit 10
 """,
         "spell_suggest": f"""
 with tok as ({_TOK}),

@@ -106,3 +106,25 @@ def suggestions(spark: SparkSession, index_dir: str,
     # suggestion (docstring contract; ADVICE r2: the inner join silently
     # dropped them)
     return probe.select("word").distinct().join(winners, "word", "left")
+
+
+def suggest_prefix(spark: SparkSession, index_dir: str, prefix: str,
+                   k: int = 10) -> DataFrame:
+    """(term, df) — query autocompletion: the top-k lexicon terms with
+    the given prefix, ranked df DESC (term ASC ties). The serving-side
+    complement of ``suggestions`` (typo repair): both rank candidate
+    completions by the index's OWN exact document frequencies rather
+    than an external dictionary, so suggestions always hit the corpus.
+
+    Plan shape: one scan of the (tiny, vocabulary-sized) lexicon⋈
+    term_stats frame with the prefix predicate pushed into the parquet
+    scan (PushedFilters: StringStartsWith — row groups whose term
+    min/max excludes the prefix range are skipped), ending in
+    TakeOrderedAndProject(k). No posting data is touched."""
+    from .executor import IndexReader
+
+    rd = IndexReader(spark, index_dir)
+    lex = rd.lexicon().join(rd.term_stats(), "term_id").select("term", "df")
+    return (lex.where(F.col("term").startswith(prefix.lower()))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(k))

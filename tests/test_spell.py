@@ -73,3 +73,23 @@ def test_suggestion_matches_brute_force(spell_index, spark):
             assert got and got[0]["suggestion"] == brute[0]["term"]
         else:
             assert not got
+
+
+def test_suggest_prefix(spark, small_conf, tmp_index):
+    """Autocomplete: df-desc ranking under the prefix, term-asc ties,
+    k truncation, case-folded prefix, no match -> empty."""
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.spell import suggest_prefix
+    from open_source_search_engine_spark.sources.webtext import synthesize
+
+    build_index(spark, synthesize(spark, 60), tmp_index, conf=small_conf)
+    got = suggest_prefix(spark, tmp_index, "s", k=3).collect()
+    assert 0 < len(got) <= 3
+    dfs = [r["df"] for r in got]
+    assert dfs == sorted(dfs, reverse=True)
+    assert all(r["term"].startswith("s") for r in got)
+    # ties break term-ascending within equal df
+    for x, y in zip(got, got[1:]):
+        if x["df"] == y["df"]:
+            assert x["term"] < y["term"]
+    assert suggest_prefix(spark, tmp_index, "ZZQX", k=3).count() == 0
