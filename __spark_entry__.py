@@ -877,6 +877,17 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_similar_docs(spark, sf_dir):
+    """'More like this': top-10 docs by tf-idf cosine to doc 0
+    (ops/textstats.py similar_docs) — broadcast query-vector join on
+    term, no pairwise stage. The oracle recomputes the identical
+    tf·ln(N/df) weighting, norms, and (sim desc, doc_id asc) top-k."""
+    from open_source_search_engine_spark.ops.textstats import similar_docs
+
+    return similar_docs(_docs(spark, sf_dir), query_doc_id=0, k=10).select(
+        F.col("doc_id").cast("long"), "sim")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point damped PageRank (ops/graph.py) over a deterministic
     synthetic link graph re-derived identically by the oracle: doc u
@@ -1443,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "pagerank": q_pagerank,
         "hits_rank": q_hits,
+        "similar_docs": q_similar_docs,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2478,6 +2490,24 @@ limit 10
         "bloom_dedup": _bff_sql(),
         "pagerank": _pagerank_sql(),
         "hits_rank": _hits_sql(),
+        "similar_docs": f"""
+with tok as ({_TOK}),
+tf as (select doc_id, tok as term, count(*)::bigint as tf
+       from tok group by 1, 2),
+dfc as (select term, count(*)::bigint as df from tf group by 1),
+n as (select count(*)::double as n from documents),
+w as (select tf.doc_id, tf.term, tf.tf * ln(n.n / dfc.df) as w
+      from tf join dfc using (term) cross join n),
+nrm as (select doc_id, sqrt(sum(w * w)) as nrm from w group by 1),
+q as (select term, w as qw from w where doc_id = 0),
+qn as (select nrm as qnrm from nrm where doc_id = 0),
+dots as (select w.doc_id, sum(w.w * q.qw) as dot
+         from w join q using (term) where w.doc_id != 0 group by 1)
+select d.doc_id::bigint as doc_id,
+       round(d.dot / (m.nrm * qn.qnrm), 4) as sim
+from dots d join nrm m using (doc_id) cross join qn
+order by sim desc, doc_id asc limit 10
+""",
         "ann_pq_adc": _pq_sql(probe=False),
         "ann_ivfpq_probe": _pq_sql(probe=True),
         # the spark side PARSES these dims back out of real PNG IHDR /

@@ -645,3 +645,46 @@ def lm_quality_buckets(docs: DataFrame, lm_docs: DataFrame | None = None,
               .when(r * 3 <= 2 * n, "middle")
               .otherwise("tail"))
     return ce.withColumn("bucket", bucket)
+
+
+def similar_docs(docs: DataFrame, query_doc_id: int,
+                 k: int = 10) -> DataFrame:
+    """'More like this' — top-k related docs by tf-idf cosine to one
+    query document (the related-pages primitive; same w = tf·ln(N/df)
+    convention as ``keywords_tfidf``). Returns (doc_id, sim), sim
+    rounded to 4, ties doc_id ASC, the query doc itself excluded.
+
+    Scale shape: the query doc's weighted term vector is tiny (its
+    distinct terms) and BROADCAST; candidate scoring is a broadcast
+    join on term + one per-doc sum with map-side partials — only docs
+    sharing >=1 term with the query are touched at all (the inverted-
+    index access pattern: common terms fan out, rare terms prune),
+    then one TakeOrderedAndProject(k). Doc norms come from one per-doc
+    aggregation of the same tf frame — no pairwise stage anywhere."""
+    ts = tokens_col(F.col("text"))
+    tf = (spread(docs)
+          .select("doc_id", F.explode(ts).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    n_docs = docs.count()
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (tf.join(dfc, "term")
+         .select("doc_id", "term",
+                 (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                 .alias("w")))
+    norms = (w.groupBy("doc_id")
+             .agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")))
+    qvec = (w.where(F.col("doc_id") == query_doc_id)
+            .select("term", F.col("w").alias("qw")))
+    qnorm = (norms.where(F.col("doc_id") == query_doc_id)
+             .select(F.col("nrm").alias("qnrm")))
+    dots = (w.join(F.broadcast(qvec), "term")
+            .where(F.col("doc_id") != query_doc_id)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("qw")).alias("dot")))
+    return (dots.join(norms, "doc_id").crossJoin(F.broadcast(qnorm))
+            .select("doc_id",
+                    F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 4)
+                    .alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+            .limit(k))

@@ -1308,3 +1308,26 @@ def test_hits_fixed_point(spark):
     assert got[0][0] == S and all(got[v][0] < S for v in (1, 2, 3))
     assert got[2][1] == S
     assert got[3][0] == 0  # dangling leaf: no out-links -> hub 0
+
+
+def test_similar_docs_ranks_shared_vocabulary(spark):
+    """MLT sanity: a near-copy of the query doc outranks a doc sharing
+    one term, docs sharing nothing are absent, the query doc itself is
+    excluded, and sim == 1.0 for an exact duplicate."""
+    from open_source_search_engine_spark.ops.textstats import similar_docs
+
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta"},       # exact dup
+        {"doc_id": 2, "text": "alpha beta zzz yyy"},           # half
+        {"doc_id": 3, "text": "alpha qqq rrr sss"},            # one term
+        {"doc_id": 4, "text": "www xxx uuu vvv"},              # disjoint
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = similar_docs(df, query_doc_id=0, k=10).collect()
+    by_id = {r["doc_id"]: r["sim"] for r in got}
+    assert 0 not in by_id and 4 not in by_id
+    assert by_id[1] == pytest.approx(1.0)
+    assert by_id[1] > by_id[2] > by_id[3]
+    assert [r["doc_id"] for r in got] == sorted(
+        by_id, key=lambda d: (-by_id[d], d))
