@@ -877,6 +877,18 @@ def q_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_bpe_train(spark, sf_dir):
+    """Learned BPE merge table (Sennrich et al. 2016) over the corpus
+    vocabulary frame. The merge decision is a data-dependent iterative
+    argmax with no closed-form SQL twin, so this entry is ROWS-ONLY by
+    design; the exact merge sequence is pinned by a pure-python
+    differential test (tests/test_ops.py
+    test_bpe_train_matches_reference_loop)."""
+    from open_source_search_engine_spark.ops.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=20).orderBy("rank")
+
+
 def q_similar_docs(spark, sf_dir):
     """'More like this': top-10 docs by tf-idf cosine to doc 0
     (ops/textstats.py similar_docs) — broadcast query-vector join on
@@ -1455,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hits_rank": q_hits,
         "similar_docs": q_similar_docs,
+        "bpe_train": q_bpe_train,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,

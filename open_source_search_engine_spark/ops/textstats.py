@@ -688,3 +688,92 @@ def similar_docs(docs: DataFrame, query_doc_id: int,
                     .alias("sim"))
             .orderBy(F.col("sim").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def _merge_pair_col(syms_col, left: str, right: str, merged: str):
+    """Greedy left-to-right non-overlapping merge of (left, right)
+    inside a symbol array — one Catalyst aggregate fold, no UDF."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 30,
+              text_col: str = "text"):
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016).
+    Returns a DataFrame (rank, left, right, merged), rank 0 first.
+
+    The corpus first collapses to its VOCABULARY frame (word, count) —
+    one shuffle — after which every round works on vocabulary-sized
+    data: pair statistics depend only on distinct words × counts, the
+    classic trick that makes BPE training cheap at any corpus size.
+    Words start as character arrays + a trailing '</w>' marker. Each
+    round: explode adjacent symbol pairs weighted by word count (all
+    adjacent positions, the original implementation's counting),
+    groupBy(pair) sum with map-side partials, argmax with (count DESC,
+    left ASC, right ASC) tie-break — fully deterministic — then fold
+    the winning pair into every word's symbol array via
+    ``_merge_pair_col`` and localCheckpoint (bounds lineage across
+    rounds). Stops early when no pair occurs >= 2 times.
+
+    The merge decision is a data-dependent iterative argmax, so there
+    is no closed-form SQL twin; correctness is pinned by a pure-python
+    differential test (tests/test_ops.py) and the driver entry is
+    rows-only by design."""
+    spark = docs.sparkSession
+    vocab = (spread(docs)
+             .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("cnt"))
+             .select(
+                 F.concat(F.split(F.col("w"), ""),
+                          F.array(F.lit("</w>"))).alias("syms"),
+                 "cnt")
+             .localCheckpoint())
+    merges: list[tuple[int, str, str, str]] = []
+    for rank in range(n_merges):
+        idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        pairs = (vocab.where(F.size("syms") >= 2)
+                 .select("cnt", F.explode(
+                     F.transform(idx, lambda i: F.struct(
+                         F.element_at(F.col("syms"), i).alias("l"),
+                         F.element_at(F.col("syms"), i + 1).alias("r"))))
+                     .alias("p"))
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("cnt").alias("n"))
+                 .orderBy(F.col("n").desc(), F.col("l").asc(),
+                          F.col("r").asc())
+                 .limit(1).collect())
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        left, right = pairs[0]["l"], pairs[0]["r"]
+        merged = left + right
+        merges.append((rank, left, right, merged))
+        vocab = (vocab.select(
+            _merge_pair_col(F.col("syms"), left, right, merged)
+            .alias("syms"), "cnt")
+            .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string")
+
+
+def bpe_word_pieces(docs: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text") -> DataFrame:
+    """(word, pieces): the corpus vocabulary segmented by a learned
+    merge list (apply side of ``bpe_train`` — the same fold chain
+    replayed in merge-rank order over the vocabulary frame)."""
+    vocab = (spread(docs)
+             .select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+             .distinct()
+             .select("w", F.concat(F.split(F.col("w"), ""),
+                                   F.array(F.lit("</w>"))).alias("syms")))
+    col = F.col("syms")
+    for left, right in merges:
+        col = _merge_pair_col(col, left, right, left + right)
+    return vocab.select(F.col("w").alias("word"), col.alias("pieces"))

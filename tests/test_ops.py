@@ -1331,3 +1331,65 @@ def test_similar_docs_ranks_shared_vocabulary(spark):
     assert by_id[1] > by_id[2] > by_id[3]
     assert [r["doc_id"] for r in got] == sorted(
         by_id, key=lambda d: (-by_id[d], d))
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    """Differential pin: the distributed BPE trainer must produce the
+    exact merge sequence of a literal pure-python Sennrich loop (same
+    counting, same tie-breaks) on a corpus with repeats, and
+    bpe_word_pieces must re-segment the vocabulary identically."""
+    from collections import Counter
+
+    from open_source_search_engine_spark.ops.textstats import (
+        bpe_train,
+        bpe_word_pieces,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) + ["</w>"] for w in words}
+
+    def ref_merges(n):
+        v = {w: list(s) for w, s in vocab.items()}
+        out = []
+        for rank in range(n):
+            pc = Counter()
+            for w, syms in v.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += words[w]
+            if not pc:
+                break
+            (l, r), n_ = min(pc.items(),
+                             key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if n_ < 2:
+                break
+            out.append((rank, l, r, l + r))
+            for w, syms in v.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                v[w] = ns
+        return out, v
+
+    exp, exp_vocab = ref_merges(12)
+    got = [(r["rank"], r["left"], r["right"], r["merged"])
+           for r in bpe_train(df, n_merges=12).orderBy("rank").collect()]
+    assert got == exp
+
+    pieces = {r["word"]: list(r["pieces"]) for r in
+              bpe_word_pieces(df, [(l, r) for _, l, r, _ in exp]).collect()}
+    assert pieces == exp_vocab
