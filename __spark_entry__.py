@@ -889,6 +889,22 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=20).orderBy("rank")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Temperature-based corpus mixing (XLM-R/PaLM/Llama multi-source
+    sampling, alpha=0.5 as integer sqrt so the allocation is
+    engine-exact): per-language quotas n_target·w_i div Σw filled by
+    hash-ranked docs. Oracle replays the identical integer allocation
+    and md5 ranking — full value-hash."""
+    from open_source_search_engine_spark.ops.sampling import (
+        mixture_sample,
+    )
+
+    return mixture_sample(_docs(spark, sf_dir), n_target=100).select(
+        F.col("doc_id").cast("long"), "lang",
+        F.col("mix_weight").cast("long"), F.col("quota").cast("long"),
+        F.col("mix_rank").cast("long"))
+
+
 def q_similar_docs(spark, sf_dir):
     """'More like this': top-10 docs by tf-idf cosine to doc 0
     (ops/textstats.py similar_docs) — broadcast query-vector join on
@@ -1468,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_rank": q_hits,
         "similar_docs": q_similar_docs,
         "bpe_train": q_bpe_train,
+        "mixture_sample": q_mixture_sample,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2503,6 +2520,28 @@ limit 10
         "bloom_dedup": _bff_sql(),
         "pagerank": _pagerank_sql(),
         "hits_rank": _hits_sql(),
+        "mixture_sample": """
+with counts as (select lang, count(*)::bigint as cnt
+                from documents group by 1),
+wt as (select lang, floor(sqrt(cnt))::bigint as mix_weight from counts),
+tot as (select sum(mix_weight)::bigint as t from wt),
+q as (select lang, mix_weight,
+             (100 * mix_weight) // tot.t as quota
+      from wt cross join tot),
+ranked as (
+  select d.doc_id, d.lang,
+         row_number() over (
+           partition by d.lang
+           order by ('0x' || substr(md5('mix-v1' || d.doc_id::varchar),
+                                    1, 15))::bigint asc,
+                    d.doc_id asc) as mix_rank
+  from documents d)
+select r.doc_id::bigint as doc_id, r.lang,
+       q.mix_weight::bigint as mix_weight, q.quota::bigint as quota,
+       r.mix_rank::bigint as mix_rank
+from ranked r join q using (lang)
+where r.mix_rank <= q.quota
+""",
         "similar_docs": f"""
 with tok as ({_TOK}),
 tf as (select doc_id, tok as term, count(*)::bigint as tf

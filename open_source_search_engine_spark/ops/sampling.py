@@ -194,3 +194,56 @@ def dsir_importance(docs: DataFrame, target: DataFrame,
     # use k (the resampling size) at scale
     return per_doc.withColumn(
         "dsir_rank", F.row_number().over(w).cast("long"))
+
+
+def mixture_sample(docs: DataFrame, n_target: int,
+                   source_col: str = "lang",
+                   weights: "dict[str, int] | None" = None,
+                   id_col: str = "doc_id",
+                   salt: str = "mix-v1") -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual/multi-source
+    sampling rule of XLM-R/PaLM/Llama: p_i ∝ n_i^alpha with alpha<1 to
+    upweight small sources): allocate n_target docs across sources by
+    smoothed weight, then take each source's quota deterministically.
+
+    alpha is fixed at 0.5 implemented as INTEGER sqrt — w_i =
+    floor(sqrt(count_i)), quota_i = n_target·w_i div Σw — so the
+    allocation is integer-exact and engine-reproducible (no libm pow
+    in the decision path; floor(sqrt) is exact for counts < 2^52).
+    For any other temperature pass precomputed integer ``weights``
+    (source -> weight); the allocation arithmetic is unchanged.
+    Σquota <= n_target (floor allocation; remainder intentionally
+    undistributed — stable under source reordering); a source smaller
+    than its quota contributes everything it has, so the sample can
+    undershoot n_target on very skewed corpora (the PaLM-style mixing
+    rule's own behavior when a small source is exhausted).
+
+    Within a source, the quota fills with the smallest
+    md5(salt||doc_id) rows — the same hash ranking as
+    ``stratified_sample``: reproducible across reruns/cluster sizes
+    and nested in n_target. Returns input rows + (mix_weight, quota,
+    mix_rank). Scale shape: one count aggregation (sources are few →
+    tiny result, broadcast back) + one window partitioned by source."""
+    from pyspark.sql import Window
+
+    from .textstats import hash60
+
+    counts = docs.groupBy(F.col(source_col).alias("_src")).count()
+    if weights is None:
+        wcol = F.floor(F.sqrt(F.col("count"))).cast("long")
+    else:
+        wcol = F.coalesce(*(
+            [F.when(F.col("_src") == k, F.lit(int(v)))
+             for k, v in sorted(weights.items())] + [F.lit(0)]))
+    wtab = counts.select("_src", wcol.alias("mix_weight"))
+    total = wtab.agg(F.sum("mix_weight")).collect()[0][0] or 1
+    wtab = wtab.withColumn(
+        "quota", F.expr(f"{int(n_target)}L * mix_weight div {int(total)}L"))
+    hk = hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (Window.partitionBy(source_col)
+         .orderBy(hk.asc(), F.col(id_col).asc()))
+    return (docs.withColumn("mix_rank", F.row_number().over(w))
+            .join(F.broadcast(wtab),
+                  F.col(source_col) == F.col("_src"))
+            .where(F.col("mix_rank") <= F.col("quota"))
+            .drop("_src"))

@@ -1393,3 +1393,40 @@ def test_bpe_train_matches_reference_loop(spark):
     pieces = {r["word"]: list(r["pieces"]) for r in
               bpe_word_pieces(df, [(l, r) for _, l, r, _ in exp]).collect()}
     assert pieces == exp_vocab
+
+
+def test_mixture_sample_sqrt_allocation(spark):
+    """alpha=0.5 mixing on a skewed 2-source corpus: quotas follow
+    integer sqrt weights, small source upweighted vs its corpus share,
+    nested in n_target, explicit-weights override honored."""
+    from open_source_search_engine_spark.ops.sampling import (
+        mixture_sample,
+    )
+
+    rows = ([{"doc_id": i, "lang": "en", "text": "x"} for i in range(90)]
+            + [{"doc_id": 90 + i, "lang": "da", "text": "x"}
+               for i in range(10)])
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = mixture_sample(df, n_target=60).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r)
+    # w_en = floor(sqrt(90)) = 9, w_da = 3 -> quotas 60*9//12=45, 15;
+    # da holds only 10 docs, so it contributes all 10 (quota capped by
+    # availability)
+    assert len(by["en"]) == 45 and len(by["da"]) == 10
+    assert all(r["quota"] == 45 for r in by["en"])
+    assert all(r["quota"] == 15 for r in by["da"])
+    # da corpus share is 10% but gets 25% of the sample (upweighted)
+    # nesting: the n_target=24 sample is a subset of the 60 sample
+    small = {(r["lang"], r["doc_id"])
+             for r in mixture_sample(df, n_target=24).collect()}
+    big = {(r["lang"], r["doc_id"]) for r in out}
+    assert small < big and len(small) == 24  # 18 en + 6 da
+    # explicit weights: force 1:1
+    even = mixture_sample(df, n_target=20,
+                          weights={"en": 1, "da": 1}).collect()
+    cnt = {}
+    for r in even:
+        cnt[r["lang"]] = cnt.get(r["lang"], 0) + 1
+    assert cnt == {"en": 10, "da": 10}
