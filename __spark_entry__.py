@@ -889,6 +889,32 @@ def q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=20).orderBy("rank")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table (12h gap — the
+    canonical ordered-per-user-state op Spark has no built-in for):
+    per-event 1-based session index, user-keyed window, ties on
+    event_id. Oracle replays lag -> flag -> running sum in SQL."""
+    from open_source_search_engine_spark.ops.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=43200).select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        F.col("session_idx").cast("int"))
+
+
+def q_session_rollup(spark, sf_dir):
+    """Per-session aggregates (count, duration, value sum) over the
+    same 12h sessionization — the groupBy reuses the sessionize
+    shuffle partitioning."""
+    from open_source_search_engine_spark.ops.events import session_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_rollup(ev, gap_seconds=43200).select(
+        F.col("user_id").cast("long"), F.col("session_idx").cast("int"),
+        F.col("n_events").cast("long"),
+        F.col("duration_secs").cast("long"), "total_value")
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-based corpus mixing (XLM-R/PaLM/Llama multi-source
     sampling, alpha=0.5 as integer sqrt so the allocation is
@@ -1485,6 +1511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_docs": q_similar_docs,
         "bpe_train": q_bpe_train,
         "mixture_sample": q_mixture_sample,
+        "sessionize": q_sessionize,
+        "session_rollup": q_session_rollup,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2520,6 +2548,41 @@ limit 10
         "bloom_dedup": _bff_sql(),
         "pagerank": _pagerank_sql(),
         "hits_rank": _hits_sql(),
+        "sessionize": """
+with e as (select event_id, user_id, ts, floor(epoch(ts))::bigint as es
+           from events),
+f as (select event_id, user_id, ts, es,
+             case when es - lag(es) over (partition by user_id
+                                          order by ts, event_id) > 43200
+                    or lag(es) over (partition by user_id
+                                     order by ts, event_id) is null
+                  then 1 else 0 end as ns
+      from e)
+select event_id::bigint as event_id, user_id::bigint as user_id,
+       (sum(ns) over (partition by user_id order by ts, event_id
+                      rows unbounded preceding))::int as session_idx
+from f
+""",
+        "session_rollup": """
+with e as (select event_id, user_id, ts, value, floor(epoch(ts))::bigint as es
+           from events),
+f as (select *,
+             case when es - lag(es) over (partition by user_id
+                                          order by ts, event_id) > 43200
+                    or lag(es) over (partition by user_id
+                                     order by ts, event_id) is null
+                  then 1 else 0 end as ns
+      from e),
+s as (select *,
+             (sum(ns) over (partition by user_id order by ts, event_id
+                            rows unbounded preceding))::int as session_idx
+      from f)
+select user_id::bigint as user_id, session_idx,
+       count(*)::bigint as n_events,
+       (max(es) - min(es))::bigint as duration_secs,
+       round(sum(value), 4) as total_value
+from s group by user_id, session_idx
+""",
         "mixture_sample": """
 with counts as (select lang, count(*)::bigint as cnt
                 from documents group by 1),

@@ -1430,3 +1430,33 @@ def test_mixture_sample_sqrt_allocation(spark):
     for r in even:
         cnt[r["lang"]] = cnt.get(r["lang"], 0) + 1
     assert cnt == {"en": 10, "da": 10}
+
+
+def test_sessionize_gap_rule(spark):
+    """Hand-traced gaps: events at t=0,10,20 then 100 (gap 80 > 30)
+    then 105 form two sessions; a second user is independent; rollup
+    aggregates match."""
+    import datetime as dt
+
+    from open_source_search_engine_spark.ops.events import (
+        session_rollup,
+        sessionize,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": i, "user_id": u, "value": 1.0,
+         "ts": base + dt.timedelta(seconds=s)}
+        for i, (u, s) in enumerate([
+            (1, 0), (1, 10), (1, 20), (1, 100), (1, 105),
+            (2, 0), (2, 1000)])]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["event_id"]: r["session_idx"]
+           for r in sessionize(df, gap_seconds=30).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 2}
+
+    roll = {(r["user_id"], r["session_idx"]):
+            (r["n_events"], r["duration_secs"])
+            for r in session_rollup(df, gap_seconds=30).collect()}
+    assert roll == {(1, 1): (3, 20), (1, 2): (2, 5),
+                    (2, 1): (1, 0), (2, 2): (1, 0)}
