@@ -915,6 +915,23 @@ def q_session_rollup(spark, sf_dir):
         F.col("duration_secs").cast("long"), "total_value")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel view->click->purchase over the first 4 days of
+    events (cutoff chosen so the corpus shows every outcome: 26/35/39/
+    50 users at 0/1/2/3 steps). Step i+1 counts only strictly after
+    the user's earliest step-i completion; oracle replays the
+    filtered-min chain."""
+    from open_source_search_engine_spark.ops.events import funnel
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("ts") < "2024-01-05"))
+    return funnel(ev, ["view", "click", "purchase"]).select(
+        F.col("user_id").cast("long"),
+        F.col("steps_completed").cast("int"),
+        F.col("step1_ts").cast("long"), F.col("step2_ts").cast("long"),
+        F.col("step3_ts").cast("long"))
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-based corpus mixing (XLM-R/PaLM/Llama multi-source
     sampling, alpha=0.5 as integer sqrt so the allocation is
@@ -1513,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sessionize": q_sessionize,
         "session_rollup": q_session_rollup,
+        "funnel": q_funnel,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2582,6 +2600,26 @@ select user_id::bigint as user_id, session_idx,
        (max(es) - min(es))::bigint as duration_secs,
        round(sum(value), 4) as total_value
 from s group by user_id, session_idx
+""",
+        "funnel": """
+with e as (select user_id, event_type, floor(epoch(ts))::bigint as es
+           from events where ts < timestamp '2024-01-05'),
+u as (select distinct user_id from e),
+s1 as (select user_id, min(es) as step1_ts from e
+       where event_type = 'view' group by 1),
+s2 as (select e.user_id, min(es) as step2_ts from e join s1 using (user_id)
+       where event_type = 'click' and es > step1_ts group by 1),
+s3 as (select e.user_id, min(es) as step3_ts from e join s2 using (user_id)
+       where event_type = 'purchase' and es > step2_ts group by 1)
+select u.user_id::bigint as user_id,
+       (case when step1_ts is not null then 1 else 0 end
+      + case when step2_ts is not null then 1 else 0 end
+      + case when step3_ts is not null then 1 else 0 end)::int
+         as steps_completed,
+       step1_ts::bigint as step1_ts, step2_ts::bigint as step2_ts,
+       step3_ts::bigint as step3_ts
+from u left join s1 using (user_id) left join s2 using (user_id)
+       left join s3 using (user_id)
 """,
         "mixture_sample": """
 with counts as (select lang, count(*)::bigint as cnt

@@ -64,3 +64,46 @@ def session_rollup(events: DataFrame, gap_seconds: int = 1800,
                   - F.min(F.unix_timestamp(F.col(ts_col))))
                  .alias("duration_secs"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+def funnel(events: DataFrame, steps: "list[str]",
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel analysis: for each user, how far they progressed
+    through ``steps`` — step i+1 counts only when it occurs STRICTLY
+    after the user's earliest completion of step i (the standard
+    product-analytics funnel rule). Returns (user_id, steps_completed,
+    step1_ts .. stepN_ts) for every user in the events frame, null ts
+    for uncompleted steps.
+
+    Strictness compares at second resolution (engine-exact epoch
+    seconds); same-second step events do not advance the funnel —
+    define sub-second ordering on (ts, event_id) upstream if the
+    source can emit them.
+
+    Scale shape: one filtered min-aggregate per step, each keyed on
+    user_id — k co-partitioned aggregates + k-1 joins on the same key,
+    so after the first shuffle the rest are exchange-free. No windows,
+    no per-user state."""
+    users = events.select(F.col(user_col).alias("user_id")).distinct()
+    es = F.unix_timestamp(F.col(ts_col))
+    out = users
+    prev_ts = None
+    for i, step in enumerate(steps):
+        step_ev = (events.where(F.col(type_col) == step)
+                   .select(F.col(user_col).alias("user_id"),
+                           es.alias("_es")))
+        if prev_ts is not None:
+            step_ev = (step_ev.join(out.select("user_id", prev_ts),
+                                    "user_id")
+                       .where(F.col("_es") > F.col(prev_ts))
+                       .select("user_id", "_es"))
+        agg = (step_ev.groupBy("user_id")
+               .agg(F.min("_es").alias(f"step{i + 1}_ts")))
+        out = out.join(agg, "user_id", "left")
+        prev_ts = f"step{i + 1}_ts"
+    done = None
+    for i in range(len(steps)):
+        c = F.when(F.col(f"step{i + 1}_ts").isNotNull(), 1).otherwise(0)
+        done = c if done is None else done + c
+    return out.withColumn("steps_completed", done.cast("int"))

@@ -1460,3 +1460,32 @@ def test_sessionize_gap_rule(spark):
             for r in session_rollup(df, gap_seconds=30).collect()}
     assert roll == {(1, 1): (3, 20), (1, 2): (2, 5),
                     (2, 1): (1, 0), (2, 2): (1, 0)}
+
+
+def test_funnel_strict_ordering(spark):
+    """Hand trace: a purchase BEFORE the first view must not count;
+    same-second steps don't advance; partial progress recorded."""
+    import datetime as dt
+
+    from open_source_search_engine_spark.ops.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(i, u, t, secs):
+        return {"event_id": i, "user_id": u, "event_type": t,
+                "ts": base + dt.timedelta(seconds=secs)}
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(0, 1, "view", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        # user 2: purchase precedes view -> only view+click count
+        ev(3, 2, "purchase", 0), ev(4, 2, "view", 10), ev(5, 2, "click", 20),
+        # user 3: click same second as view -> not strictly after
+        ev(6, 3, "view", 0), ev(7, 3, "click", 0),
+        # user 4: never views
+        ev(8, 4, "click", 0), ev(9, 4, "purchase", 10),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["user_id"]: r["steps_completed"]
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
