@@ -959,6 +959,31 @@ def q_similar_docs(spark, sf_dir):
         F.col("doc_id").cast("long"), "sim")
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
+    hashes, w=4 windows, per-window min with the paper's rightmost tie
+    rule. Oracle replicates the hash, the window argmin (reverse +
+    first-position = rightmost), and the distinct — full value-hash."""
+    from open_source_search_engine_spark.ops.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4).select(
+        F.col("doc_id").cast("long"), F.col("pos").cast("int"),
+        F.col("fp").cast("long"))
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations (Church & Hanks 1990): top-50 adjacent pairs
+    with count >= 5 by pointwise mutual information; marginals
+    aggregate over the vocabulary-sized bigram-count frame, broadcast
+    back. Oracle replays counts + ln ratio + (pmi, w1, w2) ordering."""
+    from open_source_search_engine_spark.ops.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, top_k=50).select(
+        "w1", "w2", F.col("c_xy").cast("long"), "pmi")
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-point damped PageRank (ops/graph.py) over a deterministic
     synthetic link graph re-derived identically by the oracle: doc u
@@ -1531,6 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "session_rollup": q_session_rollup,
         "funnel": q_funnel,
+        "winnow": q_winnow,
+        "collocations": q_collocations,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2600,6 +2627,37 @@ select user_id::bigint as user_id, session_idx,
        (max(es) - min(es))::bigint as duration_secs,
        round(sum(value), 4) as total_value
 from s group by user_id, session_idx
+""",
+        "winnow": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+g as (select doc_id,
+        [('0x' || substr(md5(array_to_string(ts[i:i+4], ' ')), 1, 15))::bigint
+           % 2147483648
+         for i in range(1, len(ts) - 3)] as hs
+      from toks where len(ts) >= 8),
+p as (select doc_id, unnest([
+        {'pos': i - 1 + 4 - list_position(list_reverse(hs[i:i+3]),
+                                          list_min(hs[i:i+3])),
+         'fp': list_min(hs[i:i+3])}
+        for i in range(1, len(hs) - 2)], recursive := true)
+      from g)
+select distinct doc_id::bigint as doc_id, pos::int as pos, fp::bigint as fp
+from p
+""",
+        "collocations": """
+with toks as (select doc_id, string_split(text, ' ') as ts from documents),
+b as (select unnest([{'w1': ts[i], 'w2': ts[i+1]}
+                     for i in range(1, len(ts))], recursive := true)
+      from toks where len(ts) >= 2),
+bc as (select w1, w2, count(*)::bigint as c_xy from b group by 1, 2),
+t as (select sum(c_xy)::double as total from bc),
+l as (select w1, sum(c_xy) as c_x from bc group by 1),
+r as (select w2, sum(c_xy) as c_y from bc group by 1)
+select bc.w1, bc.w2, bc.c_xy,
+       round(ln(bc.c_xy * t.total / (l.c_x * r.c_y)), 4) as pmi
+from bc join l using (w1) join r using (w2) cross join t
+where bc.c_xy >= 5
+order by pmi desc, w1 asc, w2 asc limit 50
 """,
         "funnel": """
 with e as (select user_id, event_type, floor(epoch(ts))::bigint as es

@@ -777,3 +777,76 @@ def bpe_word_pieces(docs: DataFrame, merges: list[tuple[str, str]],
     for left, right in merges:
         col = _merge_pair_col(col, left, right, left + right)
     return vocab.select(F.col("w").alias("word"), col.alias("pieces"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS scheme): hash every word k-gram, slide a window of ``w``
+    consecutive hashes, and select each window's MINIMUM hash —
+    rightmost position on ties, per the paper — keeping the distinct
+    (position, hash) picks. Guarantees every duplicate span of at
+    least k+w-1 tokens shares a fingerprint between documents, at an
+    expected density of 2/(w+1) — the local, position-robust
+    complement of ``doc_fingerprint``'s single whole-doc hash.
+
+    Returns (doc_id, pos, fp): pos = 0-based k-gram start. Everything
+    is one narrow projection (array expressions: k-gram hash array,
+    per-window argmin via reverse/array_position for the rightmost-tie
+    rule) + one explode + distinct — shuffle only on the output rows.
+    fp = hash60(k-gram) mod 2^31 (plenty for collision-rare selection;
+    the verify step of any match pipeline re-checks text anyway)."""
+    ts = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ts, i, k)))
+    hashes = F.transform(grams, lambda g: hash60(g) % F.lit(1 << 31))
+    n_win = F.size(hashes) - (w - 1)
+    picks = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.struct(
+            (i - 1 + F.lit(w)
+             - F.array_position(F.reverse(F.slice(hashes, i, w)),
+                                F.array_min(F.slice(hashes, i, w))))
+            .cast("int").alias("pos"),
+            F.array_min(F.slice(hashes, i, w)).alias("fp")))
+    return (spread(docs).where(F.size(ts) >= k + w - 1)
+            .select("doc_id", F.explode(F.array_distinct(picks)).alias("s"))
+            .select("doc_id", F.col("s.pos").alias("pos"),
+                    F.col("s.fp").alias("fp"))
+            .distinct())
+
+
+def collocations(docs: DataFrame, min_count: int = 5,
+                 top_k: int = 50, text_col: str = "text") -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word pairs: pmi = ln(c_xy · T / (c_x· · c_·y)) with T = total
+    bigram occurrences, c_x· / c_·y the left/right marginals — the
+    classic collocation statistic (Church & Hanks 1990). Returns the
+    ``top_k`` pairs with count >= min_count ranked (pmi DESC, w1 ASC,
+    w2 ASC), pmi rounded to 4.
+
+    Scale shape: one bigram explode + count aggregation; marginals are
+    two more aggregations OVER THE BIGRAM COUNTS (vocabulary-sized, not
+    corpus-sized), joined back broadcast; TakeOrderedAndProject(k)."""
+    ts = tokens_col(F.col(text_col))
+    bigs = F.transform(
+        F.sequence(F.lit(1), F.size(ts) - 1),
+        lambda i: F.struct(F.element_at(ts, i).alias("w1"),
+                           F.element_at(ts, i + 1).alias("w2")))
+    bc = (spread(docs).where(F.size(ts) >= 2)
+          .select(F.explode(bigs).alias("b"))
+          .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+          .agg(F.count("*").alias("c_xy")))
+    total = bc.agg(F.sum("c_xy")).collect()[0][0]
+    left = bc.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    right = bc.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    return (bc.where(F.col("c_xy") >= min_count)
+            .join(F.broadcast(left), "w1").join(F.broadcast(right), "w2")
+            .select("w1", "w2", F.col("c_xy").cast("long").alias("c_xy"),
+                    F.round(F.log(F.col("c_xy") * F.lit(float(total))
+                                  / (F.col("c_x") * F.col("c_y"))), 4)
+                    .alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(top_k))

@@ -1489,3 +1489,51 @@ def test_funnel_strict_ordering(spark):
     got = {r["user_id"]: r["steps_completed"]
            for r in funnel(df, ["view", "click", "purchase"]).collect()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: expected density ~2/(w+1), rightmost-min
+    tie rule, and the paper's guarantee — any shared span of
+    >= k+w-1 tokens yields at least one shared fingerprint."""
+    from open_source_search_engine_spark.ops.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "q w e r t y u i o p a s d f g h"          # 16 tokens
+    rows = [
+        {"doc_id": 0, "text": "one two " + shared + " three four"},
+        {"doc_id": 1, "text": "alpha beta gamma " + shared},
+        {"doc_id": 2, "text": "totally disjoint words here live now ok yes"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    fp = winnow_fingerprints(df, k=5, w=4).collect()
+    by = {}
+    for r in fp:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: docs 0 and 1 share the 16-token span (>= 5+4-1=8)
+    assert by[0] & by[1]
+    assert not (by[0] & by[2]) and not (by[1] & by[2])
+    # density: selected distinct picks << total k-grams
+    n_grams_0 = len(rows[0]["text"].split()) - 4
+    assert len([r for r in fp if r["doc_id"] == 0]) < n_grams_0
+
+
+def test_collocations_pmi(spark):
+    """A pair that always co-occurs exclusively gets the max PMI;
+    min_count filters rare pairs."""
+    from open_source_search_engine_spark.ops.textstats import collocations
+
+    rows = [{"doc_id": i,
+             "text": "zig zag foo " + ("bar " if i % 2 else "baz ")
+                     + "foo qux"} for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    got = collocations(df, min_count=5, top_k=10).collect()
+    pairs = [(r["w1"], r["w2"]) for r in got]
+    # 'zig zag' occurs 10x and zig/zag appear nowhere else -> top PMI
+    assert pairs[0] == ("zig", "zag")
+    assert all(r["c_xy"] >= 5 for r in got)
+    assert ("foo", "bar") in pairs  # exactly 5x -> passes min_count
+    # raising min_count drops it
+    strict = [(r["w1"], r["w2"]) for r in
+              collocations(df, min_count=6, top_k=10).collect()]
+    assert ("foo", "bar") not in strict and ("zig", "zag") in strict
