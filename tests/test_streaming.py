@@ -238,3 +238,48 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     streaming_near_dup_filter(spark, inp, ckpt, out)
     got = {r["doc_id"] for r in admitted_output(spark, out).collect()}
     assert got == {1, 3, 11}
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Cross-batch session continuity: sessions chain over micro-batch
+    boundaries (within-gap events continue the persisted session, gaps
+    open new ones), and the streamed result equals the batch operator
+    run over the full event set."""
+    from open_source_search_engine_spark.ops.events import sessionize
+    from open_source_search_engine_spark.streaming.sessions import (
+        session_output,
+        streaming_sessionize,
+    )
+
+    inp = str(tmp_path / "edrops")
+    ckpt = str(tmp_path / "eckpt")
+    out = str(tmp_path / "esess")
+    os.makedirs(inp, exist_ok=True)
+    base = dt.datetime(2024, 1, 1)
+
+    def drop(rows):
+        import pandas as pd
+        recs = [{"event_id": i, "user_id": u, "event_type": "view",
+                 "value": 1.0, "props": "{}",
+                 "ts": base + dt.timedelta(seconds=s)}
+                for i, u, s in rows]
+        (spark.createDataFrame(pd.DataFrame(recs))
+         .coalesce(1).write.mode("append").parquet(inp))
+
+    # drop 1: user 1 at t=0,10; user 2 at t=0
+    drop([(0, 1, 0), (1, 1, 10), (2, 2, 0)])
+    streaming_sessionize(spark, inp, ckpt, out, gap_seconds=30)
+    # drop 2: user 1 continues (t=20, gap 10) then breaks (t=1000);
+    # user 2 breaks (t=500); user 3 is new
+    drop([(3, 1, 20), (4, 1, 1000), (5, 2, 500), (6, 3, 0)])
+    streaming_sessionize(spark, inp, ckpt, out, gap_seconds=30)
+
+    got = {r["event_id"]: r["session_idx"]
+           for r in session_output(spark, out).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+
+    # equivalence with the batch operator over the union
+    full = spark.read.parquet(inp)
+    want = {r["event_id"]: r["session_idx"]
+            for r in sessionize(full, gap_seconds=30).collect()}
+    assert got == want
