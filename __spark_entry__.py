@@ -959,6 +959,40 @@ def q_similar_docs(spark, sf_dir):
         F.col("doc_id").cast("long"), "sim")
 
 
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-count of (doc, term) pairs — deterministic
+    md5 registers, integer power-of-two harmonic sum (bit-reproducible
+    across engines/partitionings), standard small-range correction.
+    Oracle rebuilds registers and the estimate with SQL bit ops."""
+    from open_source_search_engine_spark.ops.sketches import (
+        hll_cardinality,
+    )
+
+    pairs = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok"), "doc_id").select(
+        F.concat_ws(":", F.col("doc_id").cast("string"), "tok").alias("v")
+    ).distinct()
+    return hll_cardinality(pairs, "v", p=12)
+
+
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch term-frequency estimates for every vocabulary
+    term (depth 4 × width 1024, md5-derived rows): est >= true always;
+    the oracle rebuilds the identical cells and min — value-hash of
+    the sketch itself, not of the true counts."""
+    from open_source_search_engine_spark.ops.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok"))
+    sk = countmin_build(toks, "tok")
+    return countmin_estimate(sk, toks.select("tok").distinct(),
+                             "tok").select("value",
+                                           F.col("est").cast("long"))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
     hashes, w=4 windows, per-window min with the paper's rightmost tie
@@ -1558,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "winnow": q_winnow,
         "collocations": q_collocations,
+        "sketch_hll": q_sketch_hll,
+        "sketch_cms": q_sketch_cms,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2628,6 +2664,8 @@ select user_id::bigint as user_id, session_idx,
        round(sum(value), 4) as total_value
 from s group by user_id, session_idx
 """,
+        "sketch_hll": _hll_sql(),
+        "sketch_cms": _cms_sql(),
         "winnow": """
 with toks as (select doc_id, string_split(text, ' ') as ts from documents),
 g as (select doc_id,
@@ -2917,6 +2955,71 @@ select vec_id::bigint as vec_id, adc from (
   from codes join lut using (m, code) {adc_filter}
   group by codes.vec_id)
 order by adc desc, vec_id asc limit {k}
+"""
+
+
+def _hll_sql(p: int = 12) -> str:
+    """SQL replica of ops.sketches.hll_cardinality over distinct
+    (doc_id, token) pairs: same md5 hash, same bucket/rho bit math,
+    same integer harmonic sum and small-range correction; the alpha
+    constant is the SAME Python double embedded on both sides."""
+    m = 1 << p
+    wbits = 60 - p
+    shift = wbits + 2
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << shift))
+    return f"""
+with pairs as (
+  select distinct doc_id::varchar || ':' || unnest(string_split(text, ' '))
+           as v
+  from documents),
+h as (select ('0x' || substr(md5(v), 1, 15))::bigint as x from pairs),
+b as (select x % {m} as bucket,
+             case when x // {m} > 0
+                  then {wbits} - floor(log2(x // {m}))::int
+                  else {wbits + 1} end as rho
+      from h),
+regs as (select bucket, max(rho) as register from b group by bucket),
+agg as (select count(*)::bigint as nz,
+               sum(1::bigint << ({shift} - register))::bigint as isum
+        from regs),
+est as (select nz,
+               {num} / (isum + ({m} - nz) * {1 << shift}::bigint) as raw
+        from agg)
+select round(case when raw <= {2.5 * m} and nz < {m}
+                  then {float(m)} * ln({float(m)} / ({m} - nz))
+                  else raw end, 4) as estimate,
+       nz as nonzero_buckets
+from est
+"""
+
+
+def _cms_sql(depth: int = 4, width: int = 1024) -> str:
+    """SQL replica of ops.sketches count-min build + estimate: same
+    md5/permutation cells, same min-over-rows."""
+    from open_source_search_engine_spark.ops.dedup import (
+        MERSENNE_P,
+        _perm_coeffs,
+    )
+
+    coeffs = _perm_coeffs(depth, seed="osse-cms")
+    cell_exprs = ", ".join(
+        f"({a} * x + {b}) % {MERSENNE_P} % {width}" for a, b in coeffs)
+    return f"""
+with toks as (
+  select unnest(string_split(text, ' ')) as tok from documents),
+hx as (select tok,
+              ('0x' || substr(md5(tok), 1, 15))::bigint % {MERSENNE_P} as x
+       from toks),
+occ as (select tok, unnest(range({depth})) as row,
+               unnest([{cell_exprs}]) as cell
+        from hx),
+sk as (select row, cell, count(*)::bigint as cnt
+       from occ group by 1, 2),
+probes as (select distinct tok, row, cell from occ)
+select p.tok as value, min(coalesce(sk.cnt, 0))::bigint as est
+from probes p left join sk using (row, cell)
+group by p.tok
 """
 
 

@@ -1,0 +1,129 @@
+"""Mergeable sketches for corpus-scale approximate statistics.
+
+At 10^12 documents the exact answers to "how many distinct terms?" and
+"how often does term X occur?" cost a full shuffle each; sketches give
+bounded-error answers from one map-side pass, and they MERGE — per-
+partition sketches combine by max (HLL registers) or elementwise sum
+(count-min cells), which is exactly a Spark aggregation. The reference
+engine's analog is its termfreq cache of approximate df per termId
+(Posdb.h:341 getTermFreq), refreshed lazily rather than exactly.
+
+Both sketches here are DETERMINISTIC (md5-derived hashes, no RNG) and
+ENGINE-EXACT: every decision is integer arithmetic, so a SQL oracle
+reproduces the same registers/cells/estimates bit for bit. The one
+classically-float HLL step (sum of 2^-M_j) is computed as an INTEGER
+sum of 2^(RHO_MAX+1-M_j) — terms are >= 2 and the total bounded by
+m·2^RHO_MAX < 2^62 — so even the harmonic mean is order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import MERSENNE_P, _perm_coeffs
+from .textstats import hash60
+
+HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}  # Flajolet et al. 2007
+
+
+def _hll_alpha(m: int) -> float:
+    return HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """(bucket, register) HyperLogLog registers over a column's values:
+    bucket = low p bits of hash60(value), register = max over the
+    bucket's values of rho(w) where w = the remaining 60-p bits and
+    rho = 1 + leading-zero count = (60-p) - floor(log2(w)) for w>0
+    (log2 of an exact-in-double integer is boundary-exact at powers of
+    two, so floor(log2) is deterministic), capped at 60-p+1 when w=0.
+    One groupBy(bucket).max — a <=2^p-row aggregate with map-side
+    partial max: THE mergeable-sketch shape."""
+    wbits = 60 - p
+    h = hash60(F.col(col))
+    bucket = (h % F.lit(1 << p)).alias("bucket")
+    # integer shift, NOT division: h is up to 2^60, beyond double's
+    # 53-bit exact range — a float division would corrupt low bits
+    w = F.shiftright(h, p)
+    rho = (F.when(w > 0, F.lit(wbits) - F.floor(F.log2(w)))
+           .otherwise(F.lit(wbits + 1)).cast("int"))
+    return (df.select(bucket, rho.alias("_rho"))
+            .groupBy("bucket").agg(F.max("_rho").alias("register")))
+
+
+def hll_cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """One row (estimate, nonzero_buckets): the HLL distinct-count
+    estimate with the standard small-range linear-counting correction
+    (E <= 2.5m and empty buckets exist -> m·ln(m/V)). The harmonic-mean
+    denominator is the integer sum 2^(RHO_MAX+1-M_j) (+ 2^(RHO_MAX+1)
+    per empty bucket), so the estimate is bit-reproducible across
+    engines and partitionings; estimate rounds to 4."""
+    m = 1 << p
+    wbits = 60 - p
+    shift = wbits + 2  # terms 2^(shift - register), register <= wbits+1
+    regs = hll_registers(df, col, p)
+    agg = regs.agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr(f"shiftleft(1L, {shift} - register)")).alias("isum"))
+    alpha = _hll_alpha(m)
+    # denominator stays INT64 (isum can exceed 2^53 — converting it to
+    # double before the addition would round differently than adding
+    # exactly and converting once, breaking cross-engine parity)
+    raw = (F.lit(alpha * m * m * float(1 << shift))
+           / (F.col("isum")
+              + (F.lit(m).cast("long") - F.col("nz"))
+              * F.lit(1 << shift)))
+    zeros = F.lit(m) - F.col("nz")
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                 ).otherwise(raw)
+    return agg.select(F.round(est, 4).alias("estimate"),
+                      F.col("nz").cast("long").alias("nonzero_buckets"))
+
+
+def countmin_build(df: DataFrame, col: str, depth: int = 4,
+                   width: int = 1024,
+                   seed: str = "osse-cms") -> DataFrame:
+    """(row, cell, cnt) count-min sketch cells over a column's
+    OCCURRENCES: row d's cell is (a_d·(hash60(v) mod P) + b_d) mod P
+    mod width with md5-derived (a_d, b_d) — the same int64-safe family
+    as the MinHash permutations. One explode + groupBy((row, cell))
+    with map-side partials; the result is <= depth·width rows no
+    matter the corpus size, and two sketches merge by summing cells."""
+    coeffs = _perm_coeffs(depth, seed=seed)
+    x = hash60(F.col(col)) % MERSENNE_P
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 ((F.lit(a) * x + F.lit(b)) % MERSENNE_P % F.lit(width))
+                 .alias("cell"))
+        for d, (a, b) in enumerate(coeffs)])
+    return (df.select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.cell").alias("cell"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def countmin_estimate(sketch: DataFrame, probes: DataFrame,
+                      col: str, depth: int = 4, width: int = 1024,
+                      seed: str = "osse-cms") -> DataFrame:
+    """(value, est) for each probe value: min over the sketch rows of
+    the value's cell count (the count-min upper-bound estimate — never
+    below the true count; equality whenever no collision landed in all
+    depth cells). Probe frame is tiny -> broadcast against the
+    depth·width-row sketch."""
+    coeffs = _perm_coeffs(depth, seed=seed)
+    x = hash60(F.col(col)) % MERSENNE_P
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("row"),
+                 ((F.lit(a) * x + F.lit(b)) % MERSENNE_P % F.lit(width))
+                 .alias("cell"))
+        for d, (a, b) in enumerate(coeffs)])
+    pr = (probes.select(F.col(col).alias("value"),
+                        F.explode(cells).alias("c"))
+          .select("value", F.col("c.row").alias("row"),
+                  F.col("c.cell").alias("cell")))
+    return (F.broadcast(pr).join(sketch, ["row", "cell"], "left")
+            .groupBy("value")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))

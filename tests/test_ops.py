@@ -1537,3 +1537,49 @@ def test_collocations_pmi(spark):
     strict = [(r["w1"], r["w2"]) for r in
               collocations(df, min_count=6, top_k=10).collect()]
     assert ("foo", "bar") not in strict and ("zig", "zag") in strict
+
+
+def test_hll_cardinality_accuracy(spark):
+    """HLL estimate within the standard error envelope on known
+    cardinalities, registers merge by max (split-then-merge equals
+    whole-set build)."""
+    from open_source_search_engine_spark.ops.sketches import (
+        hll_cardinality,
+        hll_registers,
+    )
+
+    n = 50000
+    vals = spark.range(n).selectExpr("concat('v', id) as v")
+    est = hll_cardinality(vals, "v", p=12).collect()[0]["estimate"]
+    assert abs(est - n) / n < 0.05  # sigma ~1.04/sqrt(4096) = 1.6%
+
+    # mergeability: max-combine of two halves' registers == whole build
+    a = hll_registers(vals.where("id < 25000"), "v")
+    b = hll_registers(vals.where("id >= 25000"), "v")
+    merged = (a.unionAll(b).groupBy("bucket")
+              .agg(F.max("register").alias("register")))
+    whole = hll_registers(vals, "v")
+    assert (merged.exceptAll(whole).count() == 0
+            and whole.exceptAll(merged).count() == 0)
+
+
+def test_countmin_upper_bound(spark):
+    """CMS never underestimates; exact when uncrowded; width crush
+    forces collisions and over-estimates (still an upper bound)."""
+    from open_source_search_engine_spark.ops.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    rows = [{"tok": f"t{i % 20}"} for i in range(400)]  # each 20x
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    probes = df.distinct()
+    est = {r["value"]: r["est"] for r in countmin_estimate(
+        countmin_build(df, "tok"), probes, "tok").collect()}
+    assert est == {f"t{i}": 20 for i in range(20)}
+
+    tight = {r["value"]: r["est"] for r in countmin_estimate(
+        countmin_build(df, "tok", depth=2, width=4), probes, "tok",
+        depth=2, width=4).collect()}
+    assert all(v >= 20 for v in tight.values())
+    assert any(v > 20 for v in tight.values())
