@@ -216,6 +216,26 @@ def main() -> int:
           lambda: rp_lsh_topk_indexed(spark, lsh_dir, qv, 10).collect())
     shutil.rmtree(lsh_dir, ignore_errors=True)
 
+    # fixed-point PageRank over a synthetic doc-id link graph (two
+    # node-keyed shuffles per iteration, 5 iterations)
+    from open_source_search_engine_spark.ops.graph import pagerank
+
+    n_d = docs.count()
+    pr_edges = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(2) + F.col("doc_id") % 3))
+        .alias("j"))
+        .select("src", ((F.col("src") + F.col("j") * 37) % n_d)
+                .alias("dst")))
+    timed("op_pagerank", lambda: pagerank(pr_edges, n_iter=5).count())
+
+    # gap sessionization over the events table (one user-keyed shuffle)
+    from open_source_search_engine_spark.ops.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed("op_sessionize",
+          lambda: sessionize(ev, gap_seconds=43200).count())
+
     # bounded site-clustered search (top-(k x M) buffer + refill —
     # never scores the full match set, VERDICT r2 #5)
     from open_source_search_engine_spark.query.executor import (
