@@ -1583,3 +1583,55 @@ def test_countmin_upper_bound(spark):
         depth=2, width=4).collect()}
     assert all(v >= 20 for v in tight.values())
     assert any(v > 20 for v in tight.values())
+
+
+def test_semdedup_differential_random(spark):
+    """Random-vector differential: the distributed SemDedup must equal
+    a literal pure-python evaluation of the rule (pick-first centroids,
+    rounded argmax-cos assignment with lowest-cell ties, (ccos, id)
+    rank, upper-triangular >= tau drop)."""
+    import math
+
+    import numpy as np
+
+    from open_source_search_engine_spark.ops.dedup import semdedup
+
+    rng = np.random.RandomState(23)
+    dim, n, n_cells, tau = 8, 60, 4, 0.8
+    vecs = [list(map(float, rng.randn(dim))) for _ in range(n)]
+    # plant near-dups so the drop path fires
+    for a, b in ((10, 40), (11, 41), (12, 42)):
+        vecs[b] = [x + 0.01 for x in vecs[a]]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": range(n), "embedding": vecs}))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 4)
+
+    cents = vecs[:n_cells]
+    cell, ccos = {}, {}
+    for i, v in enumerate(vecs):
+        cs = [cos(v, c) for c in cents]
+        best = max(cs)
+        cell[i] = cs.index(best)
+        ccos[i] = best
+    order = {}
+    for c in range(n_cells):
+        mem = sorted((i for i in range(n) if cell[i] == c),
+                     key=lambda i: (ccos[i], i))
+        for r, i in enumerate(mem):
+            order[i] = r
+    keep = {}
+    for i in range(n):
+        mates = [j for j in range(n)
+                 if cell[j] == cell[i] and order[j] < order[i]]
+        keep[i] = 0 if any(cos(vecs[i], vecs[j]) >= tau
+                           for j in mates) else 1
+
+    got = {r["vec_id"]: (r["cell"], r["keep"]) for r in
+           semdedup(df, threshold=tau, n_cells=n_cells).collect()}
+    assert got == {i: (cell[i], keep[i]) for i in range(n)}
+    assert sum(k for _, k in got.values()) < n  # planted dups dropped
