@@ -10,6 +10,8 @@ from hypothesis import strategies as st
 
 from open_source_search_engine_spark.functions.codec import (
     BLOCK,
+    BlockMeta,
+    decode_blocks,
     decode_headers,
     decode_postings,
     encode_postings,
@@ -425,3 +427,53 @@ def test_merge_disjoint_blobs_many_one_empty_group():
     assert list(df) == [0, 2]
     assert list(cf) == [0, 3]
     assert mx[1] == 2
+
+
+def test_pfor_docid_codec_parity():
+    """v4 (FOR-bitpacked docs stream) decodes identically to v3 varint
+    for full, selective, header-only, and merge paths; per-blob opt-in
+    via encode_postings(docid_codec='pfor')."""
+    rng = np.random.RandomState(11)
+    nd = 300
+    docs = np.cumsum(rng.randint(1, 5000, nd)).astype(np.uint64)
+    tfs = rng.randint(1, 4, nd).astype(np.uint64)
+    dls = rng.randint(10, 400, nd).astype(np.uint64)
+    rks = rng.randint(0, 16, nd).astype(np.uint64)
+    pos = np.concatenate([
+        np.sort(rng.randint(0, 3000, int(t))).astype(np.uint64)
+        for t in tfs])
+    ctx = rng.randint(0, 1 << 19, int(tfs.sum())).astype(np.uint64)
+
+    b3 = encode_postings(docs, tfs, dls, pos, ctx, rks)
+    b4 = encode_postings(docs, tfs, dls, pos, ctx, rks,
+                         docid_codec="pfor")
+    assert b4[0] == 4 and b3[0] == 3
+    d3 = decode_blocks(b3, with_positions=True)
+    d4 = decode_blocks(b4, with_positions=True)
+    for k in ("doc_ids", "tfs", "doclens", "ranks", "positions",
+              "ctxs", "block_max_tf", "block_min_dl"):
+        assert np.array_equal(d3[k], d4[k]), k
+
+    m = BlockMeta(b4)
+    assert m.nblocks == 3
+    s3 = decode_blocks(b3, block_idx=[1], with_positions=True)
+    s4 = decode_blocks(b4, block_idx=[1], with_positions=True)
+    assert np.array_equal(s3["doc_ids"], s4["doc_ids"])
+    assert np.array_equal(s3["positions"], s4["positions"])
+
+    # mixed-version merge: a v4 mini-segment merges with v3 ones and
+    # the result (default v3) matches an all-v3 merge byte-for-byte
+    half = nd // 2
+    cut = int(tfs[:half].sum())
+    a3 = encode_postings(docs[:half], tfs[:half], dls[:half],
+                         pos[:cut], ctx[:cut], rks[:half])
+    a4 = encode_postings(docs[:half], tfs[:half], dls[:half],
+                         pos[:cut], ctx[:cut], rks[:half],
+                         docid_codec="pfor")
+    b_rest3 = encode_postings(docs[half:], tfs[half:], dls[half:],
+                              pos[cut:], ctx[cut:], rks[half:])
+    from open_source_search_engine_spark.functions.codec import (
+        merge_disjoint_blobs,
+    )
+    assert (merge_disjoint_blobs([a4, b_rest3])
+            == merge_disjoint_blobs([a3, b_rest3]))
