@@ -959,6 +959,21 @@ def q_similar_docs(spark, sf_dir):
         F.col("doc_id").cast("long"), "sim")
 
 
+def q_textrank(spark, sf_dir):
+    """TextRank keywords (Mihalcea & Tarau 2004): top-3 tokens per doc
+    by fixed-point PageRank over the per-doc adjacency graph, run as
+    ONE corpus-wide pagerank over hash-keyed (doc, term) nodes (the
+    teleport term is node-local, so the disjoint union equals per-doc
+    runs exactly). Oracle unrolls the same 5 integer iterations."""
+    from open_source_search_engine_spark.ops.textstats import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_docs(spark, sf_dir), top_k=3).select(
+        F.col("doc_id").cast("long"), "term",
+        F.col("rank_fp").cast("long"), F.col("rank").cast("int"))
+
+
 def q_sketch_hll(spark, sf_dir):
     """HyperLogLog distinct-count of (doc, term) pairs — deterministic
     md5 registers, integer power-of-two harmonic sum (bit-reproducible
@@ -1594,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "sketch_hll": q_sketch_hll,
         "sketch_cms": q_sketch_cms,
+        "textrank": q_textrank,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2666,6 +2682,7 @@ from s group by user_id, session_idx
 """,
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
+        "textrank": _textrank_sql(),
         "winnow": """
 with toks as (select doc_id, string_split(text, ' ') as ts from documents),
 g as (select doc_id,
@@ -2956,6 +2973,61 @@ select vec_id::bigint as vec_id, adc from (
   group by codes.vec_id)
 order by adc desc, vec_id asc limit {k}
 """
+
+
+def _textrank_sql(n_iter: int = 5, top_k: int = 3, num: int = 85,
+                  den: int = 100, scale: int = 10 ** 9) -> str:
+    """SQL replica of ops.textstats.textrank_keywords: same undirected
+    distinct adjacency edges, same md5 node keys, same unrolled
+    fixed-point pagerank rounds (all CTEs materialized), same
+    (rank_fp desc, term asc) per-doc top-k."""
+    base = scale * (den - num) // den
+    nodekey = ("('0x' || substr(md5(doc_id::varchar || ':' || {t}), 1, 15))"
+               "::bigint")
+    ctes = [f"""
+toks as (select doc_id, string_split(text, ' ') as ts from documents),
+adj as (select doc_id, unnest([{{'w': ts[i], 'w2': ts[i+1]}}
+                               for i in range(1, len(ts))],
+                              recursive := true)
+        from toks where len(ts) >= 2),
+p1 as (select distinct doc_id, w, w2 from adj where w != w2),
+und as materialized (
+  select doc_id, w, w2 from p1
+  union
+  select doc_id, w2 as w, w as w2 from p1),
+edges as materialized (
+  select {nodekey.format(t='w')} as src,
+         {nodekey.format(t='w2')} as dst
+  from und),
+outdeg as materialized (select src, count(*)::bigint as og
+                        from edges group by 1),
+nodes as materialized (select distinct node from (
+  select src as node from edges union select dst from edges)),
+r0 as materialized (select node, {scale}::bigint as r from nodes)"""]
+    for t in range(n_iter):
+        ctes.append(f"""
+r{t + 1} as materialized (
+  select n.node,
+         ({base}::bigint + ({num} * coalesce(s.in_mass, 0)) // {den}) as r
+  from nodes n left join (
+    select e.dst as node, sum(r.r // o.og) as in_mass
+    from edges e
+    join r{t} r on r.node = e.src
+    join outdeg o on o.src = e.src
+    group by e.dst) s using (node))""")
+    ctes.append(f"""
+vocab as (select distinct doc_id, w as term,
+                 {nodekey.format(t='w')} as node
+          from und),
+scored as (
+  select v.doc_id, v.term, f.r as rank_fp,
+         row_number() over (partition by v.doc_id
+                            order by f.r desc, v.term asc) as rank
+  from vocab v join r{n_iter} f on f.node = v.node)""")
+    return (f"with {','.join(ctes)}\n"
+            f"select doc_id::bigint as doc_id, term,"
+            f" rank_fp::bigint as rank_fp, rank::int as rank "
+            f"from scored where rank <= {top_k}")
 
 
 def _hll_sql(p: int = 12) -> str:

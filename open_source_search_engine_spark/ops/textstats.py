@@ -850,3 +850,55 @@ def collocations(docs: DataFrame, min_count: int = 5,
             .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
                      F.col("w2").asc())
             .limit(top_k))
+
+
+def textrank_keywords(docs: DataFrame, top_k: int = 3,
+                      n_iter: int = 5,
+                      text_col: str = "text") -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): per
+    document, rank tokens by PageRank over the adjacent-co-occurrence
+    graph (undirected: both directions, distinct, self-loops dropped)
+    and keep the top_k per doc — the graph-centrality alternative to
+    ``keywords_tfidf``. Returns (doc_id, term, rank_fp, rank).
+
+    Composition trick: every per-doc graph becomes one node set keyed
+    by hash60(doc_id:term) and a SINGLE corpus-wide ``ops.graph.
+    pagerank`` run scores all documents at once — fixed-point
+    PageRank's teleport term is node-local (scale·(1-d), no global 1/N
+    factor), so PageRank over the disjoint union is EXACTLY the
+    per-doc run, and the engine executes 5 iterations × 2 node-keyed
+    shuffles TOTAL for the whole corpus instead of a per-doc loop.
+    Ties (same fixed-point score) break term-ascending."""
+    from pyspark.sql import Window
+
+    from .graph import pagerank
+
+    ts = tokens_col(F.col(text_col))
+    toks = (spread(docs).where(F.size(ts) >= 2)
+            .select("doc_id", F.posexplode(ts).alias("i", "w")))
+    nxt = toks.select("doc_id", (F.col("i") + 1).alias("i"),
+                      F.col("w").alias("w2"))
+    pairs = (toks.join(nxt, ["doc_id", "i"])
+             .where(F.col("w") != F.col("w2"))
+             .select("doc_id", "w", "w2").distinct())
+    und = (pairs.union(pairs.select("doc_id", F.col("w2").alias("w"),
+                                    F.col("w").alias("w2")))
+           .distinct())  # a pair adjacent in BOTH orders must not
+                         # double its edge weight (undirected edge SET)
+
+    def node(doc, term):
+        return hash60(F.concat(doc.cast("string"), F.lit(":"), term))
+
+    edges = und.select(node(F.col("doc_id"), F.col("w")).alias("src"),
+                       node(F.col("doc_id"), F.col("w2")).alias("dst"))
+    pr = pagerank(edges, n_iter=n_iter)
+    vocab = (und.select("doc_id", F.col("w").alias("term"))
+             .distinct()
+             .withColumn("node", node(F.col("doc_id"), F.col("term"))))
+    wnd = (Window.partitionBy("doc_id")
+           .orderBy(F.col("rank_fp").desc(), F.col("term").asc()))
+    return (vocab.join(pr, "node")
+            .withColumn("rank", F.row_number().over(wnd))
+            .where(F.col("rank") <= top_k)
+            .select("doc_id", "term", "rank_fp",
+                    F.col("rank").cast("int")))

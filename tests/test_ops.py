@@ -1635,3 +1635,31 @@ def test_semdedup_differential_random(spark):
            semdedup(df, threshold=tau, n_cells=n_cells).collect()}
     assert got == {i: (cell[i], keep[i]) for i in range(n)}
     assert sum(k for _, k in got.values()) < n  # planted dups dropped
+
+
+def test_textrank_keywords(spark):
+    """Graph-centrality keyword sanity: the hub token adjacent to
+    everything outranks peripheral tokens; per-doc isolation (a second
+    doc's scores are unaffected by the first); top_k honored."""
+    from open_source_search_engine_spark.ops.textstats import (
+        textrank_keywords,
+    )
+
+    rows = [
+        # 'hub' neighbors every other token; others only touch hub
+        {"doc_id": 0, "text": "hub aa hub bb hub cc hub dd"},
+        # identical structure with different tokens -> identical ranks
+        {"doc_id": 1, "text": "nub xx nub yy nub zz nub ww"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = textrank_keywords(df, top_k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append((r["rank"], r["term"],
+                                               r["rank_fp"]))
+    for d in (0, 1):
+        by[d].sort()
+        assert len(by[d]) == 2
+    assert by[0][0][1] == "hub" and by[1][0][1] == "nub"
+    # isomorphic graphs -> identical fixed-point scores
+    assert [s for _, _, s in by[0]] == [s for _, _, s in by[1]]
