@@ -959,6 +959,31 @@ def q_similar_docs(spark, sf_dir):
         F.col("doc_id").cast("long"), "sim")
 
 
+def q_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation over a 10-clique
+    link grammar (doc u links to its decade-group neighbors (u%10+1,
+    u%10+2) mod 10, both directions): communities converge to the
+    decade minima. Oracle unrolls the same 5 integer rounds with the
+    identical (count desc, label asc) adoption rule."""
+    from open_source_search_engine_spark.ops.graph import (
+        label_propagation,
+    )
+
+    docs = _docs(spark, sf_dir)
+    grp = F.col("doc_id") - (F.col("doc_id") % 10)
+    fwd = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"), grp.alias("g"))
+        .select("src", (F.col("g")
+                        + (F.col("src") % 10 + F.col("j")) % 10)
+                .alias("dst")))
+    edges = (fwd.union(fwd.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+             .distinct())
+    return label_propagation(edges, n_iter=5).select(
+        F.col("node").cast("long"), F.col("community").cast("long"))
+
+
 def q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004): top-3 tokens per doc
     by fixed-point PageRank over the per-doc adjacency graph, run as
@@ -1610,6 +1635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_cms": q_sketch_cms,
         "textrank": q_textrank,
+        "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_pixels": q_multimodal_pixels,
         "multimodal_resize": q_multimodal_resize,
@@ -2683,6 +2709,7 @@ from s group by user_id, session_idx
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
         "textrank": _textrank_sql(),
+        "label_prop": _label_prop_sql(),
         "winnow": """
 with toks as (select doc_id, string_split(text, ' ') as ts from documents),
 g as (select doc_id,
@@ -2973,6 +3000,41 @@ select vec_id::bigint as vec_id, adc from (
   group by codes.vec_id)
 order by adc desc, vec_id asc limit {k}
 """
+
+
+def _label_prop_sql(n_iter: int = 5) -> str:
+    """SQL replica of ops.graph.label_propagation over the 10-clique
+    grammar: same synchronous rounds, same (count desc, label asc)
+    adoption, isolated-in-degree nodes keep their label."""
+    ctes = ["""
+fwd as (
+  select d.doc_id as src,
+         (d.doc_id - d.doc_id % 10)
+           + (d.doc_id % 10 + unnest([1, 2])) % 10 as dst
+  from documents d),
+edges as materialized (
+  select src, dst from fwd
+  union
+  select dst as src, src as dst from fwd),
+nodes as materialized (select distinct node from (
+  select src as node from edges union select dst from edges)),
+r0 as materialized (select node, node as community from nodes)"""]
+    for t in range(n_iter):
+        ctes.append(f"""
+r{t + 1} as materialized (
+  select l.node, coalesce(b.new, l.community) as community
+  from r{t} l left join (
+    select dst as node, new from (
+      select f.dst, f.community as new,
+             row_number() over (partition by f.dst
+                                order by f.cnt desc,
+                                         f.community asc) as rn
+      from (select e.dst, r.community, count(*) as cnt
+            from edges e join r{t} r on r.node = e.src
+            group by 1, 2) f) t where rn = 1) b using (node))""")
+    return (f"with {','.join(ctes)}\n"
+            f"select node::bigint as node,"
+            f" community::bigint as community from r{n_iter}")
 
 
 def _textrank_sql(n_iter: int = 5, top_k: int = 3, num: int = 85,

@@ -122,3 +122,44 @@ def hits(edges: DataFrame, n_iter: int = 5, scale: int = 10 ** 6,
     return (hub.join(auth, "node")
             .select("node", F.col("h").alias("hub_fp"),
                     F.col("a").alias("auth_fp")))
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 5,
+                      src_col: str = "src",
+                      dst_col: str = "dst") -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. 2007), determinized: labels start as node ids; each round every
+    node adopts the most frequent label among its IN-neighbors
+    (smallest label on frequency ties); isolated-in-degree nodes keep
+    their label. Undirected graphs: pass both edge directions. Returns
+    (node, community) after n_iter rounds — deterministic under any
+    partitioning (integer counts, total tie order), unlike classical
+    LPA's random visit order.
+
+    Scale shape per round: one labels⋈edges hash join on src + one
+    (dst, label) count aggregation + one per-dst argmax via a single
+    max(struct(count, -label)) aggregate — all node-keyed shuffles, no
+    windows. Complements ``pagerank``/``hits`` (importance) and
+    dup_clusters' connected components (reachability): LPA finds
+    DENSITY communities, which CC merges and PageRank ignores."""
+    e = edges.select(F.col(src_col).cast("long").alias("src"),
+                     F.col(dst_col).cast("long").alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node"))).distinct())
+    labels = nodes.withColumn("community", F.col("node"))
+    for _ in range(n_iter):
+        msgs = (e.join(labels, e.src == labels.node)
+                .select("dst", "community"))
+        freq = (msgs.groupBy("dst", "community")
+                .agg(F.count("*").alias("cnt")))
+        best = (freq.groupBy("dst")
+                .agg(F.max(F.struct(F.col("cnt"),
+                                    (-F.col("community")).alias("nl")))
+                     .alias("m"))
+                .select(F.col("dst").alias("node"),
+                        (-F.col("m.nl")).alias("new")))
+        labels = (labels.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("new"), F.col("community"))
+                          .alias("community")))
+    return labels

@@ -1663,3 +1663,27 @@ def test_textrank_keywords(spark):
     assert by[0][0][1] == "hub" and by[1][0][1] == "nub"
     # isomorphic graphs -> identical fixed-point scores
     assert [s for _, _, s in by[0]] == [s for _, _, s in by[1]]
+
+
+def test_label_propagation_communities(spark):
+    """Two 4-cliques joined by a single bridge resolve to two
+    communities labeled by each clique's minimum node; an isolated
+    directed sink keeps its own label."""
+    from open_source_search_engine_spark.ops.graph import (
+        label_propagation,
+    )
+
+    e = []
+    for base in (0, 10):
+        for a in range(4):
+            for b in range(4):
+                if a != b:
+                    e.append((base + a, base + b))
+    e += [(3, 10), (10, 3)]      # bridge
+    e += [(0, 99)]               # 99 has in-degree but no clique mass
+    df = spark.createDataFrame(pd.DataFrame(e, columns=["src", "dst"]))
+    got = {r["node"]: r["community"]
+           for r in label_propagation(df, 5).collect()}
+    assert all(got[n] == 0 for n in (0, 1, 2, 3))
+    assert all(got[n] == 10 for n in (10, 11, 12, 13))
+    assert got[99] == 0  # adopts its only in-neighbor's community
