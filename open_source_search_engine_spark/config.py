@@ -20,6 +20,12 @@ class EngineConf:
     b: float = 0.75
     # scorer mode: "bm25" | "reference" (SURVEY.md §4.6)
     scorer: str = "bm25"
+    # posting docid-stream codec: "varint" (codec v3, default) | "pfor"
+    # (codec v4, FOR-bitpacked docs streams; 2.5-6% smaller blobs,
+    # decode at parity — functions/codec.py encode_postings docstring).
+    # Readers handle both transparently, including mixed-version
+    # indexes across generations.
+    docid_codec: str = "varint"
     # reference-scorer two-pass candidate plan kicks in when the summed
     # query-term df reaches this (below it the extra fixed-cost Spark
     # job outweighs the decode saved); tests lower it to force the path

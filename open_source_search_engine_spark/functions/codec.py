@@ -89,6 +89,55 @@ def _for_packed_nbytes(width: int, count: int) -> int:
     return 1 + (count * width + 7) // 8
 
 
+def _bitlen_u64(v: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (floor(log2)+1, 0 -> 0):
+    six vectorized shift passes — float log2 is NOT safe here (it
+    rounds to the exact integer at 2^k +/- 1 boundaries for large k,
+    which would disagree with the single-blob encoder's
+    int.bit_length and break byte parity)."""
+    v = v.astype(np.uint64)
+    w = np.zeros(len(v), dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        w[m] += s
+        x[m] >>= np.uint64(s)
+    return w + (v > 0)
+
+
+def _for_pack_many(deltas: np.ndarray, blk_start: np.ndarray,
+                   blk_count: np.ndarray):
+    """Vectorized ragged FOR pack of MANY blocks at once — the bulk
+    analog of ``_for_pack``, byte-identical per block. Returns
+    (region uint8 array holding every block's [width][packed] span
+    back to back, per-block byte sizes uint64). One packbits over a
+    global little-bit-order buffer; block regions are byte-aligned by
+    construction so no bits cross block boundaries."""
+    nd = len(deltas)
+    nblk = len(blk_start)
+    mx = np.maximum.reduceat(deltas.astype(np.uint64), blk_start)
+    w = np.maximum(_bitlen_u64(mx), 1)
+    nbytes = 1 + (blk_count * w + 7) // 8
+    boff = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=boff[1:])
+    out = np.zeros(int(boff[-1]), dtype=np.uint8)
+    out[boff[:-1]] = w.astype(np.uint8)
+    wd = np.repeat(w, blk_count)                      # width per delta
+    within = np.arange(nd, dtype=np.int64) - np.repeat(blk_start,
+                                                       blk_count)
+    base_bit = (np.repeat(boff[:-1], blk_count) + 1) * 8 + within * wd
+    tot_bits = int(wd.sum())
+    intra = (np.arange(tot_bits, dtype=np.int64)
+             - np.repeat(np.cumsum(wd) - wd, wd))
+    bit_idx = np.repeat(base_bit, wd) + intra
+    vals = ((np.repeat(deltas.astype(np.uint64), wd)
+             >> intra.astype(np.uint64)) & np.uint64(1)).astype(np.uint8)
+    bits = np.zeros(len(out) * 8, dtype=np.uint8)
+    bits[bit_idx] = vals
+    out |= np.packbits(bits, bitorder="little")
+    return out, nbytes.astype(np.uint64)
+
+
 def pack_block_ctx(ctx_slice: np.ndarray) -> int:
     """Pack a block's ctx-class summary (see module docstring)."""
     if len(ctx_slice) == 0:
@@ -361,6 +410,7 @@ def encode_postings_many(
     ranks: np.ndarray,
     positions: np.ndarray,
     ctxs: np.ndarray,
+    docid_codec: str = "varint",
 ) -> list[bytes]:
     """Bulk encoder for MANY runs of ANY length at once, byte-identical
     to calling ``encode_postings`` per run but fully vectorized across
@@ -374,8 +424,12 @@ def encode_postings_many(
     doc level, ``positions/ctxs`` at posting level (aligned with tfs).
     Every ``run_nd[i]`` must be >= 1 (callers encode empty lists via
     ``encode_postings`` directly). Returns one bytes blob per run, in
-    run order.
+    run order. docid_codec="pfor" emits version-4 blobs whose docs
+    streams are FOR-bitpacked (``_for_pack_many``: one vectorized
+    ragged pack for every block of every run — byte-identical to the
+    per-blob encoder's v4 output).
     """
+    use_pfor = docid_codec == "pfor"
     nrun = len(run_nd)
     if nrun == 0:
         return []
@@ -430,7 +484,12 @@ def encode_postings_many(
     tfdl_vals[base3 + 2 * c_rep + within] = ranks
 
     # ONE varint encode per stream for the whole batch
-    enc_d, len_d = _varint_encode_len(deltas)
+    if use_pfor:
+        enc_d, doc_bytes_pf = _for_pack_many(deltas, blk_start,
+                                             blk_count)
+        len_d = None
+    else:
+        enc_d, len_d = _varint_encode_len(deltas)
     enc_t, len_t = _varint_encode_len(tfdl_vals)
     enc_p, len_p = _varint_encode_len(pdelta)
     c = ctxs.astype(np.uint32)
@@ -443,7 +502,8 @@ def encode_postings_many(
     # per-block stats + byte spans
     bmax_tf = np.maximum.reduceat(tfs, blk_start)
     bmin_dl = np.minimum.reduceat(doclens, blk_start)
-    doc_bytes_blk = np.add.reduceat(len_d, blk_start).astype(np.uint64)
+    doc_bytes_blk = (doc_bytes_pf if use_pfor else
+                     np.add.reduceat(len_d, blk_start).astype(np.uint64))
     tfdl_bytes_blk = np.add.reduceat(len_t, 3 * cc[:-1]).astype(np.uint64)
     blk_pos_start = pc[blk_start]
     npos_blk = (pc[blk_end] - blk_pos_start).astype(np.uint64)
@@ -494,7 +554,9 @@ def encode_postings_many(
     m_bytes = np.add.reduceat(len_m, run_base)
 
     # per-run byte spans (streams are run-contiguous)
-    doc_bytes_run = np.add.reduceat(len_d, doc_starts)
+    doc_bytes_run = (np.add.reduceat(doc_bytes_blk, blk_before)
+                     .astype(np.int64) if use_pfor else
+                     np.add.reduceat(len_d, doc_starts))
     tfdl_bytes_run = np.add.reduceat(len_t, 3 * cc[blk_before])
     run_npos = (pc[doc_ends] - pc[doc_starts]).astype(np.int64)
     if npos_total:
@@ -515,7 +577,7 @@ def encode_postings_many(
     po = offsets(pos_bytes_run)
     co = offsets(run_npos * 3)
 
-    ver = bytes([CODEC_VERSION])
+    ver = bytes([PFOR_VERSION if use_pfor else CODEC_VERSION])
     bm = memoryview(enc_m.tobytes())
     bd = memoryview(enc_d.tobytes())
     bt = memoryview(enc_t.tobytes())
@@ -779,7 +841,8 @@ def wand_prune_blocks(meta: BlockMeta, idf: float, k1: float, b: float,
     return np.flatnonzero(ub >= threshold)
 
 
-def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
+def merge_disjoint_blobs(blobs: list[bytes],
+                         docid_codec: str = "varint") -> bytes:
     """Merge same-term mini-segment blobs of ONE build generation
     (RdbList.cpp:2154 posdbMerge_r fast path): no newest-wins
     resolution, fully numpy-vectorized span gather. A doc MAY appear in
@@ -829,7 +892,7 @@ def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
         return encode_postings(
             s_docs.astype(np.uint64), s_tf.astype(np.uint64),
             dls[order].astype(np.uint64), pos_out, ctx_out,
-            ranks[order].astype(np.uint64))
+            ranks[order].astype(np.uint64), docid_codec=docid_codec)
 
     # combine duplicate docs: sum tf, keep first dl/rank (same doc ->
     # same attrs), re-sort the doc's positions ascending
@@ -846,11 +909,12 @@ def merge_disjoint_blobs(blobs: list[bytes]) -> bytes:
     return encode_postings(
         u_docs.astype(np.uint64), u_tf.astype(np.uint64),
         u_dl.astype(np.uint64), pos_out[porder], ctx_out[porder],
-        u_rk.astype(np.uint64))
+        u_rk.astype(np.uint64), docid_codec=docid_codec)
 
 
 def merge_disjoint_blobs_many(
     groups: list[list[bytes]],
+    docid_codec: str = "varint",
 ) -> tuple[list[bytes], np.ndarray, np.ndarray, np.ndarray]:
     """Batched ``merge_disjoint_blobs``: merge EVERY group of same-key
     mini-segment blobs with one shared sort and ONE bulk re-encode
@@ -885,7 +949,8 @@ def merge_disjoint_blobs_many(
         # every blob in every group decoded empty: the run_nd==0
         # fallback below would be unreachable (the concatenates raise
         # first), so take the per-group path here
-        blobs_pg = [merge_disjoint_blobs(g) for g in groups]
+        blobs_pg = [merge_disjoint_blobs(g, docid_codec=docid_codec)
+                    for g in groups]
         metas = [BlockMeta(b) for b in blobs_pg]
         return (blobs_pg,
                 np.array([m.n_docs for m in metas], dtype=np.int64),
@@ -952,7 +1017,8 @@ def merge_disjoint_blobs_many(
     if (run_nd == 0).any():
         # a group whose blobs were all empty (can't happen for mini
         # rows, which always hold >=1 posting): per-group fallback
-        blobs_pg = [merge_disjoint_blobs(g) for g in groups]
+        blobs_pg = [merge_disjoint_blobs(g, docid_codec=docid_codec)
+                    for g in groups]
         metas = [BlockMeta(b) for b in blobs_pg]
         return (blobs_pg,
                 np.array([m.n_docs for m in metas], dtype=np.int64),
@@ -967,11 +1033,13 @@ def merge_disjoint_blobs_many(
     blobs_out = encode_postings_many(
         run_nd, u_docs.astype(np.uint64), u_tf.astype(np.uint64),
         u_dl.astype(np.uint64), u_rk.astype(np.uint64),
-        pos_out, ctx_out)
+        pos_out, ctx_out, docid_codec=docid_codec)
     return blobs_out, run_nd.astype(np.int64), cf, max_tf
 
 
-def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -> bytes:
+def merge_blobs(blobs: list[bytes],
+                deleted_doc_ids: np.ndarray | None = None,
+                docid_codec: str = "varint") -> bytes:
     """K-way merge of same-term blobs from multiple segment generations,
     newest-wins per docId, dropping deleted docIds (negative-key
     annihilation, RdbList.cpp:1945-2043 / posdbMerge_r). `blobs` ordered
@@ -1010,7 +1078,8 @@ def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -
         out_pos.append(d["positions"][ps: ps + tf])
         out_ctx.append(d["ctxs"][ps: ps + tf])
     if not out_docs:
-        return encode_postings(*[np.empty(0, dtype=np.uint64)] * 6)
+        return encode_postings(*[np.empty(0, dtype=np.uint64)] * 6,
+                               docid_codec=docid_codec)
     return encode_postings(
         np.array(out_docs, dtype=np.uint64),
         np.array(out_tfs, dtype=np.uint64),
@@ -1018,4 +1087,5 @@ def merge_blobs(blobs: list[bytes], deleted_doc_ids: np.ndarray | None = None) -
         np.concatenate(out_pos) if out_pos else np.empty(0, dtype=np.uint64),
         np.concatenate(out_ctx) if out_ctx else np.empty(0, dtype=np.uint64),
         np.array(out_ranks, dtype=np.uint64),
+        docid_codec=docid_codec,
     )

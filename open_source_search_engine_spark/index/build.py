@@ -667,7 +667,8 @@ SEGMENT_SCHEMA = T.StructType(
 
 def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
                  pos: np.ndarray, ctx: np.ndarray, dl: np.ndarray,
-                 rank: np.ndarray, n_buckets: int) -> pd.DataFrame:
+                 rank: np.ndarray, n_buckets: int,
+                 docid_codec: str = "varint") -> pd.DataFrame:
     """Encode a frame of postings SORTED by (term_id, salt, doc_id, pos)
     into one segment row per (term_id, salt) run (the RdbDump
     memtable->sorted-file compression, RdbDump.cpp + Posdb.h:228-233).
@@ -698,7 +699,8 @@ def _encode_runs(term: np.ndarray, salt: np.ndarray, doc: np.ndarray,
 
     blobs = encode_postings_many(
         run_nd, docs_d, tf_d, dl_d, rk_d,
-        pos.astype(np.uint64), ctx.astype(np.uint64))
+        pos.astype(np.uint64), ctx.astype(np.uint64),
+        docid_codec=docid_codec)
     return pd.DataFrame({
         "bucket": (run_tid % n_buckets).astype(np.int64),
         "term_id": run_tid.astype(np.int64),
@@ -922,7 +924,8 @@ SALT_SHARED = -1  # salt of an unsalted (cold-term) run: holds docs of
 #                   to all salt groups and residue-masks at use
 
 
-def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
+def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray,
+                      docid_codec: str = "varint"):
     """mapInPandas body over the PARSED rows (narrow — no posting-row
     shuffle): sorts the partition's postings in numpy and encodes one
     mini-segment blob per (term_id, salt) run — the memtable dump of the
@@ -957,12 +960,14 @@ def make_mini_encoder(n_buckets: int, n_salts: int, hot_ids: np.ndarray):
             salt = np.full(len(t), SALT_SHARED, dtype=np.int64)
         order = np.lexsort((p, d, salt, t))
         yield _encode_runs(t[order], salt[order], d[order], p[order],
-                           c[order], dl[order], rk[order], n_buckets)
+                           c[order], dl[order], rk[order], n_buckets,
+                           docid_codec=docid_codec)
 
     return encode_mini
 
 
-def _merge_runs(pdf: pd.DataFrame, bulk: bool = True) -> pd.DataFrame:
+def _merge_runs(pdf: pd.DataFrame, bulk: bool = True,
+                docid_codec: str = "varint") -> pd.DataFrame:
     """Merge a frame of mini-segment rows SORTED by (term_id, salt) into
     one segment row per (term_id, salt): single-blob runs pass through
     byte-identical (the common case — rare terms live in one map
@@ -1004,13 +1009,16 @@ def _merge_runs(pdf: pd.DataFrame, bulk: bool = True) -> pd.DataFrame:
         groups = [[bytes(blobs_col.iloc[s + j]) for j in range(n)]
                   for s, n in zip(multi_starts, multi_lens)]
         if not bulk:
-            parts = [merge_disjoint_blobs_many([g]) for g in groups]
+            parts = [merge_disjoint_blobs_many([g],
+                                               docid_codec=docid_codec)
+                     for g in groups]
             blobs = [p[0][0] for p in parts]
             df_g = np.concatenate([p[1] for p in parts])
             cf_g = np.concatenate([p[2] for p in parts])
             mx_g = np.concatenate([p[3] for p in parts])
         else:
-            blobs, df_g, cf_g, mx_g = merge_disjoint_blobs_many(groups)
+            blobs, df_g, cf_g, mx_g = merge_disjoint_blobs_many(
+                groups, docid_codec=docid_codec)
         out_frames.append(pd.DataFrame({
             "bucket": bucket_col[multi_starts],
             "term_id": term[multi_starts],
@@ -1024,7 +1032,8 @@ def _merge_runs(pdf: pd.DataFrame, bulk: bool = True) -> pd.DataFrame:
     return out.sort_values(["term_id", "salt"], kind="mergesort")
 
 
-def make_compact_merge(edocs: np.ndarray, egens: np.ndarray):
+def make_compact_merge(edocs: np.ndarray, egens: np.ndarray,
+                       docid_codec: str = "varint"):
     """mapInPandas body for COMPACTION (cross-generation k-way merge,
     RdbList.cpp:2154 posdbMerge_r + negative-key annihilation
     RdbList.cpp:1945-2043): input mini rows sorted by (term_id, salt,
@@ -1087,7 +1096,8 @@ def make_compact_merge(edocs: np.ndarray, egens: np.ndarray):
         blob = encode_postings(
             docs[keep].astype(np.uint64), k_tf.astype(np.uint64),
             dls[keep].astype(np.uint64), pos[idx].astype(np.uint64),
-            ctx[idx].astype(np.uint64), rks[keep].astype(np.uint64))
+            ctx[idx].astype(np.uint64), rks[keep].astype(np.uint64),
+            docid_codec=docid_codec)
         return blob, int(len(keep)), total, int(k_tf.max())
 
     def _runs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1146,7 +1156,8 @@ def make_compact_merge(edocs: np.ndarray, egens: np.ndarray):
     return go
 
 
-def make_merge_partition(bulk: bool = True):
+def make_merge_partition(bulk: bool = True,
+                         docid_codec: str = "varint"):
     """mapInPandas body over mini-segment rows hash-shuffled on
     (term_id, salt) and sorted within: merges runs, carrying the
     trailing incomplete run across Arrow batch boundaries. ``bulk``
@@ -1165,9 +1176,9 @@ def make_merge_partition(bulk: bool = True):
             carry = pdf[tail]
             body = pdf[~tail]
             if len(body):
-                yield _merge_runs(body, bulk)
+                yield _merge_runs(body, bulk, docid_codec)
         if carry is not None and len(carry):
-            yield _merge_runs(carry, bulk)
+            yield _merge_runs(carry, bulk, docid_codec)
 
     return merge_partition
 
@@ -1298,14 +1309,16 @@ def build_index(
             if not (resume and os.path.exists(_manifest_path(paths, gen, b)))]
     if todo:
         mini = indexed.mapInPandas(
-            make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids),
+            make_mini_encoder(conf.n_buckets, conf.n_salts, hot_ids,
+                              conf.docid_codec),
             schema=SEGMENT_SCHEMA)
         if len(todo) < conf.n_buckets:
             mini = mini.where(F.col("bucket").isin(todo))
         seg = (
             mini.repartition(F.col("term_id"), F.col("salt"))
             .sortWithinPartitions("term_id", "salt")
-            .mapInPandas(make_merge_partition(_bulk_merge_ok(spark, conf)),
+            .mapInPandas(make_merge_partition(_bulk_merge_ok(spark, conf),
+                                              conf.docid_codec),
                          schema=SEGMENT_SCHEMA)
         )
         out = os.path.join(paths.segments, f"gen={gen}")
@@ -1479,7 +1492,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     (
         seg.repartition(F.col("term_id"), F.col("salt"))
         .sortWithinPartitions("term_id", "salt", "gen")
-        .mapInPandas(make_compact_merge(edocs, egens),
+        .mapInPandas(make_compact_merge(edocs, egens, conf.docid_codec),
                      schema=SEGMENT_SCHEMA)
         .repartition("bucket")
         .sortWithinPartitions("term_id", "salt")
