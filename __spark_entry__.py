@@ -336,6 +336,21 @@ def q_search_incremental(spark, sf_dir):
     return _search_ids(spark, sf_dir, "zzupdated", flavor="incr")
 
 
+def q_search_facets(spark, sf_dir):
+    """Site facet counts over the full match set of 'key' (original
+    Gigablast gbfacet semantics, dropped by the fork — re-added
+    engine-side as one post-membership aggregation). Oracle recomputes
+    membership by LIKE and the site host from the synthetic url
+    grammar (host = site{doc_id%97:04d}.example)."""
+    from open_source_search_engine_spark.query.executor import (
+        search_facets,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return search_facets(spark, d, "key", field="site", k=10).select(
+        "facet", F.col("n_docs").cast("long"))
+
+
 def q_search_asof(spark, sf_dir):
     """Snapshot time travel (Iceberg VERSION AS OF over the committed
     generation list): the same zzupdated query as search_incremental,
@@ -1560,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,
         "search_asof": q_search_asof,
+        "search_facets": q_search_facets,
         "search_topk_wand": q_search_topk_wand,
         "search_paged": q_search_paged,
         "search_compacted": q_search_compacted,
@@ -1913,6 +1929,15 @@ qualify row_number() over (partition by doc_id % 97
         "search_incremental": """
 select doc_id::bigint as doc_id from documents
 where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        # site host re-derived from the wrapper url grammar
+        # (webtext_from_documents: site = doc_id % 97)
+        "search_facets": """
+select 'site' || printf('%04d', doc_id % 97) || '.example' as facet,
+       count(*)::bigint as n_docs
+from documents
+where (' ' || text || ' ') like '% key %'
+group by 1 order by n_docs desc, facet asc limit 10
 """,
         # as-of gen 1: the gen-2 tombstones (doc_id%100==0) are not yet
         # visible, so every gen-1 re-crawled doc matches

@@ -2211,3 +2211,41 @@ def _search_boolean_reference(spark, rd: IndexReader, cq: CompiledQuery,
                             dtype=np.uint64))
     return _reference_exact(spark, rd, cq, k, conf,
                             candidate_docs=cand, require_all=False)
+
+
+def search_facets(spark: SparkSession, index_dir: str, query: str,
+                  field: str = "site", k: int = 10,
+                  conf: EngineConf = DEFAULT_CONF,
+                  reader: IndexReader | None = None) -> DataFrame:
+    """(facet, n_docs) — facet counts over the FULL match set of a
+    query: original-Gigablast gbfacet* semantics (the Privacore fork
+    kept only residual comments, Query.cpp:1791/XmlDoc_Indexing.cpp:696
+    — facets were dropped there; re-added engine-side where they are
+    one aggregation). field="site" buckets by url host, field="lang"
+    by lang_id. Top-k by (count desc, facet asc).
+
+    Scale shape: the match set comes from the same single-decode
+    membership the boolean/search paths use; the facet stage is one
+    join against the docs table on doc_id + one groupBy(facet) with
+    map-side partials + TakeOrderedAndProject(k). Counts cover EVERY
+    matching doc (facets over top-k would lie), so cost scales with
+    the match set — same as any count over a posting list."""
+    rd = reader or IndexReader(spark, index_dir, conf)
+    ids = search_all(spark, index_dir, query, conf=conf,
+                     reader=rd).select("doc_id")
+    if field == "site":
+        fac = F.regexp_extract(
+            "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:]+)", 1)
+    elif field == "lang":
+        from ..index.build import LANG_IDS
+        m = F.create_map(*[F.lit(x) for kv in LANG_IDS.items()
+                           for x in (kv[1], kv[0])])
+        fac = F.coalesce(m[F.col("lang_id")],
+                         F.col("lang_id").cast("string"))
+    else:
+        raise ValueError(f"unsupported facet field {field!r}")
+    return (ids.join(rd.docs(), "doc_id")
+            .select(fac.alias("facet"))
+            .groupBy("facet").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
+            .limit(k))

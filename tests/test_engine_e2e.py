@@ -1010,3 +1010,30 @@ def test_pfor_index_end_to_end(spark, small_conf, tmp_path):
     got = {r["doc_id"] for r in
            search_all(spark, d_pf, "spark", conf=pconf).collect()}
     assert 2 not in got and got
+
+
+def test_search_facets(built, spark, small_conf):
+    """Original-Gigablast gbfacet semantics: counts over the FULL match
+    set, not the top-k page (Query.cpp:1791 residue in the fork). Fixture
+    hosts are s{doc_id % 3}.example, so 'spark' (docs 1,2,3,7) buckets
+    s1:2, s0:1, s2:1; ties break facet-ascending."""
+    from open_source_search_engine_spark.query.executor import search_facets
+
+    rows = search_facets(spark, built, "spark", field="site",
+                         conf=small_conf).collect()
+    assert [(r["facet"], r["n_docs"]) for r in rows] == [
+        ("s1.example", 2), ("s0.example", 1), ("s2.example", 1)]
+
+    # lang facet: the fixture is all-en, so one bucket sized |match set|
+    rows = search_facets(spark, built, "spark", field="lang",
+                         conf=small_conf).collect()
+    assert [(r["facet"], r["n_docs"]) for r in rows] == [("en", 4)]
+
+    # k truncates the bucket list, never the membership counts
+    rows = search_facets(spark, built, "spark", field="site", k=1,
+                         conf=small_conf).collect()
+    assert [(r["facet"], r["n_docs"]) for r in rows] == [("s1.example", 2)]
+
+    with pytest.raises(ValueError):
+        search_facets(spark, built, "spark", field="nope",
+                      conf=small_conf)
