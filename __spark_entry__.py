@@ -1048,6 +1048,33 @@ def q_sketch_cms(spark, sf_dir):
                                            F.col("est").cast("long"))
 
 
+def q_sketch_intersect(spark, sf_dir):
+    """Per-term docid HLL registers + conjunctive-cardinality
+    estimation (subset-union register-max + inclusion-exclusion):
+    estimates |batch AND window| without decoding any posting list —
+    the planner sketch the engine persists when built with
+    conf.term_sketch_p (index integration pytest-pinned in
+    tests/test_termsketch.py; this entry value-checks the identical
+    register/estimate math against a DuckDB twin)."""
+    from open_source_search_engine_spark.ops.sketches import (
+        grouped_hll_registers,
+        hll_intersection_estimate,
+        hll_subset_unions,
+    )
+
+    pairs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("d"),
+        F.explode(F.split("text", " ")).alias("key")) \
+        .where(F.col("key").isin("batch", "window"))
+    regs = grouped_hll_registers(pairs, ["key"], "d", p=8)
+    subs = hll_subset_unions(regs, 8)
+    inter = hll_intersection_estimate(regs, 8).select(
+        F.lit("batch&window").alias("subset"),
+        F.col("n_sets").alias("n_keys"),
+        F.col("est_intersection").alias("estimate"))
+    return subs.unionByName(inter).orderBy("subset")
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
     hashes, w=4 windows, per-window min with the paper's rightmost tie
@@ -1650,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "sketch_hll": q_sketch_hll,
         "sketch_cms": q_sketch_cms,
+        "sketch_intersect": q_sketch_intersect,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2733,6 +2761,7 @@ from s group by user_id, session_idx
 """,
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
+        "sketch_intersect": _hll_intersect_sql(),
         "textrank": _textrank_sql(),
         "label_prop": _label_prop_sql(),
         "winnow": """
@@ -3150,6 +3179,59 @@ select round(case when raw <= {2.5 * m} and nz < {m}
                   else raw end, 4) as estimate,
        nz as nonzero_buckets
 from est
+"""
+
+
+def _hll_intersect_sql(p: int = 8) -> str:
+    """SQL replica of the sketch_intersect chain: per-term registers
+    over (token, doc_id) membership, subset unions by register max
+    (singletons + the pair), per-subset integer-harmonic-sum estimates,
+    and the inclusion-exclusion intersection row — same md5 bit math
+    and the SAME embedded alpha constant as ops.sketches."""
+    m = 1 << p
+    wbits = 60 - p
+    shift = wbits + 2
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << shift))
+    return f"""
+with pairs as (
+  select distinct tok as key, doc_id::varchar as d
+  from (select doc_id, unnest(string_split(text, ' ')) as tok
+        from documents)
+  where tok in ('batch', 'window')),
+h as (select key, ('0x' || substr(md5(d), 1, 15))::bigint as x
+      from pairs),
+b as (select key, x % {m} as bucket,
+             case when x // {m} > 0
+                  then {wbits} - floor(log2(x // {m}))::int
+                  else {wbits + 1} end as rho
+      from h),
+regs as (select key, bucket, max(rho) as register from b
+         group by key, bucket),
+subsets as (
+  select key as subset, 1 as n_keys, bucket, register from regs
+  union all
+  select 'batch,window', 2, bucket, register from regs),
+uni as (select subset, n_keys, bucket, max(register) as register
+        from subsets group by subset, n_keys, bucket),
+agg as (select subset, n_keys, count(*)::bigint as nz,
+               sum(1::bigint << ({shift} - register))::bigint as isum
+        from uni group by subset, n_keys),
+est as (select subset, n_keys,
+               round(case when raw <= {2.5 * m} and nz < {m}
+                          then {float(m)} * ln({float(m)} / ({m} - nz))
+                          else raw end, 4) as estimate
+        from (select subset, n_keys, nz,
+                     {num} / (isum + ({m} - nz) * {1 << shift}::bigint)
+                       as raw
+              from agg))
+select subset, n_keys::int as n_keys, estimate from est
+union all
+select 'batch&window', 2::int,
+       round(greatest(0.0,
+         sum(case when n_keys = 1 then estimate else -estimate end)), 4)
+from est
+order by subset
 """
 
 

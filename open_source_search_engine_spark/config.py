@@ -97,6 +97,17 @@ class EngineConf:
     # either way — this is perf-only).
     bulk_merge: bool | None = None
 
+    # per-term docid HLL sketches as an index artifact (term_sketches/
+    # gen=G parquet, <= vocab·2^p rows): set to the HLL precision p
+    # (e.g. 8 -> 256 registers/term, ~6.5% union error) to enable. The
+    # read side estimates conjunctive result sizes by register-max
+    # union + inclusion-exclusion WITHOUT decoding posting lists —
+    # the planner-scale analog of the reference's approximate termfreq
+    # cache (Posdb.h:341). Registers merge by max across generations;
+    # deletions are not subtracted (HLLs never subtract) until a
+    # from-scratch rebuild. None (default) = off.
+    term_sketch_p: int | None = None
+
     def bucket_of(self, term_id: int) -> int:
         return term_id % self.n_buckets
 

@@ -641,6 +641,7 @@ class IndexPaths:
         self.term_stats = os.path.join(index_dir, "term_stats")
         self.lexicon = os.path.join(index_dir, "lexicon")
         self.segments = os.path.join(index_dir, "segments")
+        self.term_sketches = os.path.join(index_dir, "term_sketches")
         self.tombstones = os.path.join(index_dir, "tombstones")
         self.manifests = os.path.join(index_dir, "_manifests")
         self.meta = os.path.join(index_dir, "_index_meta.json")
@@ -1267,6 +1268,24 @@ def build_index(
     indexed = (parsed.unionByName(anchor_parsed(parsed)) if has_links
                else parsed)
 
+    # optional per-term docid HLL registers (conf.term_sketch_p): the
+    # planner's conjunctive-cardinality sketches. One explode + one
+    # groupBy(term, bucket) with map-side partial MAX — the shuffle
+    # rows are bounded by distinct (term, bucket) per partition, the
+    # output by vocab·2^p, never postings-sized. Covers the same
+    # (term, doc) universe as the real termlists (anchor rows carry the
+    # linkee's doc_id, exactly like make_stats_partials).
+    if conf.term_sketch_p:
+        p_sk = paths.gen("term_sketches", gen)
+        if not resume or not _parquet_exists(p_sk):
+            from ..ops.sketches import grouped_hll_registers
+            pairs = indexed.select(
+                F.col("doc_id").cast("string").alias("_d"),
+                F.explode("term_ids").alias("term_id"))
+            (grouped_hll_registers(pairs, ["term_id"], "_d",
+                                   p=conf.term_sketch_p)
+             .write.mode("overwrite").parquet(p_sk))
+
     # df partials for HOT-term detection only (salting); exact stats are
     # recomputed from the merged segments after stage C (strictly better
     # than the reference's RdbMap-size upper-bound estimate,
@@ -1382,6 +1401,7 @@ def build_index(
         "n_terms": int(term_stats.count()),
         "conf": {"n_buckets": conf.n_buckets, "n_salts": conf.n_salts,
                  "salt_df_threshold": conf.salt_df_threshold,
+                 "term_sketch_p": conf.term_sketch_p,
                  # salt layout contract for the query-side WAND: rows
                  # with salt >= 0 hold exactly the term's docs ≡ salt
                  # (mod n_salts); rows with salt == SALT_SHARED hold a
@@ -1534,6 +1554,20 @@ def compact_index(spark: SparkSession, index_dir: str,
         (
             spark.read.parquet(*lex_dirs).distinct()
             .write.mode("overwrite").parquet(paths.gen("lexicon", new_gen))
+        )
+    # term sketches: registers merge by MAX across generations (HLL
+    # union). Deleted docs' contributions survive — an HLL cannot
+    # subtract — so post-compaction sketches stay an upper sketch until
+    # a from-scratch rebuild (documented in EngineConf.term_sketch_p).
+    sk_dirs = [paths.gen("term_sketches", g) for g in gens
+               if os.path.exists(paths.gen("term_sketches", g))]
+    if sk_dirs:
+        (
+            spark.read.parquet(*sk_dirs)
+            .groupBy("term_id", "bucket")
+            .agg(F.max("register").alias("register"))
+            .write.mode("overwrite")
+            .parquet(paths.gen("term_sketches", new_gen))
         )
 
     n_docs = docs_new.count()

@@ -127,3 +127,106 @@ def countmin_estimate(sketch: DataFrame, probes: DataFrame,
             .groupBy("value")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est")))
+
+
+def grouped_hll_registers(df: DataFrame, keys: list[str], col: str,
+                          p: int = 8) -> DataFrame:
+    """(keys..., bucket, register) — one HLL register set PER KEY GROUP,
+    same bit math as ``hll_registers``. The shape that makes per-term
+    docid sketches an index artifact: explode (term, doc) occurrences,
+    one groupBy(term, bucket).max with map-side partial max — output
+    bounded by vocab·2^p rows no matter the corpus size, and register
+    sets MERGE BY MAX, so incremental build generations combine with
+    the same aggregate (HLLs never subtract: deletions stay counted
+    until a from-scratch rebuild — an upper sketch, like the reference's
+    lazily-refreshed termfreq cache, Posdb.h:341)."""
+    wbits = 60 - p
+    h = hash60(F.col(col))
+    bucket = (h % F.lit(1 << p)).alias("bucket")
+    w = F.shiftright(h, p)
+    rho = (F.when(w > 0, F.lit(wbits) - F.floor(F.log2(w)))
+           .otherwise(F.lit(wbits + 1)).cast("int"))
+    return (df.select(*keys, bucket, rho.alias("_rho"))
+            .groupBy(*keys, "bucket")
+            .agg(F.max("_rho").alias("register")))
+
+
+def _hll_estimate(nz, isum, m: int, shift: int):
+    """Estimate Column from per-group (nonzero buckets, integer harmonic
+    sum) — the exact expression ``hll_cardinality`` uses (int64
+    denominator, small-range linear counting), factored so per-key and
+    whole-frame estimates share one definition."""
+    alpha = _hll_alpha(m)
+    raw = (F.lit(alpha * m * m * float(1 << shift))
+           / (isum + (F.lit(m).cast("long") - nz) * F.lit(1 << shift)))
+    zeros = F.lit(m) - nz
+    return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+                  ).otherwise(raw)
+
+
+def grouped_hll_cardinality(regs: DataFrame, keys: list[str],
+                            p: int) -> DataFrame:
+    """(keys..., estimate, nonzero_buckets) from a grouped register
+    frame: per-key distinct-count estimates, bit-reproducible (integer
+    harmonic sum; estimate rounds to 4)."""
+    m = 1 << p
+    shift = (60 - p) + 2
+    agg = regs.groupBy(*keys).agg(
+        F.count("*").alias("nz"),
+        F.sum(F.expr(f"shiftleft(1L, {shift} - register)")).alias("isum"))
+    est = _hll_estimate(F.col("nz"), F.col("isum"), m, shift)
+    return agg.select(*keys, F.round(est, 4).alias("estimate"),
+                      F.col("nz").cast("long").alias("nonzero_buckets"))
+
+
+def hll_subset_unions(regs: DataFrame, p: int, key: str = "key",
+                      max_keys: int = 6) -> DataFrame:
+    """(subset, n_keys, estimate) — the HLL union estimate for EVERY
+    non-empty subset of the register frame's key values (union sketch =
+    elementwise max register, exactly an aggregation). ``subset`` is the
+    comma-joined sorted member list. Keys are capped at ``max_keys``
+    (2^k subsets — this is for query-term planning, not arbitrary k).
+
+    One broadcast join against the 2^k-row membership table + one
+    groupBy(subset, bucket).max + the per-subset estimate aggregate —
+    all bounded by 2^k · 2^p rows."""
+    spark = regs.sparkSession
+    kt = regs.schema[key].dataType.simpleString()
+    vals = sorted(r[0] for r in regs.select(key).distinct().collect())
+    if not 1 <= len(vals) <= max_keys:
+        raise ValueError(f"need 1..{max_keys} keys, got {len(vals)}")
+    rows, labels = [], {}
+    for sid in range(1, 1 << len(vals)):
+        members = [vals[i] for i in range(len(vals)) if sid >> i & 1]
+        labels[sid] = ",".join(str(v) for v in members)
+        rows += [(sid, v) for v in members]
+    memb = spark.createDataFrame(rows, f"subset int, {key} {kt}")
+    lab = F.create_map(*[F.lit(x) for sid, s in sorted(labels.items())
+                         for x in (sid, s)])
+    uni = (regs.join(F.broadcast(memb), key)
+           .groupBy("subset", "bucket")
+           .agg(F.max("register").alias("register")))
+    card = grouped_hll_cardinality(uni, ["subset"], p)
+    n_keys = F.expr("bit_count(subset)").cast("int")
+    return card.select(lab[F.col("subset")].alias("subset"),
+                       n_keys.alias("n_keys"), "estimate")
+
+
+def hll_intersection_estimate(regs: DataFrame, p: int,
+                              key: str = "key") -> DataFrame:
+    """One row (n_sets, est_intersection): the k-way intersection
+    estimate by inclusion-exclusion over the subset-union estimates,
+    |∩Aᵢ| = Σ_{∅≠S} (−1)^(|S|+1) |∪_{i∈S}Aᵢ| (exact for true
+    cardinalities; the standard HLL intersection estimator otherwise).
+    Clamped at 0 — IE over noisy unions can go negative for
+    near-disjoint sets. The planner use: estimate a conjunctive query's
+    result size from per-term docid sketches WITHOUT decoding any
+    posting list."""
+    sub = hll_subset_unions(regs, p, key=key)
+    signed = F.when(F.col("n_keys") % 2 == 1, F.col("estimate")) \
+        .otherwise(-F.col("estimate"))
+    return sub.agg(
+        F.max("n_keys").cast("int").alias("n_sets"),
+        F.round(F.greatest(F.lit(0.0), F.sum(signed)), 4)
+        .alias("est_intersection"))

@@ -167,6 +167,24 @@ class IndexReader:
             raise FileNotFoundError("no lexicon in index")
         return df.drop("gen").distinct() if len(self.gens) > 1 else df.drop("gen")
 
+    def term_sketches(self) -> tuple[DataFrame, int] | None:
+        """(registers, p): per-term docid HLL registers (term_id,
+        bucket, register) max-merged across the snapshot's generations
+        — HLL union IS elementwise max, so the multi-gen view needs no
+        newest-wins logic. None when the index was built without
+        ``conf.term_sketch_p``. Deletions are not subtracted (upper
+        sketch; see EngineConf.term_sketch_p)."""
+        p = (self.meta.get("conf") or {}).get("term_sketch_p")
+        df = self._read_gens("term_sketches")
+        if not p or df is None:
+            return None
+        if len(self.gens) > 1:
+            df = df.groupBy("term_id", "bucket").agg(
+                F.max("register").alias("register"))
+        elif "gen" in df.columns:
+            df = df.drop("gen")
+        return df, int(p)
+
     def df_of(self, term_ids: list[int]) -> dict[int, int]:
         """Exact df lookup (Posdb::getTermFreq analog, but exact —
         SURVEY.md §2.3 'strictly better, still deterministic')."""
@@ -2249,3 +2267,47 @@ def search_facets(spark: SparkSession, index_dir: str, query: str,
             .groupBy("facet").agg(F.count("*").alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), F.col("facet").asc())
             .limit(k))
+
+
+def estimate_and_cardinality(spark: SparkSession, index_dir: str,
+                             terms: list[str],
+                             conf: EngineConf = DEFAULT_CONF,
+                             reader: IndexReader | None = None,
+                             ) -> DataFrame:
+    """(subset, n_keys, estimate) + a final ('&'-joined, k, intersection)
+    row: the estimated result size of the conjunctive query `terms`
+    from the index's per-term docid HLL sketches — register-max unions
+    + inclusion-exclusion, NO posting list decoded (plan-time
+    cardinality estimation; the reference's nearest analog is the
+    approximate termfreq cache its rarest-first ordering reads,
+    Posdb.h:341/PosdbTable.cpp:1497 — which only ranks single lists;
+    this estimates the intersection itself). Useful at 10^12 docs to
+    pick broadcast-vs-shuffle and WAND-vs-full-decode before touching
+    a single blob. Requires an index built with conf.term_sketch_p.
+
+    Subset labels use the query words (sorted), not raw termIds."""
+    from ..functions.gbhash import term_id
+    from ..ops.sketches import (
+        hll_intersection_estimate,
+        hll_subset_unions,
+    )
+
+    rd = reader or IndexReader(spark, index_dir, conf)
+    sk = rd.term_sketches()
+    if sk is None:
+        raise ValueError("index has no term sketches "
+                         "(build with conf.term_sketch_p)")
+    regs, p = sk
+    words = sorted({w.lower() for w in terms})
+    id2w = {term_id(w): w for w in words}
+    wmap = F.create_map(*[F.lit(x) for tid, w in sorted(id2w.items())
+                          for x in (tid, w)])
+    keyed = (regs.where(F.col("term_id").isin(list(id2w)))
+             .select(wmap[F.col("term_id")].alias("key"),
+                     "bucket", "register"))
+    subs = hll_subset_unions(keyed, p, key="key")
+    inter = hll_intersection_estimate(keyed, p, key="key").select(
+        F.lit("&".join(words)).alias("subset"),
+        F.col("n_sets").alias("n_keys"),
+        F.col("est_intersection").alias("estimate"))
+    return subs.unionByName(inter)
