@@ -1075,6 +1075,20 @@ def q_sketch_intersect(spark, sf_dir):
     return subs.unionByName(inter).orderBy("subset")
 
 
+def q_percolate(spark, sf_dir):
+    """Stored-query percolation (prospective search): four registered
+    queries (AND / negation / phrase) matched against every document —
+    queries inverted into broadcast term tables, corpus side one
+    explode + one (doc, query) groupBy, phrase verify on candidates
+    only. Oracle recomputes each stored query with LIKE membership."""
+    from open_source_search_engine_spark.query.percolate import percolate
+
+    stored = [(1, "key window"), (2, "stream -customer"),
+              (3, '"key value"'), (4, "batch -key")]
+    return percolate(spark, _docs(spark, sf_dir), stored).select(
+        "query_id", F.col("doc_id").cast("long"))
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
     hashes, w=4 windows, per-window min with the paper's rightmost tie
@@ -1678,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll": q_sketch_hll,
         "sketch_cms": q_sketch_cms,
         "sketch_intersect": q_sketch_intersect,
+        "percolate": q_percolate,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2762,6 +2777,22 @@ from s group by user_id, session_idx
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
         "sketch_intersect": _hll_intersect_sql(),
+        "percolate": """
+select 1 as query_id, doc_id::bigint as doc_id from documents
+where (' '||text||' ') like '% key %'
+  and (' '||text||' ') like '% window %'
+union all
+select 2, doc_id::bigint from documents
+where (' '||text||' ') like '% stream %'
+  and (' '||text||' ') not like '% customer %'
+union all
+select 3, doc_id::bigint from documents
+where (' '||text||' ') like '% key value %'
+union all
+select 4, doc_id::bigint from documents
+where (' '||text||' ') like '% batch %'
+  and (' '||text||' ') not like '% key %'
+""",
         "textrank": _textrank_sql(),
         "label_prop": _label_prop_sql(),
         "winnow": """
