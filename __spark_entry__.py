@@ -1089,6 +1089,28 @@ def q_percolate(spark, sf_dir):
         "query_id", F.col("doc_id").cast("long"))
 
 
+def q_nb_quality(spark, sf_dir):
+    """Naive-Bayes quality classifier (the GPT-3/CCNet 'looks like the
+    curated corpus' linear filter, trained distributed): labels derive
+    deterministically from membership of the token 'customer', training
+    is two aggregations, scoring one broadcast model join + per-doc
+    integer sum of micro-unit log-odds weights — order-free, so the
+    oracle reproduces every score_micro bit for bit."""
+    from open_source_search_engine_spark.ops.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn(
+        "label",
+        F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+        .contains(" customer ").cast("int"))
+    model, prior = nb_train(labeled)
+    return nb_score(docs, model, prior).select(
+        F.col("doc_id").cast("long"), "score_micro")
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
     hashes, w=4 windows, per-window min with the paper's rightmost tie
@@ -1693,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "sketch_intersect": q_sketch_intersect,
         "percolate": q_percolate,
+        "nb_quality": q_nb_quality,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2777,6 +2800,31 @@ from s group by user_id, session_idx
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
         "sketch_intersect": _hll_intersect_sql(),
+        "nb_quality": """
+with lab as (
+  select doc_id, text,
+         case when (' '||text||' ') like '% customer %'
+              then 1 else 0 end as y
+  from documents),
+tok as (select doc_id, y, unnest(string_split(text, ' ')) as term
+        from lab),
+cnt as (select term, sum(y)::bigint c1, sum(1-y)::bigint c0
+        from tok where term != '' group by term),
+tot as (select sum(c1)::bigint t1, sum(c0)::bigint t0,
+               count(*)::bigint v from cnt),
+nd as (select sum(y)::bigint n1, sum(1-y)::bigint n0 from lab),
+model as (select term,
+                 round((ln((c1+1)::double / (t1+v))
+                        - ln((c0+1)::double / (t0+v))) * 1000000)::bigint
+                   as w
+          from cnt cross join tot),
+per as (select doc_id, sum(w)::bigint s
+        from tok join model using (term) group by doc_id),
+prior as (select round(ln(n1::double / n0) * 1000000)::bigint p from nd)
+select l.doc_id::bigint as doc_id,
+       (coalesce(per.s, 0) + (select p from prior))::bigint as score_micro
+from lab l left join per using (doc_id)
+""",
         "percolate": """
 select 1 as query_id, doc_id::bigint as doc_id from documents
 where (' '||text||' ') like '% key %'
