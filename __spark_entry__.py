@@ -536,6 +536,28 @@ def q_search_json_gate(spark, sf_dir):
             .select(F.col("doc_id").cast("long").alias("doc_id")))
 
 
+def q_search_noarchive(spark, sf_dir):
+    """meta robots noarchive flag (XmlDoc::getIsNoArchive port,
+    XmlDoc.cpp:16942): every doc_id%9==0 wrapper page carries
+    <meta name=robots content=noarchive>; the build flags it in the
+    docs table and fetch_cached (PageGet.cpp:270 analog) withholds the
+    cached copy (pytest-pinned). Entry surfaces the per-doc flag."""
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.query.executor import IndexReader
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "noarch")
+    if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        wt = webtext_from_documents(spark, sf_dir, body_only=True,
+                                    noarchive_every=9)
+        build_index(spark, wt, d, gen=0)
+    rd = IndexReader(spark, d)
+    return rd.docs().select(F.col("doc_id").cast("long"),
+                            F.col("no_archive").cast("int"))
+
+
 def q_search_suburl(spark, sf_dir):
     """suburl:/inurl: tokenized-url-word field (Query.cpp:1662 maps
     suburl to the inurl termlists; XmlDoc_Indexing.cpp:337-420 hashUrl):
@@ -1639,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_incremental": q_search_incremental,
         "search_asof": q_search_asof,
         "search_facets": q_search_facets,
+        "search_noarchive": q_search_noarchive,
         "search_topk_wand": q_search_topk_wand,
         "search_paged": q_search_paged,
         "search_compacted": q_search_compacted,
@@ -2800,6 +2823,11 @@ from s group by user_id, session_idx
         "sketch_hll": _hll_sql(),
         "sketch_cms": _cms_sql(),
         "sketch_intersect": _hll_intersect_sql(),
+        "search_noarchive": """
+select doc_id::bigint as doc_id,
+       case when doc_id % 9 = 0 then 1 else 0 end::int as no_archive
+from documents
+""",
         "nb_quality": """
 with lab as (
   select doc_id, text,

@@ -506,6 +506,46 @@ def meta_from_norm(s: str, name: str) -> str:
     return m.group(2).strip() if m else ""
 
 
+_META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.I)
+_NAME_ATTR_RE = re.compile(
+    r"\bname\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
+_CONTENT_ATTR_RE = re.compile(
+    r"\bcontent\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
+
+
+def _meta_attr(tag: str, rx: re.Pattern) -> str | None:
+    m = rx.search(tag)
+    if not m:
+        return None
+    return next(g for g in m.groups() if g is not None)
+
+
+def is_no_archive(norm: str,
+                  bot_name: str = "gigablastopensource") -> bool:
+    """<meta name=robots content=noarchive> detection — the faithful
+    port of XmlDoc::getIsNoArchive (XmlDoc.cpp:16942-16984), quirks
+    included: the name attribute is PREFIX-matched case-insensitively
+    against "robots" or the configured bot name (strncasecmp with the
+    pattern's own length, so name="robotsfoo" matches too), and the
+    content value must START with "noarchive" after leading whitespace
+    ("noarchive,nofollow" flags; "nofollow,noarchive" does NOT — the
+    reference never scans past the first token). Bot-name default is
+    the fork's conf default (Parms.cpp:4916 m_def)."""
+    bn = bot_name.lower()
+    for m in _META_TAG_RE.finditer(norm):
+        tag = m.group(0)
+        nm = _meta_attr(tag, _NAME_ATTR_RE)
+        if nm is None:
+            continue
+        low = nm.lstrip().lower()
+        if not (low.startswith("robots") or low.startswith(bn)):
+            continue
+        ct = _meta_attr(tag, _CONTENT_ATTR_RE)
+        if ct is not None and ct.lstrip().lower().startswith("noarchive"):
+            return True
+    return False
+
+
 def extract_meta(html_bytes: bytes, name: str, charset: str = "utf-8") -> str:
     """<meta name=... content=...> (Xml.cpp getMetaContentPointer)."""
     s = to_utf8_text(html_bytes, charset)

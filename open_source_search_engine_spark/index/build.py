@@ -129,6 +129,10 @@ PARSED_SCHEMA = T.StructType(
         # hashNoSplit dedup terms, XmlDoc_Indexing.cpp:156): query-time
         # duplicate-content removal keys on this
         T.StructField("content_hash", T.LongType()),
+        # <meta name=robots content=noarchive> (XmlDoc::getIsNoArchive,
+        # XmlDoc.cpp:16942): gates cached-copy serving (PageGet.cpp:270,
+        # PageResults.cpp:2405), never indexing or summaries
+        T.StructField("no_archive", T.IntegerType()),
     ]
 )
 
@@ -169,7 +173,7 @@ CUSTOM_META_TAGS = ("author", "subject", "abstract", "news_keywords")
 # r3: codec v3 block bounds (v9); non-body position continuation via
 # the shared m_dist cursor (v10); threshold salting with SALT_SHARED
 # cold runs + layout-general WAND (v11)
-INDEX_FORMAT_VERSION = 11
+INDEX_FORMAT_VERSION = 12
 
 
 def _effective_salt_min_df(conf, n_docs: int) -> int:
@@ -327,6 +331,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         get_text,
         headings_from_norm,
         links_with_neighborhoods_from_norm,
+        is_no_archive,
         meta_from_norm,
         normalize_html,
         title_from_norm,
@@ -368,6 +373,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
             "out_neigh": [],
             "content_hash": hash64_lower_utf8(
                 to_utf8_text(html, charset=None)) & TERMID_MASK,
+            "no_archive": 0,  # JSON/XML payloads carry no meta tags
         }
 
     doc_charset = detect_charset(html) if html else "utf-8"
@@ -599,6 +605,7 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
         "out_texts": out_texts,
         "out_neigh": out_neigh,
         "content_hash": chash,
+        "no_archive": int(is_no_archive(norm)) if html else 0,
     }
 
 
@@ -1244,7 +1251,7 @@ def build_index(
 
     # ---- stage B: docs + term stats + lexicon (Catalyst only) ----
     doc_cols = ["doc_id", "url", "site_id", "site_rank", "lang_id", "title",
-                "n_tokens", "warc_ts", "content_hash"]
+                "n_tokens", "warc_ts", "content_hash", "no_archive"]
     if not resume or not _parquet_exists(p_docs):
         parsed.select(*doc_cols).write.mode("overwrite").parquet(p_docs)
     if not resume or not _parquet_exists(p_lex):

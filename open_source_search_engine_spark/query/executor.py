@@ -2311,3 +2311,31 @@ def estimate_and_cardinality(spark: SparkSession, index_dir: str,
         F.col("n_sets").alias("n_keys"),
         F.col("est_intersection").alias("estimate"))
     return subs.unionByName(inter)
+
+
+def fetch_cached(spark: SparkSession, index_dir: str, doc_id: int,
+                 source: DataFrame, conf: EngineConf = DEFAULT_CONF,
+                 reader: IndexReader | None = None,
+                 admin: bool = False) -> DataFrame:
+    """The /get cached-copy endpoint (PageGet.cpp): return the doc's
+    stored page row (doc_id, url, html, text) from the webtext source
+    table — EMPTY when the page carried <meta name=robots
+    content=noarchive> ("page doesn't want to be archived. honour
+    that.", PageResults.cpp:2405-2407; PageGet.cpp:270). ``admin=True``
+    bypasses the tag exactly like the reference's isAdmin branch.
+    Never gates indexing or summaries — the reference serves those for
+    noarchive pages too, only the cached copy is withheld.
+
+    One metadata row filtered + broadcast against the source table —
+    at any corpus scale this is a broadcast-join point lookup (the
+    source scan prunes on the url equality). Indexes built before
+    format v12 have no flag column and serve everything."""
+    rd = reader or IndexReader(spark, index_dir, conf)
+    d = rd.docs().where(F.col("doc_id") == int(doc_id))
+    if "no_archive" in d.columns and not admin:
+        d = d.where(F.coalesce(F.col("no_archive"), F.lit(0)) != 1)
+    # rename the key column: the webtext source may carry its own
+    # doc_id and the join is on url
+    key = d.select(F.col("doc_id").alias("_did"), "url")
+    return (source.join(F.broadcast(key), "url")
+            .select(F.col("_did").alias("doc_id"), "url", "html", "text"))

@@ -183,7 +183,8 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
                            body_only: bool = True,
                            text_suffix: str = "",
                            doc_filter=None,
-                           json_every: int | None = None) -> DataFrame:
+                           json_every: int | None = None,
+                           noarchive_every: int | None = None) -> DataFrame:
     """Wrap the driver-provided documents table into webtext shape.
 
     url/warc_ts derive from doc_id; html renders the doc text through the
@@ -204,6 +205,12 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
     payload instead of an HTML page (the bytes start with '{', so the
     content sniff yields CT_JSON and the build's BR-20160127 gate
     indexes only the url: probe term — XmlDoc_Indexing.cpp:252-262).
+
+    noarchive_every=N injects <meta name=robots content="noarchive">
+    into the head of every doc_id %% N == 0 page (invisible to the
+    extracted text, so the html/text invariant holds); the build's
+    getIsNoArchive port flags those docs and fetch_cached withholds
+    their cached copies (XmlDoc.cpp:16942 / PageGet.cpp:270).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if doc_filter is not None:
@@ -245,9 +252,14 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str,
                     recs.append(rec)
                     continue
                 if body_only:
+                    head = ""
+                    if noarchive_every is not None and \
+                            d % noarchive_every == 0:
+                        head = ('<meta name="robots" '
+                                'content="noarchive">')
                     html = (
-                        "<html><head></head><body><p>" + body +
-                        "</p></body></html>"
+                        "<html><head>" + head + "</head><body><p>" +
+                        body + "</p></body></html>"
                     ).encode("utf-8")
                 else:
                     title = " ".join(body.split()[:4])
