@@ -1133,6 +1133,66 @@ def q_nb_quality(spark, sf_dir):
         F.col("doc_id").cast("long"), "score_micro")
 
 
+def q_site_stats(spark, sf_dir):
+    """tagdb-analog per-site rollup from the index docs snapshot
+    (Tagdb.cpp:875: the reference's per-site record store): counts,
+    site rank, token totals, dominant language, crawl-time span. The
+    oracle re-derives everything from the documents table — the
+    site_rank column via a literal map generated from the engine's own
+    hash8/getSiteRank functions over the 97-host url grammar."""
+    from open_source_search_engine_spark.ops.sitestats import site_table
+    from open_source_search_engine_spark.query.executor import IndexReader
+
+    d = _ensure_base_index(spark, sf_dir)
+    rd = IndexReader(spark, d)
+    return site_table(rd.docs()).select(
+        "site", F.col("n_docs").cast("long"), "site_rank",
+        "total_tokens", "n_langs", "main_lang_id",
+        "first_ts", "last_ts")
+
+
+def _site_stats_sql() -> str:
+    from open_source_search_engine_spark.functions.gbhash import hash8
+    from open_source_search_engine_spark.functions.posdb import (
+        site_rank_from_inlinks,
+    )
+
+    whens = " ".join(
+        f"when {i} then "
+        f"{site_rank_from_inlinks(hash8(f'site{i:04d}.example'.encode()) % 200)}"
+        for i in range(97))
+    return f"""
+with d as (
+  select doc_id % 97 as s,
+         case lang when 'en' then 1 when 'fr' then 2 when 'es' then 3
+                   when 'de' then 9 when 'zh' then 7 else 0 end as lid,
+         len(string_split(text, ' ')) as nt,
+         doc_id
+  from documents),
+lc as (select s, lid, count(*) as c from d group by s, lid),
+main as (
+  select s, lid as main_lang_id
+  from (select s, lid,
+               row_number() over (partition by s
+                                  order by c desc, lid asc) as rn
+        from lc)
+  where rn = 1),
+agg as (
+  select s, count(*)::bigint as n_docs,
+         sum(nt)::bigint as total_tokens,
+         (1704067200 + 60 * min(doc_id % 100000))::bigint as first_ts,
+         (1704067200 + 60 * max(doc_id % 100000))::bigint as last_ts
+  from d group by s),
+nl as (select s, count(*)::bigint as n_langs from lc group by s)
+select 'site' || printf('%04d', agg.s) || '.example' as site,
+       n_docs,
+       (case agg.s {whens} end)::int as site_rank,
+       total_tokens, n_langs, main_lang_id::int as main_lang_id,
+       first_ts, last_ts
+from agg join main on main.s = agg.s join nl on nl.s = agg.s
+"""
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k=5-gram
     hashes, w=4 windows, per-window min with the paper's rightmost tie
@@ -1739,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_intersect": q_sketch_intersect,
         "percolate": q_percolate,
         "nb_quality": q_nb_quality,
+        "site_stats": q_site_stats,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2828,6 +2889,7 @@ select doc_id::bigint as doc_id,
        case when doc_id % 9 = 0 then 1 else 0 end::int as no_archive
 from documents
 """,
+        "site_stats": _site_stats_sql(),
         "nb_quality": """
 with lab as (
   select doc_id, text,

@@ -1687,3 +1687,36 @@ def test_label_propagation_communities(spark):
     assert all(got[n] == 0 for n in (0, 1, 2, 3))
     assert all(got[n] == 10 for n in (10, 11, 12, 13))
     assert got[99] == 0  # adopts its only in-neighbor's community
+
+
+def test_site_table_rollup(spark):
+    """tagdb-analog per-site rollup: counts, dominant language with
+    (count desc, langId asc) tie order, crawl-time span."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.ops.sitestats import site_table
+
+    rows = []
+    # site a: 3 docs, langs 1,1,9 -> main 1; site b: 2 docs langs 9,1
+    # -> tie broken to langId 1; site c: single doc
+    for i, (site, lang, ntok, rank) in enumerate([
+            ("a.example", 1, 10, 3), ("a.example", 1, 20, 3),
+            ("a.example", 9, 5, 3),
+            ("b.example", 9, 7, 5), ("b.example", 1, 8, 5),
+            ("c.example", 7, 9, 1)]):
+        rows.append({"url": f"http://{site}/p/{i}.html",
+                     "site_rank": rank, "lang_id": lang,
+                     "n_tokens": ntok,
+                     "warc_ts": dt.datetime(2024, 1, 1)
+                     + dt.timedelta(minutes=i)})
+    got = {r["site"]: r for r in
+           site_table(spark.createDataFrame(pd.DataFrame(rows)))
+           .collect()}
+    a, b, c = got["a.example"], got["b.example"], got["c.example"]
+    assert (a["n_docs"], a["total_tokens"], a["main_lang_id"],
+            a["n_langs"], a["site_rank"]) == (3, 35, 1, 2, 3)
+    assert a["last_ts"] - a["first_ts"] == 120
+    assert (b["n_docs"], b["main_lang_id"]) == (2, 1)  # tie -> min id
+    assert (c["n_docs"], c["main_lang_id"], c["n_langs"]) == (1, 7, 1)
