@@ -1133,6 +1133,21 @@ def q_nb_quality(spark, sf_dir):
         F.col("doc_id").cast("long"), "score_micro")
 
 
+def q_fsck(spark, sf_dir):
+    """Index integrity check (RdbMap.h:245 verifyMap analog): every
+    blob re-decoded and cross-checked against its stats columns, codec
+    directories, salt-residue layout and block-max bounds, plus
+    term_stats/docs cross-table invariants. The oracle pins the
+    CONTRACT — all 11 checks report zero violations on the base index
+    (tampering detection is pytest-pinned in tests/test_fsck.py)."""
+    from open_source_search_engine_spark.index.fsck import fsck_index
+
+    d = _ensure_base_index(spark, sf_dir)
+    return (fsck_index(spark, d)
+            .select("check", F.col("n_bad").cast("long"))
+            .orderBy("check"))
+
+
 def q_site_stats(spark, sf_dir):
     """tagdb-analog per-site rollup from the index docs snapshot
     (Tagdb.cpp:875: the reference's per-site record store): counts,
@@ -1800,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "nb_quality": q_nb_quality,
         "site_stats": q_site_stats,
+        "index_fsck": q_fsck,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2890,6 +2906,10 @@ select doc_id::bigint as doc_id,
 from documents
 """,
         "site_stats": _site_stats_sql(),
+        "index_fsck": """
+select * from (values ('blob_decodes', 0), ('block_max_dominates', 0), ('bucket_matches', 0), ('cf_matches', 0), ('df_matches', 0), ('docids_sorted', 0), ('docs_unique_per_gen', 0), ('max_tf_matches', 0), ('n_bytes_matches', 0), ('salt_residue', 0), ('term_stats_consistent', 0))
+  as t("check", n_bad) order by "check"
+""",
         "nb_quality": """
 with lab as (
   select doc_id, text,
