@@ -1133,6 +1133,26 @@ def q_nb_quality(spark, sf_dir):
         F.col("doc_id").cast("long"), "score_micro")
 
 
+def q_langid_rank(spark, sf_dir):
+    """Trainable Cavnar-Trenkle language ID (rank-order trigram
+    profiles, out-of-place distance): trains on the documents table's
+    own lang labels and classifies every doc — all-integer ranks and
+    distances with total tie orders, so the oracle reproduces every
+    prediction bit for bit (the labels in the synthetic corpus are
+    uninformative, which is fine: the oracle pins the MATH; real-
+    language accuracy is pytest-pinned on a multilingual fixture)."""
+    from open_source_search_engine_spark.ops.langid import (
+        detect_lang_rank,
+        train_lang_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = train_lang_profiles(docs, k=20)
+    return (detect_lang_rank(docs, prof, k=20)
+            .select(F.col("doc_id").cast("long"), "predicted_lang",
+                    "distance"))
+
+
 def q_fsck(spark, sf_dir):
     """Index integrity check (RdbMap.h:245 verifyMap analog): every
     blob re-decoded and cross-checked against its stats columns, codec
@@ -1816,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality": q_nb_quality,
         "site_stats": q_site_stats,
         "index_fsck": q_fsck,
+        "langid_rank": q_langid_rank,
         "textrank": q_textrank,
         "label_prop": q_label_prop,
         "multimodal_meta": q_multimodal_meta,
@@ -2906,6 +2927,43 @@ select doc_id::bigint as doc_id,
 from documents
 """,
         "site_stats": _site_stats_sql(),
+        "langid_rank": """
+with tok as (
+  select doc_id, lang, unnest(string_split(text, ' ')) as w
+  from documents),
+pw as (select doc_id, lang, ' ' || w || ' ' as pw
+       from tok where w != ''),
+g as (select doc_id, lang, substring(pw, i, 3) as gram
+      from pw, lateral (select unnest(range(1, len(pw) - 1)) as i)),
+lc as (select lang, gram, count(*) as c from g group by lang, gram),
+prof as (select lang, gram, rank from
+  (select lang, gram,
+          row_number() over (partition by lang
+                             order by c desc, gram asc) as rank
+   from lc) where rank <= 20),
+dc as (select doc_id, gram, count(*) as c from g
+       group by doc_id, gram),
+dg as (select doc_id, gram, drank from
+  (select doc_id, gram,
+          row_number() over (partition by doc_id
+                             order by c desc, gram asc) as drank
+   from dc) where drank <= 20),
+langs as (select distinct lang from prof),
+scored as (select dg.doc_id, langs.lang,
+                  coalesce(abs(drank - rank), 20) as oop
+           from dg cross join langs
+           left join prof on prof.lang = langs.lang
+                         and prof.gram = dg.gram),
+per as (select doc_id, lang, sum(oop) as dist
+        from scored group by doc_id, lang)
+select doc_id::bigint as doc_id, lang as predicted_lang,
+       dist::bigint as distance
+from (select doc_id, lang, dist,
+             row_number() over (partition by doc_id
+                                order by dist asc, lang asc) as rn
+      from per)
+where rn = 1
+""",
         "index_fsck": """
 select * from (values ('blob_decodes', 0), ('block_max_dominates', 0), ('bucket_matches', 0), ('cf_matches', 0), ('df_matches', 0), ('docids_sorted', 0), ('docs_unique_per_gen', 0), ('max_tf_matches', 0), ('n_bytes_matches', 0), ('salt_residue', 0), ('term_stats_consistent', 0))
   as t("check", n_bad) order by "check"
