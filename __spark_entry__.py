@@ -378,6 +378,21 @@ def q_search_after_delete(spark, sf_dir):
     return _search_ids(spark, sf_dir, "ext:html", flavor="incr")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff over the generational index (Iceberg diff
+    semantics, the complement of VERSION AS OF): gen0 -> current on the
+    incr index is exactly 'doc_id%100==0 removed (gen-2 tombstones),
+    doc_id%10==0 otherwise updated (gen-1 re-crawl changed the content
+    hash)' — effective visibility changes, newest-wins resolved."""
+    from open_source_search_engine_spark.query.executor import (
+        snapshot_diff,
+    )
+
+    d = _ensure_incr_index(spark, sf_dir)
+    return snapshot_diff(spark, d, 0).select(
+        F.col("doc_id").cast("long"), "change")
+
+
 def q_search_topk_wand(spark, sf_dir):
     """Top-k through the multi-term block-max WAND path (k=10 routes
     into _search_multi_wand): the oracle is the same BM25 ranking
@@ -1755,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,
         "search_asof": q_search_asof,
+        "snapshot_diff": q_snapshot_diff,
         "search_facets": q_search_facets,
         "search_noarchive": q_search_noarchive,
         "search_topk_wand": q_search_topk_wand,
@@ -2927,6 +2943,13 @@ select doc_id::bigint as doc_id,
 from documents
 """,
         "site_stats": _site_stats_sql(),
+        "snapshot_diff": """
+select doc_id::bigint as doc_id, 'removed' as change
+from documents where doc_id % 100 = 0
+union all
+select doc_id::bigint, 'updated'
+from documents where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
         "langid_rank": """
 with tok as (
   select doc_id, lang, unnest(string_split(text, ' ')) as w

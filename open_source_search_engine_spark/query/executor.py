@@ -2339,3 +2339,40 @@ def fetch_cached(spark: SparkSession, index_dir: str, doc_id: int,
     key = d.select(F.col("doc_id").alias("_did"), "url")
     return (source.join(F.broadcast(key), "url")
             .select(F.col("_did").alias("doc_id"), "url", "html", "text"))
+
+
+def snapshot_diff(spark: SparkSession, index_dir: str,
+                  gen_a: int, gen_b: int | None = None,
+                  conf: EngineConf = DEFAULT_CONF,
+                  include_unchanged: bool = False) -> DataFrame:
+    """(doc_id, change) — what happened to each document between two
+    index snapshots (Iceberg snapshot-diff semantics over the committed
+    generation list, the read-side complement of ``as_of_gen`` time
+    travel): 'added' (visible only in B), 'removed' (tombstoned or
+    gone), 'updated' (re-crawled: content hash or crawl time changed).
+    ``gen_b=None`` diffs against the current snapshot. Both sides are
+    the fully-resolved docs views (newest-wins + tombstones applied),
+    so the diff reports EFFECTIVE visibility changes, exactly what a
+    consumer of the index sees — not raw row churn.
+
+    Scale shape: one doc_id-keyed full-outer join of two metadata
+    views (narrow columns, partition-pruned to gen<= dirs); no posting
+    data touched."""
+    ra = IndexReader(spark, index_dir, conf, as_of_gen=gen_a)
+    rb = IndexReader(spark, index_dir, conf, as_of_gen=gen_b)
+    a = ra.docs().select("doc_id",
+                         F.col("content_hash").alias("_ha"),
+                         F.col("warc_ts").alias("_ta"))
+    b = rb.docs().select("doc_id",
+                         F.col("content_hash").alias("_hb"),
+                         F.col("warc_ts").alias("_tb"))
+    j = a.join(b, "doc_id", "full")
+    change = (F.when(F.col("_ha").isNull(), F.lit("added"))
+              .when(F.col("_hb").isNull(), F.lit("removed"))
+              .when((F.col("_ha") != F.col("_hb"))
+                    | (F.col("_ta") != F.col("_tb")), F.lit("updated"))
+              .otherwise(F.lit("unchanged")))
+    out = j.select("doc_id", change.alias("change"))
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out

@@ -1037,3 +1037,42 @@ def test_search_facets(built, spark, small_conf):
     with pytest.raises(ValueError):
         search_facets(spark, built, "spark", field="nope",
                       conf=small_conf)
+
+
+def test_snapshot_diff(spark, small_conf, tmp_index):
+    """Iceberg-style snapshot diff over the generation list: effective
+    visibility changes (added / removed / updated) between two as-of
+    views, newest-wins and tombstones already resolved."""
+    from open_source_search_engine_spark.query.executor import (
+        snapshot_diff,
+    )
+
+    build_index(spark, _webtext_df(spark), tmp_index,
+                conf=small_conf, gen=0)
+    # gen1: re-crawl doc 2 with different text + a brand-new doc 99
+    recrawl = _webtext_df(spark, {2: "completely different now"},
+                          suffix="")
+    newdoc = _webtext_df(spark, {99: "newly added document"})
+    build_index(spark, recrawl.unionByName(newdoc), tmp_index,
+                conf=small_conf, gen=1)
+    # gen2: tombstone doc 5
+    delete_docs(spark, tmp_index, [5], gen=2)
+    meta_p = os.path.join(tmp_index, "_index_meta.json")
+    meta = json.load(open(meta_p))
+    meta["gens"] = sorted(set(meta["gens"]) | {2})
+    json.dump(meta, open(meta_p, "w"))
+
+    got = {r["doc_id"]: r["change"] for r in
+           snapshot_diff(spark, tmp_index, 0, conf=small_conf).collect()}
+    assert got == {2: "updated", 99: "added", 5: "removed"}
+
+    # bounded upper snapshot: before the tombstone, doc 5 is untouched
+    got01 = {r["doc_id"]: r["change"] for r in
+             snapshot_diff(spark, tmp_index, 0, 1,
+                           conf=small_conf).collect()}
+    assert got01 == {2: "updated", 99: "added"}
+
+    # include_unchanged covers the whole corpus
+    n = snapshot_diff(spark, tmp_index, 0, conf=small_conf,
+                      include_unchanged=True).count()
+    assert n == len(DOCS) + 1  # 8 originals + the gen1 addition
