@@ -246,6 +246,36 @@ def main() -> int:
           lambda: search_clustered(spark, idx_dir, "key", k=10,
                                    reader=rd).collect())
 
+    # stored-query percolation: 4 registered queries over the corpus
+    # (one explode + one broadcast join + one (doc,query) groupBy)
+    from open_source_search_engine_spark.query.percolate import percolate
+
+    stored = [(1, "key window"), (2, "stream -customer"),
+              (3, '"key value"'), (4, "batch -key")]
+    timed("op_percolate",
+          lambda: percolate(spark, docs, stored).count())
+
+    # NB quality classifier: train (two aggregations) + score (one
+    # broadcast model join + integer per-doc sum)
+    from open_source_search_engine_spark.ops.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    def _nb():
+        labeled = docs.withColumn(
+            "label",
+            F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+            .contains(" customer ").cast("int"))
+        model, prior = nb_train(labeled)
+        return nb_score(docs, model, prior).count()
+    timed("op_nb_quality", _nb)
+
+    # tagdb site rollup over the index docs snapshot
+    from open_source_search_engine_spark.ops.sitestats import site_table
+
+    timed("op_site_stats", lambda: site_table(rd.docs()).count())
+
     total = time.time() - t_all
     out = {
         "metric": ("index-build docs/sec + query latency "
