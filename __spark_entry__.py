@@ -378,6 +378,23 @@ def q_search_after_delete(spark, sf_dir):
     return _search_ids(spark, sf_dir, "ext:html", flavor="incr")
 
 
+def q_search_cached(spark, sf_dir):
+    """Query-result cache (the Msg40 serving cache the fork removed,
+    Msg40.cpp:1907, policy chain SearchInput.cpp:444-455 re-attached):
+    the same AND query served twice through the cache — the second
+    call is a snapshot-fingerprinted k-row parquet hit, and the result
+    must equal the uncached BM25 ranking exactly (same oracle as
+    search_and)."""
+    from open_source_search_engine_spark.query.cache import QueryCache
+
+    d = _ensure_base_index(spark, sf_dir)
+    qc = QueryCache(os.path.join("/tmp", "osse_qcache"))
+    qc.search(spark, d, "key window stream", k=None).collect()
+    res = qc.search(spark, d, "key window stream", k=None)
+    return res.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.round("score", 6).alias("score"))
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot diff over the generational index (Iceberg diff
     semantics, the complement of VERSION AS OF): gen0 -> current on the
@@ -1771,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_incremental": q_search_incremental,
         "search_asof": q_search_asof,
         "snapshot_diff": q_snapshot_diff,
+        "search_cached": q_search_cached,
         "search_facets": q_search_facets,
         "search_noarchive": q_search_noarchive,
         "search_topk_wand": q_search_topk_wand,
@@ -2943,6 +2961,7 @@ select doc_id::bigint as doc_id,
 from documents
 """,
         "site_stats": _site_stats_sql(),
+        "search_cached": _bm25_query(["key", "window", "stream"]),
         "snapshot_diff": """
 select doc_id::bigint as doc_id, 'removed' as change
 from documents where doc_id % 100 = 0
