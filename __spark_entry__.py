@@ -378,6 +378,21 @@ def q_search_after_delete(spark, sf_dir):
     return _search_ids(spark, sf_dir, "ext:html", flavor="incr")
 
 
+def q_search_explain(spark, sf_dir):
+    """Per-term transparent scoring rows (m_getDocIdScoringInfo /
+    SingleScore analog, Msg39.h:56, PosdbTable.h:290) for the full
+    'key window' match set: the oracle recomputes every tf/dl/df/idf/
+    contribution input with the shared BM25 CTE."""
+    from open_source_search_engine_spark.query.executor import (
+        search_explain,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return search_explain(spark, d, "key window", k=None).select(
+        F.col("doc_id").cast("long"), "term", "tf", "dl", "df",
+        "idf", "contribution")
+
+
 def q_search_cached(spark, sf_dir):
     """Query-result cache (the Msg40 serving cache the fork removed,
     Msg40.cpp:1907, policy chain SearchInput.cpp:444-455 re-attached):
@@ -1789,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_asof": q_search_asof,
         "snapshot_diff": q_snapshot_diff,
         "search_cached": q_search_cached,
+        "search_explain": q_search_explain,
         "search_facets": q_search_facets,
         "search_noarchive": q_search_noarchive,
         "search_topk_wand": q_search_topk_wand,
@@ -2962,6 +2978,21 @@ from documents
 """,
         "site_stats": _site_stats_sql(),
         "search_cached": _bm25_query(["key", "window", "stream"]),
+        "search_explain": f"""{_bm25_cte()}
+select tf.doc_id::bigint as doc_id, tf.tok as term,
+       tf.tf::int as tf, dl.dl::int as dl, stats.df::bigint as df,
+       round(ln(1.0 + (corpus.nd - stats.df + 0.5)
+                      / (stats.df + 0.5)), 6) as idf,
+       round({_bm25_score()}, 6) as contribution
+from tf
+join stats on stats.tok = tf.tok
+join dl on dl.doc_id = tf.doc_id
+cross join corpus
+where tf.tok in ('key', 'window')
+  and tf.doc_id in (
+    select doc_id from tf where tok in ('key', 'window')
+    group by doc_id having count(distinct tok) = 2)
+""",
         "snapshot_diff": """
 select doc_id::bigint as doc_id, 'removed' as change
 from documents where doc_id % 100 = 0

@@ -2376,3 +2376,66 @@ def snapshot_diff(spark: SparkSession, index_dir: str,
     if not include_unchanged:
         out = out.where(F.col("change") != "unchanged")
     return out
+
+
+def search_explain(spark: SparkSession, index_dir: str, query: str,
+                   k: int | None = 10, conf: EngineConf = DEFAULT_CONF,
+                   reader: IndexReader | None = None) -> DataFrame:
+    """Transparent per-term scoring breakdown — the reference's
+    docid-scoring-info surface (Msg39.h:56 m_getDocIdScoringInfo;
+    PosdbTable.h:290 SingleScore records serialized per result for the
+    &debug UI): for every result doc of the query, one row per
+    positive query term with the inputs and output of its BM25
+    contribution (tf, dl, df, idf, contribution) — sum(contribution)
+    over a doc's rows == its search() score (pytest-pinned). BM25 mode;
+    the reference-formula chain's transparency is pinned by the
+    refscore float-order golden tests instead.
+
+    Scale shape: membership reuses the normal search (top-k bounded in
+    serving use); the explain pass decodes only the result docs' blocks
+    (candidate-restricted postings fetch, block skip-pointers), then
+    scores per (doc, term) with the same literal idf map — no second
+    full-list decode."""
+    rd = reader or IndexReader(spark, index_dir, conf)
+    cq = compile_query(query)
+    if cq.boolean_expr is not None:
+        raise ValueError("explain covers conjunctive queries; boolean "
+                         "trees score per-arm (use the membership "
+                         "flags of _boolean_membership)")
+    top = search(spark, index_dir, query, k=k, conf=conf, reader=rd)
+    ids = np.sort(np.array([r["doc_id"] for r in
+                            top.select("doc_id").collect()],
+                           dtype=np.uint64))
+    if len(ids) == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, term string, tf int, dl int, df long, "
+                "idf double, contribution double")
+    tid2word = {}
+    for g in cq.groups:
+        if g.negative:
+            continue
+        word = f"{g.field}:{g.word}" if g.field else g.word
+        tid2word[int(g.term_ids[0])] = word
+    tids = sorted(tid2word)
+    dfs = rd.df_of(tids)
+    idf_map = {t: bm25_idf(rd.n_docs, dfs[t]) for t in tids}
+    wmap = F.create_map(*[F.lit(x) for t in tids
+                          for x in (t, tid2word[t])])
+    imap = F.create_map(*[F.lit(x) for t in tids
+                          for x in (t, idf_map[t])])
+    dmap = F.create_map(*[F.lit(x) for t in tids
+                          for x in (t, int(dfs[t]))])
+    k1, b = conf.k1, conf.b
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    contrib = (imap[F.col("term_id")] * (tf * (k1 + 1.0))
+               / (tf + k1 * (1.0 - b + b * dl / F.lit(rd.avgdl))))
+    posts = rd.postings(tids, candidate_docs=ids)
+    return posts.select(
+        "doc_id",
+        wmap[F.col("term_id")].alias("term"),
+        F.col("tf").cast("int"),
+        F.col("dl").cast("int"),
+        dmap[F.col("term_id")].cast("long").alias("df"),
+        F.round(imap[F.col("term_id")], 6).alias("idf"),
+        F.round(contrib, 6).alias("contribution"))

@@ -1076,3 +1076,42 @@ def test_snapshot_diff(spark, small_conf, tmp_index):
     n = snapshot_diff(spark, tmp_index, 0, conf=small_conf,
                       include_unchanged=True).count()
     assert n == len(DOCS) + 1  # 8 originals + the gen1 addition
+
+
+def test_search_explain_sums_to_score(built, spark, small_conf):
+    """Transparent scoring info (Msg39.h:56 m_getDocIdScoringInfo
+    analog): per-term contribution rows sum to the doc's search()
+    score exactly, df/idf match the index stats, and negative terms
+    contribute no rows."""
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.query.executor import (
+        search_explain,
+    )
+
+    rows = search_explain(spark, built, "spark merge", k=None,
+                          conf=small_conf).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    want = {r["doc_id"]: r["score"] for r in
+            search_all(spark, built, "spark merge",
+                       conf=small_conf).collect()}
+    assert set(per_doc) == set(want)
+    for d, rs in per_doc.items():
+        assert {r["term"] for r in rs} == {"spark", "merge"}
+        assert sum(r["contribution"] for r in rs) == \
+            _pytest.approx(want[d], abs=2e-6)  # rows round at 6
+    # df matches the exact index stats (spark df=4 in the fixture)
+    spark_rows = [r for r in rows if r["term"] == "spark"]
+    assert all(r["df"] == 4 for r in spark_rows)
+
+    # negated terms restrict membership but are never explained
+    rows2 = search_explain(spark, built, "spark -index", k=None,
+                           conf=small_conf).collect()
+    assert {r["term"] for r in rows2} == {"spark"}
+    assert 2 not in {r["doc_id"] for r in rows2}  # doc 2 has 'index'
+
+    with _pytest.raises(ValueError):
+        search_explain(spark, built, "spark AND (index OR merge)",
+                       conf=small_conf)
