@@ -853,7 +853,7 @@ def make_anchor_rows():
                     "warc_ts": None, "term_ids": terms, "poss": poss,
                     "ctxs": ctxs, "lex_words": [], "lex_ids": [],
                     "out_hrefs": [], "out_texts": [], "out_neigh": [],
-                    "content_hash": 0,
+                    "content_hash": 0, "no_archive": 0,
                 })
             if recs:
                 yield pd.DataFrame(recs)[cols]
