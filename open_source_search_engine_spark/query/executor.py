@@ -2305,6 +2305,18 @@ def estimate_and_cardinality(spark: SparkSession, index_dir: str,
     keyed = (regs.where(F.col("term_id").isin(list(id2w)))
              .select(wmap[F.col("term_id")].alias("key"),
                      "bucket", "register"))
+    present = {r["key"] for r in keyed.select("key").distinct().collect()}
+    missing = [w for w in words if w not in present]
+    if missing:
+        # a term with NO registers has df == 0, so the conjunction is
+        # provably empty — report 0 instead of silently estimating
+        # over the present subset (which would overestimate)
+        rows = [(w, 1, 0.0) for w in missing] +                [("&".join(words), len(words), 0.0)]
+        zero = spark.createDataFrame(
+            rows, "subset string, n_keys int, estimate double")
+        if not present:
+            return zero
+        return hll_subset_unions(keyed, p, key="key").unionByName(zero)
     subs = hll_subset_unions(keyed, p, key="key")
     inter = hll_intersection_estimate(keyed, p, key="key").select(
         F.lit("&".join(words)).alias("subset"),

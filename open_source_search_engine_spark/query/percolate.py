@@ -64,10 +64,15 @@ def compile_stored_queries(
                 raise ValueError(
                     f"query {qid!r}: field filter {g.field!r} is not "
                     "percolatable")
-            (neg if g.negative else req).append((int(qid), g.word))
+            # match case-insensitively like the engine (termIds hash
+            # lowercased, Query.cpp wordId path): store lowercase terms
+            # and lowercase the document side at match time
+            (neg if g.negative else req).append(
+                (int(qid), g.word.lower()))
         for run in cq.quoted_runs:
             phr.append((int(qid),
-                        " ".join(cq.groups[i].word for i in run)))
+                        " ".join(cq.groups[i].word.lower()
+                                 for i in run)))
     req_df = spark.createDataFrame(req, "query_id int, term string")
     out = {
         "req": req_df,
@@ -99,8 +104,8 @@ def percolate(
     did = F.col(id_col)
     toks = docs.select(
         did.alias("doc_id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))
-                  ).alias("term"))
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.col(text_col)), " "))).alias("term"))
 
     # required + negated terms fold into ONE aggregation: a doc matching
     # a negated term lands in the same (doc, query) group its required
@@ -123,7 +128,8 @@ def percolate(
         phr_q = q["phr"].select("query_id").distinct()
         padded = docs.select(
             did.alias("doc_id"),
-            F.concat(F.lit(" "), F.col(text_col), F.lit(" ")).alias("_t"))
+            F.concat(F.lit(" "), F.lower(F.col(text_col)),
+                     F.lit(" ")).alias("_t"))
         with_phr = (
             cand.join(F.broadcast(q["phr"]), "query_id")
             .join(padded, "doc_id")

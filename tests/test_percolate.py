@@ -100,3 +100,16 @@ def test_streaming_percolate_matches_batch(spark, tmp_path):
     row = [r for r in alerts_output(spark, out).collect()
            if r["doc_id"] == 2][0]
     assert row["url"] == "http://x.example/2"
+
+
+def test_percolate_case_insensitive(spark):
+    """Engine parity: termIds hash lowercased, so percolation matches
+    case-insensitively on both the query and the document side."""
+    docs = spark.createDataFrame(
+        [(1, "Key WINDOW value"), (2, "stream Customer here")],
+        "doc_id long, text string")
+    got = {(r["query_id"], r["doc_id"]) for r in
+           percolate(spark, docs, [(1, "KEY window"),
+                                   (2, "stream -CUSTOMER"),
+                                   (3, '"key Window"')]).collect()}
+    assert got == {(1, 1), (3, 1)}

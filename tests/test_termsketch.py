@@ -161,3 +161,14 @@ def test_no_sketches_is_explicit(spark, small_conf, tmp_index):
     with pytest.raises(ValueError):
         estimate_and_cardinality(spark, tmp_index, ["alpha"],
                                  conf=small_conf, reader=rd)
+
+
+def test_missing_term_conjunction_is_zero(spark, sk_index):
+    """A query term with no registers has df == 0, so the AND is
+    provably empty: the estimate reports 0, never a silent estimate
+    over the present subset."""
+    got = _est_map(estimate_and_cardinality(
+        spark, sk_index, ["alpha", "zzznothere"], conf=SK_CONF))
+    assert got["zzznothere"] == (1, 0.0)
+    assert got["alpha&zzznothere"] == (2, 0.0)
+    assert got["alpha"][1] > 300  # the present term still estimates
