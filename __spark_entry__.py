@@ -1771,6 +1771,28 @@ def q_gopher_filter(spark, sf_dir):
         "ok_stops", "ok_ellipsis", "ok_bullets", "keep")
 
 
+def q_curate_pipeline(spark, sf_dir):
+    """Composed training-corpus curation chain
+    (ops.pipeline.curate_training_corpus): langid -> Gopher quality ->
+    exact dedup (min-doc_id keeper) -> 13-gram eval decontamination ->
+    PII redact + token count, with docs doc_id % 20 == 0 standing in
+    for the eval set (same split as the decontaminate entries). One
+    audit row per training doc: stage verdicts, first-failing
+    drop_stage, and the kept docs' redacted-text metrics."""
+    from open_source_search_engine_spark.ops.pipeline import (
+        curate_training_corpus,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    return curate_training_corpus(tr, ev).select(
+        F.col("doc_id").cast("long"), "pred_lang", "lang_ok",
+        "quality_ok", "exact_dup", "contaminated", "drop_stage",
+        "kept", F.col("n_tokens").cast("long"),
+        F.col("n_pii").cast("long"), "clean_md5")
+
+
 def q_keywords_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf·ln(N/df)
     (ops.textstats.keywords_tfidf), ties (tfidf DESC, term ASC)."""
@@ -1850,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "keywords_tfidf": q_keywords_tfidf,
         "gopher_filter": q_gopher_filter,
+        "curate_pipeline": q_curate_pipeline,
         "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
@@ -2046,6 +2069,96 @@ with base as (
 ),
 scored as (select doc_id, {score_cols} from base)
 select doc_id::bigint as doc_id, {pred} as predicted_lang from scored
+"""
+
+    # --- composed curation pipeline (ops/pipeline.py) ---
+    # stage CTEs reuse the lang_detect / gopher_filter / pii_redact /
+    # decontaminate oracle fragments verbatim so the composition is
+    # pinned by the same SQL the standalone entries already verify
+    em_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    ph_re = r"\+?\d[\d() -]{7,}\d"
+    sh13 = ("unnest(list_distinct([list_aggregate(ts[i:i+12], "
+            "'string_agg', ' ') for i in range(1, len(ts) - 11)]))")
+    curate_sql = f"""
+with tr as (select doc_id, text from documents where doc_id % 20 != 0),
+lbase as (select doc_id, text,
+                 list_distinct(string_split(text, ' ')) as ts from tr),
+scored as (select doc_id, text, {score_cols} from lbase),
+lp as (select doc_id, text, {pred} as pred_lang from scored),
+gb as (select doc_id, string_split(text, ' ') as ts,
+              string_split(text, chr(10)) as lns, text from tr),
+gsig as (
+  select doc_id,
+    len(ts)::bigint as n_words,
+    round(list_sum(list_transform(ts, t -> strlen(t)))::double / len(ts), 4)
+      as mean_word_len,
+    round((strlen(text)
+           - strlen(regexp_replace(text, '#|\\.\\.\\.|…', '', 'g')))::double
+          / len(ts), 4) as symbol_ratio,
+    round(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))::double
+          / len(ts), 4) as alpha_word_frac,
+    len(list_intersect(list_distinct(ts), [{stops}]))::bigint
+      as n_stop_hits,
+    round(len(list_filter(lns, x -> ends_with(x, '...')
+                                    or ends_with(x, '…')))::double
+          / len(lns), 4) as ellipsis_line_frac,
+    round(len(list_filter(lns, x -> starts_with(x, '-')
+                                    or starts_with(x, '*')
+                                    or starts_with(x, '•')))::double
+          / len(lns), 4) as bullet_line_frac
+  from gb),
+gk as (select doc_id,
+         ((n_words >= 50 and n_words <= 100000)
+          and (mean_word_len >= 3.0 and mean_word_len <= 10.0)
+          and symbol_ratio <= 0.1 and alpha_word_frac >= 0.8
+          and n_stop_hits >= 2 and ellipsis_line_frac <= 0.3
+          and bullet_line_frac <= 0.9) as quality_ok
+       from gsig),
+base as (select l.doc_id, l.text, l.pred_lang,
+                (l.pred_lang = 'en') as lang_ok, gk.quality_ok
+         from lp l join gk using (doc_id)),
+surv as (select * from base where lang_ok and quality_ok),
+keepers as (select md5(text) as m, min(doc_id) as keep_id
+            from surv group by 1),
+exf as (select b.doc_id,
+          coalesce(b.lang_ok and b.quality_ok
+                   and b.doc_id != k.keep_id, false) as exact_dup
+        from base b left join keepers k on md5(b.text) = k.m),
+stoks as (select doc_id, string_split(text, ' ') as ts from surv),
+sh as (select doc_id, {sh13} as shingle from stoks where len(ts) >= 13),
+evt as (select doc_id, string_split(text, ' ') as ts
+        from documents where doc_id % 20 = 0),
+evsh as (select distinct {sh13} as shingle from evt where len(ts) >= 13),
+contam as (select distinct s.doc_id from sh s
+           join evsh e on s.shingle = e.shingle),
+p0 as (select doc_id, text as t0,
+              regexp_replace(text, '{em_re}', '<EMAIL>', 'g') as t1
+       from surv),
+p1 as (select *, regexp_replace(t1, '{ip_re}', '<IP>', 'g') as t2 from p0),
+pii as (select doc_id, regexp_replace(t2, '{ph_re}', '<PHONE>', 'g') as t3,
+          (len(regexp_extract_all(t0, '{em_re}'))
+           + len(regexp_extract_all(t1, '{ip_re}'))
+           + len(regexp_extract_all(t2, '{ph_re}')))::bigint as n_pii
+        from p1),
+staged as (
+  select b.doc_id, b.pred_lang, b.lang_ok, b.quality_ok, x.exact_dup,
+         coalesce(c.doc_id is not null, false) as contaminated,
+         case when not b.lang_ok then 'lang'
+              when not b.quality_ok then 'quality'
+              when x.exact_dup then 'exact_dup'
+              when c.doc_id is not null then 'contaminated'
+              else 'kept' end as drop_stage
+  from base b join exf x using (doc_id)
+  left join contam c on b.doc_id = c.doc_id)
+select s.doc_id::bigint as doc_id, s.pred_lang, s.lang_ok, s.quality_ok,
+       s.exact_dup, s.contaminated, s.drop_stage,
+       (s.drop_stage = 'kept') as kept,
+       case when s.drop_stage = 'kept'
+            then len(string_split(p.t3, ' '))::bigint end as n_tokens,
+       case when s.drop_stage = 'kept' then p.n_pii end as n_pii,
+       case when s.drop_stage = 'kept' then md5(p.t3) end as clean_md5
+from staged s left join pii p on s.doc_id = p.doc_id
 """
 
     # --- ann cosine (query vector = embedding of vec_id 0) ---
@@ -2655,6 +2768,7 @@ select *,
    and bullet_line_frac <= 0.9) as keep
 from sig
 """.replace("__STOPS__", stops),
+        "curate_pipeline": curate_sql,
         "keywords_tfidf": """
 with tok as (select doc_id, unnest(string_split(text, ' ')) as term
              from documents),

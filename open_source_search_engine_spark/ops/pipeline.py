@@ -1,0 +1,161 @@
+"""Composed training-corpus curation pipeline.
+
+The individual stages — language ID, Gopher quality gate, exact
+dedup, eval-set decontamination, PII redaction, token counting — each
+exist as standalone operators in this package. Real corpora are built
+by CHAINING them (CCNet Wenzek et al. 2020 fig. 1: dedup -> langid ->
+quality; GPT-3 Brown et al. 2020 appendix A: quality-classify ->
+fuzzy-dedup -> decontaminate; Gopher/MassiveText Rae et al. 2021
+appendix A: filter -> quality rules -> dedup -> decontaminate), and
+the composition is itself the operator: stages evaluate only the
+upstream survivors, so the expensive stages (shingle explode for
+decontamination) never touch docs a cheap map-only gate rejected.
+
+The reference engine is the SERVING side of such a corpus (its
+quality heuristics live per-doc at index time: word-spam vectors,
+adult/langid gates, content-hash dedup terms — XmlDoc_Indexing.cpp:156
+hashNoSplit, Lang.cpp, AdultCheck.cpp); this module is the curation
+side a 100 TB crawl needs before (or instead of) indexing.
+
+Scale shape — the thing this composition is careful about is that NO
+shuffle ever carries document text:
+
+- one map-only projection computes language, the Gopher verdict, the
+  text md5 AND the PII-redacted metrics, then DROPS the text — every
+  downstream exchange moves ~50-byte rows;
+- exact dedup is a (md5 -> min doc_id) aggregation (map-side partial)
+  plus a narrow join back on the same md5 key;
+- decontamination re-scans the parquet for the survivor texts
+  (scans are cheap and column-pruned; shuffles are not) and probes a
+  BROADCAST eval-shingle table map-side — the corpus shingle explode
+  is never exchanged;
+- the contamination flag joins back as a narrow id set.
+
+Two parquet scans, zero corpus-text shuffles, nothing pairwise,
+nothing collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import decontaminate
+from .textstats import gopher_cols, lang_pred_col, pii_cols, tokens_col
+
+__all__ = ["curate_training_corpus", "training_corpus", "STAGES"]
+
+#: audit drop_stage values, in pipeline order
+STAGES = ("lang", "quality", "exact_dup", "contaminated", "kept")
+
+
+def curate_training_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    target_langs: tuple[str, ...] = ("en",),
+    n_shingle: int = 13,
+) -> DataFrame:
+    """Run the full curation chain and return the AUDIT frame: one row
+    per input doc recording every stage verdict and, for kept docs,
+    the deliverable's metrics.
+
+    Stage order:
+
+    1. ``lang``      — stopword-profile language ID; keep docs whose
+                       predicted language is in ``target_langs``.
+    2. ``quality``   — the Gopher A1.1 rule gate (all 7 rules).
+    3. ``exact_dup`` — md5(text) exact dedup among stage-1/2
+                       survivors; the smallest doc_id of each text
+                       group is the keeper (CCNet keeps one copy, not
+                       zero).
+    4. ``contaminated`` — GPT-3 appendix-C overlap test: drop any doc
+                       sharing >= 1 word ``n_shingle``-gram with
+                       ``eval_docs``.
+    5. kept docs are PII-redacted (emails/IPv4s/phone runs ->
+       placeholder tokens) and token-counted.
+
+    Returns ``(doc_id, pred_lang, lang_ok, quality_ok, exact_dup,
+    contaminated, drop_stage, kept, n_tokens, n_pii, clean_md5)``.
+    ``drop_stage`` is the FIRST failing stage ('kept' when none).
+    ``exact_dup`` and ``contaminated`` are evaluated among the
+    lang+quality survivors and False for docs dropped earlier (an
+    exact-dup doc shares its keeper's text, hence its contamination
+    verdict, so evaluating stage 4 on the pre-dedup survivor set is
+    value-identical to strict sequencing — and lets both flags come
+    off the same projection). ``n_tokens``/``n_pii``/``clean_md5``
+    are NULL for dropped docs.
+    """
+    surv = F.col("lang_ok") & F.col("quality_ok")
+    g = gopher_cols(F.col("text"))
+    pii = pii_cols(F.col("text"))
+    # one map-only pass: verdict columns + survivor metrics, then the
+    # text is DROPPED — downstream exchanges move narrow rows only
+    row0 = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        lang_pred_col(F.col("text")).alias("pred_lang"),
+        g["keep"].alias("quality_ok"),
+        F.size(tokens_col(pii["clean_text"])).cast("long")
+        .alias("n_tokens"),
+        (pii["n_email"] + pii["n_ip"] + pii["n_phone"]).cast("long")
+        .alias("n_pii"),
+        F.md5(pii["clean_text"]).alias("clean_md5"),
+    ).withColumn(
+        "lang_ok", F.col("pred_lang").isin(list(target_langs)))
+    # stage 3: (md5 -> min doc_id) among survivors; narrow agg + join
+    keepers = (row0.where(surv)
+               .groupBy("text_md5")
+               .agg(F.min("doc_id").alias("keep_id")))
+    ex = (row0.join(keepers, "text_md5", "left")
+          .withColumn("exact_dup",
+                      surv & (F.col("doc_id") != F.col("keep_id"))))
+    # stage 4: shingle probe against the broadcast eval set, over the
+    # survivor texts (second scan, column-pruned to doc_id+text)
+    surv_docs = (docs.select("doc_id", "text")
+                 .join(row0.where(surv).select("doc_id"), "doc_id"))
+    contam_ids = (decontaminate(surv_docs, eval_docs, n=n_shingle)
+                  .select("doc_id").distinct()
+                  .withColumn("contaminated", F.lit(True)))
+    audit = (ex.join(contam_ids, "doc_id", "left")
+             .withColumn("contaminated",
+                         F.coalesce(F.col("contaminated"), F.lit(False))))
+    drop_stage = (
+        F.when(~F.col("lang_ok"), "lang")
+        .when(~F.col("quality_ok"), "quality")
+        .when(F.col("exact_dup"), "exact_dup")
+        .when(F.col("contaminated"), "contaminated")
+        .otherwise("kept")
+    )
+    kept = drop_stage == "kept"
+    return audit.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred_lang", "lang_ok", "quality_ok", "exact_dup",
+        "contaminated",
+        drop_stage.alias("drop_stage"),
+        kept.alias("kept"),
+        F.when(kept, F.col("n_tokens")).alias("n_tokens"),
+        F.when(kept, F.col("n_pii")).alias("n_pii"),
+        F.when(kept, F.col("clean_md5")).alias("clean_md5"),
+    )
+
+
+def training_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    target_langs: tuple[str, ...] = ("en",),
+    n_shingle: int = 13,
+) -> DataFrame:
+    """The deliverable corpus: ``(doc_id, clean_text, n_tokens)`` of
+    the docs :func:`curate_training_corpus` keeps, with the
+    PII-redacted text. One extra doc_id join re-attaches the kept ids
+    to the source texts; the redaction runs inline on the joined rows
+    (text still never shuffles redacted — the join exchanges the raw
+    rows once, same as any corpus write would)."""
+    kept = (curate_training_corpus(docs, eval_docs, target_langs,
+                                   n_shingle)
+            .where("kept").select("doc_id"))
+    pii = pii_cols(F.col("text"))
+    return (docs.select("doc_id", "text").join(kept, "doc_id")
+            .select("doc_id",
+                    pii["clean_text"].alias("clean_text"),
+                    F.size(tokens_col(pii["clean_text"]))
+                    .cast("long").alias("n_tokens")))

@@ -254,6 +254,22 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+?\d[\d() -]{7,}\d"
 
 
+def pii_cols(t0: Column) -> dict[str, Column]:
+    """The PII-redaction expressions as named columns over a text
+    expression — exposed so composed pipelines (ops/pipeline.py) can
+    inline the redaction into an existing projection instead of
+    joining :func:`redact_pii`'s output back on doc_id."""
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    return {
+        "clean_text": t3,
+        "n_email": F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long"),
+        "n_ip": F.regexp_count(t1, F.lit(IPV4_RE)).cast("long"),
+        "n_phone": F.regexp_count(t2, F.lit(PHONE_RE)).cast("long"),
+    }
+
+
 def redact_pii(docs: DataFrame,
                text_col: str = "text") -> DataFrame:
     """(doc_id, clean_text, n_email, n_ip, n_phone): redact
@@ -263,17 +279,9 @@ def redact_pii(docs: DataFrame,
     codegen, map-only; counts are taken on the stage each pattern
     actually ran against (emails removed before phone counting, so an
     address's digits are never double-counted as a phone)."""
-    t0 = F.col(text_col)
-    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
-    t2 = F.regexp_replace(t1, IPV4_RE, "<IP>")
-    t3 = F.regexp_replace(t2, PHONE_RE, "<PHONE>")
+    cols = pii_cols(F.col(text_col))
     return docs.select(
-        "doc_id",
-        t3.alias("clean_text"),
-        F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long").alias("n_email"),
-        F.regexp_count(t1, F.lit(IPV4_RE)).cast("long").alias("n_ip"),
-        F.regexp_count(t2, F.lit(PHONE_RE)).cast("long").alias("n_phone"),
-    )
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
@@ -394,28 +402,32 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+def lang_pred_col(text: Column) -> Column:
+    """The language-ID prediction as one column expression over a text
+    expression — exposed so composed pipelines can inline it into an
+    existing projection (no join-back on doc_id). Same argmax/tie/zero
+    semantics as :func:`detect_language`."""
+    ts = F.array_distinct(tokens_col(text))
+    langs = sorted(LANG_PROFILES)
+    scores = {
+        lg: F.size(F.array_intersect(
+            ts, F.array(*[F.lit(w) for w in LANG_PROFILES[lg]])))
+        for lg in langs
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("xx")
+    # first (ascending) language reaching the max wins: build backwards
+    for lg in reversed(langs):
+        pred = F.when((scores[lg] == best) & (best > 0), lg).otherwise(pred)
+    return pred
+
+
 def detect_language(docs: DataFrame) -> DataFrame:
     """(doc_id, predicted_lang): argmax over per-language stopword-profile
     hit counts on the token set; ties broken by language code ascending;
     zero hits -> 'xx'."""
-    ts = F.array_distinct(tokens_col(F.col("text")))
-    scored = docs.select(
-        "doc_id",
-        *[
-            F.size(
-                F.array_intersect(
-                    ts, F.array(*[F.lit(w) for w in LANG_PROFILES[lang]]))
-            ).alias(f"s_{lang}")
-            for lang in sorted(LANG_PROFILES)
-        ],
-    )
-    langs = sorted(LANG_PROFILES)
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
-    pred = F.lit("xx")
-    # first (ascending) language reaching the max wins: build backwards
-    for lg in reversed(langs):
-        pred = F.when((F.col(f"s_{lg}") == best) & (best > 0), lg).otherwise(pred)
-    return scored.select("doc_id", pred.alias("predicted_lang"))
+    return docs.select(
+        "doc_id", lang_pred_col(F.col("text")).alias("predicted_lang"))
 
 
 def keywords_tfidf(docs: DataFrame, top_k: int = 3) -> DataFrame:
@@ -480,21 +492,45 @@ def gopher_quality_filter(
     Scale shape: a narrow projection — no shuffle, no join, linear
     scan; composable with repetition_stats (the A1.2 repetition rules)
     which needs its own n-gram aggregations."""
-    ts = tokens_col(F.col("text"))
+    cols = gopher_cols(
+        F.col("text"), min_words, max_words, min_mean_word_len,
+        max_mean_word_len, max_symbol_ratio, min_alpha_word_frac,
+        min_stop_hits, max_ellipsis_line_frac, max_bullet_line_frac)
+    return docs.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def gopher_cols(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+) -> dict[str, Column]:
+    """The Gopher signals + verdicts as named column expressions over a
+    text expression — exposed so composed pipelines can inline the gate
+    into an existing projection (no join-back on doc_id). Verdicts
+    compare the ROUNDED signals, exactly like the projected columns
+    :func:`gopher_quality_filter` emits."""
+    ts = tokens_col(text)
     n_words = F.size(ts)
     mean_len = (F.aggregate(F.transform(ts, lambda t: F.length(t)),
                             F.lit(0),
                             lambda acc, x: acc + x).cast("double")
                 / n_words)
-    n_symbols = (F.length(F.col("text"))
-                 - F.length(F.regexp_replace(
-                     F.col("text"), r"#|\.\.\.|…", "")))
+    n_symbols = (F.length(text)
+                 - F.length(F.regexp_replace(text, r"#|\.\.\.|…", "")))
     symbol_ratio = n_symbols.cast("double") / n_words
     alpha_frac = (F.size(F.filter(ts, lambda t: t.rlike("[a-zA-Z]")))
                   .cast("double") / n_words)
     stops = F.array(*[F.lit(s) for s in _PY_STOPWORDS])
     n_stop = F.size(F.array_intersect(F.array_distinct(ts), stops))
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(text, "\n")
     n_lines = F.size(lines)
     ell = (F.size(F.filter(
         lines, lambda x: x.endswith("...") | x.endswith("…")))
@@ -504,35 +540,32 @@ def gopher_quality_filter(
         lambda x: x.startswith("-") | x.startswith("*")
         | x.startswith("•")))
         .cast("double") / n_lines)
-    sig = docs.select(
-        "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        n_stop.cast("long").alias("n_stop_hits"),
-        F.round(ell, 4).alias("ellipsis_line_frac"),
-        F.round(bul, 4).alias("bullet_line_frac"),
-    )
-    checks = {
-        "ok_words": (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words),
-        "ok_word_len": (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
-        "ok_symbols": F.col("symbol_ratio") <= max_symbol_ratio,
-        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
-        "ok_stops": F.col("n_stop_hits") >= min_stop_hits,
-        "ok_ellipsis": F.col("ellipsis_line_frac")
+    sig: dict[str, Column] = {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_len, 4),
+        "symbol_ratio": F.round(symbol_ratio, 4),
+        "alpha_word_frac": F.round(alpha_frac, 4),
+        "n_stop_hits": n_stop.cast("long"),
+        "ellipsis_line_frac": F.round(ell, 4),
+        "bullet_line_frac": F.round(bul, 4),
+    }
+    checks: dict[str, Column] = {
+        "ok_words": (sig["n_words"] >= min_words)
+        & (sig["n_words"] <= max_words),
+        "ok_word_len": (sig["mean_word_len"] >= min_mean_word_len)
+        & (sig["mean_word_len"] <= max_mean_word_len),
+        "ok_symbols": sig["symbol_ratio"] <= max_symbol_ratio,
+        "ok_alpha": sig["alpha_word_frac"] >= min_alpha_word_frac,
+        "ok_stops": sig["n_stop_hits"] >= min_stop_hits,
+        "ok_ellipsis": sig["ellipsis_line_frac"]
         <= max_ellipsis_line_frac,
-        "ok_bullets": F.col("bullet_line_frac")
+        "ok_bullets": sig["bullet_line_frac"]
         <= max_bullet_line_frac,
     }
-    for name, expr in checks.items():
-        sig = sig.withColumn(name, expr)
     keep = None
-    for name in checks:
-        keep = F.col(name) if keep is None else keep & F.col(name)
-    return sig.withColumn("keep", keep)
+    for c in checks.values():
+        keep = c if keep is None else keep & c
+    return {**sig, **checks, "keep": keep}
 
 
 def c4_quality_filter(
