@@ -20,11 +20,14 @@ class EngineConf:
     b: float = 0.75
     # scorer mode: "bm25" | "reference" (SURVEY.md §4.6)
     scorer: str = "bm25"
-    # posting docid-stream codec: "varint" (codec v3, default) | "pfor"
+    # posting-stream codec: "varint" (codec v3, default) | "pfor"
     # (codec v4, FOR-bitpacked docs streams; 2.5-6% smaller blobs,
-    # decode at parity — functions/codec.py encode_postings docstring).
-    # Readers handle both transparently, including mixed-version
-    # indexes across generations.
+    # decode faster than varint) | "pfor_all" (codec v5, docs +
+    # tf/dl/rank + position streams all FOR-bitpacked; ~20% smaller
+    # blobs, full decode ~8% slower, header decode ~45% slower — see
+    # functions/codec.py encode_postings docstring for the measured
+    # trade). Readers handle all versions transparently, including
+    # mixed-version indexes across generations.
     docid_codec: str = "varint"
     # reference-scorer two-pass candidate plan kicks in when the summed
     # query-term df reaches this (below it the extra fixed-cost Spark

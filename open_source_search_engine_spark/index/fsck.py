@@ -7,7 +7,7 @@ re-decodes every blob and cross-checks EVERY invariant the query path
 relies on:
 
 per-blob (distributed, Arrow-batched over the segments scan):
-  - codec version is known (v2..v4) and the block directory parses
+  - codec version is known (v2..v5) and the block directory parses
   - docIds strictly increasing (the RdbMap key-order check)
   - decoded doc count == stored df; sum(tf) == stored cf;
     max(tf) == stored max_tf; blob length == stored n_bytes

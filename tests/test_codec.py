@@ -477,3 +477,92 @@ def test_pfor_docid_codec_parity():
     )
     assert (merge_disjoint_blobs([a4, b_rest3])
             == merge_disjoint_blobs([a3, b_rest3]))
+
+
+def test_pfor_all_codec_parity():
+    """v5 (docs + tf/dl/rank + positions all FOR-bitpacked) decodes
+    identically to v3 varint for full, selective, header-only, and
+    ctx-only paths; opt-in via encode_postings(docid_codec='pfor_all')."""
+    rng = np.random.default_rng(13)
+    doc_ids, tfs, doclens, pos, ctx, ranks = make_postings(rng, 700)
+
+    b3 = encode_postings(doc_ids, tfs, doclens, pos, ctx, ranks)
+    b5 = encode_postings(doc_ids, tfs, doclens, pos, ctx, ranks,
+                         docid_codec="pfor_all")
+    assert b5[0] == 5 and b3[0] == 3
+    assert len(b5) < len(b3)  # the whole point
+    d3 = decode_blocks(b3, with_positions=True)
+    d5 = decode_blocks(b5, with_positions=True)
+    for k in ("doc_ids", "tfs", "doclens", "ranks", "positions",
+              "ctxs", "block_max_tf", "block_min_dl"):
+        assert np.array_equal(d3[k], d5[k]), k
+
+    h3 = decode_headers(b3)
+    h5 = decode_headers(b5)
+    for k in ("doc_ids", "tfs", "doclens", "ranks"):
+        assert np.array_equal(h3[k], h5[k]), k
+
+    m = BlockMeta(b5)
+    assert m.version == 5 and m.nblocks == 6
+    s3 = decode_blocks(b3, block_idx=[0, 3, 5], with_positions=True)
+    s5 = decode_blocks(b5, block_idx=[0, 3, 5], with_positions=True)
+    for k in ("doc_ids", "tfs", "doclens", "ranks", "positions", "ctxs"):
+        assert np.array_equal(s3[k], s5[k]), k
+
+    c3 = decode_blocks(b3, None, True, ctx_only=True)
+    c5 = decode_blocks(b5, None, True, ctx_only=True)
+    assert np.array_equal(c3["ctxs"], c5["ctxs"])
+    assert not c5["positions"].any()
+
+
+def test_pfor_all_mixed_version_merge():
+    """v3 + v4 + v5 mini-segments merge transparently, and the merged
+    blob re-encodes in whichever codec the conf asks for."""
+    from open_source_search_engine_spark.functions.codec import (
+        merge_disjoint_blobs,
+        merge_disjoint_blobs_many,
+    )
+
+    rng = np.random.default_rng(5)
+    thirds = [make_postings(rng, 90) for _ in range(3)]
+    # disjoint ascending docid ranges
+    offs = [0, 1 << 39, 1 << 40]
+    blobs, codecs = [], ("varint", "pfor", "pfor_all")
+    for (d, t, dl, p, c, r), off, codec in zip(thirds, offs, codecs):
+        blobs.append(encode_postings((d + off).astype(np.uint64),
+                                     t, dl, p, c, r, docid_codec=codec))
+    for out_codec, ver in (("varint", 3), ("pfor_all", 5)):
+        m1 = merge_disjoint_blobs(blobs, docid_codec=out_codec)
+        (m2,), _, _, _ = merge_disjoint_blobs_many(
+            [blobs], docid_codec=out_codec)
+        assert m1 == m2 and m1[0] == ver
+        d = decode_postings(m1)
+        assert len(d["doc_ids"]) == 270
+        assert np.array_equal(
+            d["positions"],
+            np.concatenate([th[3] for th in thirds]))
+
+
+def test_pfor_all_bulk_encode_byte_parity():
+    """encode_postings_many(docid_codec='pfor_all') is byte-identical
+    per run to the per-blob encoder, across run lengths spanning the
+    block boundary."""
+    from open_source_search_engine_spark.functions.codec import (
+        encode_postings_many,
+    )
+
+    rng = np.random.default_rng(29)
+    runs = [make_postings(rng, n) for n in (1, 2, 127, 128, 129, 513)]
+    run_nd = np.array([len(r[0]) for r in runs], dtype=np.int64)
+    blobs = encode_postings_many(
+        run_nd,
+        np.concatenate([r[0] for r in runs]),
+        np.concatenate([r[1] for r in runs]),
+        np.concatenate([r[2] for r in runs]),
+        np.concatenate([r[5] for r in runs]),
+        np.concatenate([r[3] for r in runs]),
+        np.concatenate([r[4] for r in runs]),
+        docid_codec="pfor_all")
+    for blob, (d, t, dl, p, c, r) in zip(blobs, runs):
+        assert blob == encode_postings(d, t, dl, p, c, r,
+                                       docid_codec="pfor_all")

@@ -1115,3 +1115,47 @@ def test_search_explain_sums_to_score(built, spark, small_conf):
     with _pytest.raises(ValueError):
         search_explain(spark, built, "spark AND (index OR merge)",
                        conf=small_conf)
+
+
+def test_pfor_all_index_end_to_end(spark, small_conf, tmp_path):
+    """EngineConf(docid_codec='pfor_all') builds a codec-v5 index end
+    to end (docs + tf/dl/rank + position streams all FOR-bitpacked):
+    every segment blob carries version 5 through mini encode, merge,
+    and compaction, and every query shape returns byte-identical
+    results to the default varint index."""
+    import dataclasses
+
+    pconf = dataclasses.replace(small_conf, docid_codec="pfor_all")
+    d_var = str(tmp_path / "idx_varint")
+    d_p5 = str(tmp_path / "idx_pfor_all")
+    build_index(spark, _webtext_df(spark), d_var, conf=small_conf)
+    build_index(spark, _webtext_df(spark), d_p5, conf=pconf)
+
+    segs = spark.read.parquet(os.path.join(d_p5, "segments")) \
+        .select("postings").collect()
+    assert segs and all(bytes(r["postings"])[:1] == b"\x05" for r in segs)
+
+    for q in ["spark", "spark merge", '"posting merge"',
+              "spark AND (merge OR engine)", "engine -query"]:
+        a = [(r["doc_id"], r["score"]) for r in
+             search_all(spark, d_var, q, conf=small_conf)
+             .orderBy("doc_id").collect()]
+        b = [(r["doc_id"], r["score"]) for r in
+             search_all(spark, d_p5, q, conf=pconf)
+             .orderBy("doc_id").collect()]
+        assert a == b, q
+
+    # deletion + compaction re-encode with the conf codec too
+    delete_docs(spark, d_p5, [2], gen=1)
+    meta_p = os.path.join(d_p5, "_index_meta.json")
+    meta = json.load(open(meta_p))
+    meta["gens"] = sorted(set(meta["gens"]) | {1})
+    json.dump(meta, open(meta_p, "w"))
+    compact_index(spark, d_p5, conf=pconf)
+    segs2 = spark.read.parquet(os.path.join(d_p5, "segments")) \
+        .select("postings").collect()
+    assert segs2 and all(bytes(r["postings"])[:1] == b"\x05"
+                         for r in segs2)
+    got = {r["doc_id"] for r in
+           search_all(spark, d_p5, "spark", conf=pconf).collect()}
+    assert 2 not in got and got

@@ -131,3 +131,11 @@ def test_fsck_catches_salt_violation():
         iter([pd.DataFrame([row])])))[0]
     bad = dict(zip(out["check"], out["n_bad"]))
     assert bad["salt_residue"] == 1
+
+
+def test_fsck_green_pfor_all(spark, tmp_index):
+    conf = EngineConf(n_buckets=4, n_salts=2, salt_df_threshold=10_000,
+                      docid_codec="pfor_all")
+    build_index(spark, _df(spark, range(1, 21)), tmp_index,
+                conf=conf, gen=0)
+    _assert_clean(fsck_index(spark, tmp_index, conf).collect())
