@@ -33,6 +33,15 @@ class EngineConf:
     # query-term df reaches this (below it the extra fixed-cost Spark
     # job outweighs the decode saved); tests lower it to force the path
     ref_two_pass_min_postings: int = 100_000
+    # sketch-informed planner gate: when the index has per-term docid
+    # HLL sketches (term_sketch_p), a conjunctive top-k that the
+    # df-ratio heuristics routed to WAND consults the estimated
+    # INTERSECTION size first; estimates <= planner_selective_max_est
+    # switch to the rarest-first candidate plan (tiny result sets keep
+    # the WAND threshold low, so DAAT prunes little there). Purely a
+    # plan choice — results are identical either way.
+    planner_sketch_gate: bool = True
+    planner_selective_max_est: float = 4096.0
 
     # reference-scorer weights (Parms.cpp:4067-4167 defaults)
     hashgroup_weights: tuple = DEFAULT_HASHGROUP_WEIGHTS

@@ -230,3 +230,53 @@ def hll_intersection_estimate(regs: DataFrame, p: int,
         F.max("n_keys").cast("int").alias("n_sets"),
         F.round(F.greatest(F.lit(0.0), F.sum(signed)), 4)
         .alias("est_intersection"))
+
+
+def hll_intersection_estimate_local(reg_dicts: "list[dict[int, int]]",
+                                    p: int) -> float:
+    """Driver-side mirror of :func:`hll_intersection_estimate` over
+    already-collected register dicts (bucket -> register, absent
+    buckets zero): the same inclusion-exclusion over subset-union
+    estimates with the same integer harmonic sum, small-range
+    correction, per-subset rounding and zero clamp — float64 all the
+    way, so it agrees with the Spark estimate to addition-order noise.
+
+    This is the query PLANNER's entry point: deciding WAND-vs-
+    selective for one query needs the handful of query terms'
+    registers (<= 2^p rows each, a pruned stats scan), not a
+    distributed job over the sketch table."""
+    import math
+
+    import numpy as np
+
+    m = 1 << p
+    shift = (60 - p) + 2
+    alpha = _hll_alpha(m)
+    k = len(reg_dicts)
+    if not 1 <= k <= 6:
+        raise ValueError(f"need 1..6 register sets, got {k}")
+    vecs = []
+    for d in reg_dicts:
+        v = np.zeros(m, dtype=np.int64)
+        for b, r in d.items():
+            v[int(b)] = int(r)
+        vecs.append(v)
+    total = 0.0
+    for sid in range(1, 1 << k):
+        u = None
+        bits = 0
+        for i in range(k):
+            if sid >> i & 1:
+                bits += 1
+                u = vecs[i] if u is None else np.maximum(u, vecs[i])
+        pres = u[u > 0]
+        nz = len(pres)
+        isum = int(np.sum(np.int64(1) << (np.int64(shift) - pres)))
+        raw = (alpha * m * m * float(1 << shift)
+               / (isum + (m - nz) * (1 << shift)))
+        zeros = m - nz
+        est = (m * math.log(m / zeros)
+               if (raw <= 2.5 * m and zeros > 0) else raw)
+        est = round(est, 4)
+        total += est if bits % 2 == 1 else -est
+    return round(max(0.0, total), 4)

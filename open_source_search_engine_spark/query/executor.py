@@ -90,6 +90,7 @@ class IndexReader:
         # at construction), so both caches are consistent by design.
         self._df_cache: dict[int, int] = {}
         self._seg_scan_cache: dict[tuple, DataFrame] = {}
+        self._sketch_cache: dict[int, dict[int, int]] = {}
 
     def _gen_dirs(self, table: str) -> list[str]:
         base = getattr(self.paths, table)
@@ -184,6 +185,45 @@ class IndexReader:
         elif "gen" in df.columns:
             df = df.drop("gen")
         return df, int(p)
+
+    def sketch_intersection_estimate(self,
+                                     term_ids: list[int]) -> float | None:
+        """Planner-side conjunction-size estimate from the per-term
+        docid HLL sketches (see ``estimate_and_cardinality`` for the
+        user-facing op): collects the query terms' registers once per
+        reader (a term_id-pruned stats scan, <= 2^p rows per term —
+        the same order of work as the df lookup) and runs the
+        inclusion-exclusion estimate driver-side. None when the index
+        has no sketches. More than 6 terms: the 6 rarest-by-register-
+        count terms are used — their intersection UPPER-bounds the
+        full conjunction, which is the safe direction for a
+        'result-is-tiny' planner gate. A term with no registers has
+        df == 0, so the conjunction is provably empty (0.0)."""
+        from ..ops.sketches import hll_intersection_estimate_local
+
+        p = (self.meta.get("conf") or {}).get("term_sketch_p")
+        if not p:
+            return None
+        ids = sorted({int(t) for t in term_ids})
+        missing = [t for t in ids if t not in self._sketch_cache]
+        if missing:
+            sk = self.term_sketches()
+            if sk is None:
+                return None
+            regs, _ = sk
+            rows = (regs.where(F.col("term_id").isin(missing))
+                    .select("term_id", "bucket", "register").collect())
+            got: dict[int, dict[int, int]] = {t: {} for t in missing}
+            for r in rows:
+                got[int(r["term_id"])][int(r["bucket"])] = \
+                    int(r["register"])
+            self._sketch_cache.update(got)
+        dicts = [self._sketch_cache[t] for t in ids]
+        if any(not d for d in dicts):
+            return 0.0
+        if len(dicts) > 6:
+            dicts = sorted(dicts, key=len)[:6]
+        return hll_intersection_estimate_local(dicts, int(p))
 
     def df_of(self, term_ids: list[int]) -> dict[int, int]:
         """Exact df lookup (Posdb::getTermFreq analog, but exact —
@@ -735,6 +775,13 @@ def _group_primary_tids(cq: CompiledQuery) -> list[int]:
     return [g.term_ids[0] for g in cq.groups]
 
 
+#: last _search_default plan decision (driver-side debug surface, like
+#: multi_wand_stats but zero-cost): {"path": "wand"|"selective"|
+#: "decode", "sketch_est": float} — sketch_est present only when the
+#: sketch gate was consulted
+PLANNER_LAST: dict = {}
+
+
 def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
                     conf: EngineConf) -> DataFrame:
     pos_groups = [g for g in cq.positive_groups]
@@ -794,11 +841,33 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
     # candidate path above, and all-cold queries (tiny lists) the plain
     # decode below. Gated to shapes where pruning is sound: plain AND,
     # single-gen index, no negatives/synonyms.
-    if (k is not None and not selective and len(set(tids)) > 1
-            and not neg_groups and not has_syn
-            and len(rd.gens) == 1 and rd.tombstones is None
-            and all(dfs[t] > 0 for t in tids)
-            and _wand_salts_ok(rd, tids, dfs)):
+    wand_ok = (k is not None and not selective and len(set(tids)) > 1
+               and not neg_groups and not has_syn
+               and len(rd.gens) == 1 and rd.tombstones is None
+               and all(dfs[t] > 0 for t in tids)
+               and _wand_salts_ok(rd, tids, dfs))
+
+    # sketch-informed planner gate: when the df-only heuristics picked
+    # WAND but the index carries per-term docid HLL sketches, estimate
+    # the INTERSECTION size (the quantity the df ratio only proxies).
+    # A conjunction whose result is tiny rewards the rarest-first
+    # candidate plan — one bounded decode + block-skipped probes —
+    # over per-salt DAAT whose score threshold climbs slowly when few
+    # docs match everything. Flat-df ANDs with near-disjoint lists are
+    # exactly the shape the ratio test misses. Estimate cost: one
+    # term_id-pruned stats scan per uncached term, no blob touched
+    # (the 10^12-doc rationale in estimate_and_cardinality).
+    PLANNER_LAST.clear()
+    if (wand_ok and conf.planner_sketch_gate
+            and dfs[rarest_tid] <= 200_000):
+        est = rd.sketch_intersection_estimate(tids)
+        if est is not None:
+            PLANNER_LAST["sketch_est"] = est
+            if est <= conf.planner_selective_max_est:
+                selective, wand_ok = True, False
+
+    if wand_ok:
+        PLANNER_LAST["path"] = "wand"
         wand_runs = [
             [(int(cq.groups[i].term_ids[0]), int(cq.groups[i].qpos))
              for i in run]
@@ -806,6 +875,7 @@ def _search_default(spark, rd: IndexReader, cq: CompiledQuery, k: int,
         ] if need_positions else None
         return _search_multi_wand(spark, rd, sorted(set(tids)), dfs, k,
                                   conf, runs=wand_runs)
+    PLANNER_LAST["path"] = "selective" if selective else "decode"
 
     if selective:
         cand_rows = (

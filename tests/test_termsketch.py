@@ -172,3 +172,93 @@ def test_missing_term_conjunction_is_zero(spark, sk_index):
     assert got["zzznothere"] == (1, 0.0)
     assert got["alpha&zzznothere"] == (2, 0.0)
     assert got["alpha"][1] > 300  # the present term still estimates
+
+
+def test_local_estimate_matches_spark_estimate(spark, sk_index):
+    """The planner's driver-side inclusion-exclusion mirror
+    (hll_intersection_estimate_local via
+    IndexReader.sketch_intersection_estimate) reproduces the Spark
+    estimate_and_cardinality intersection value."""
+    from open_source_search_engine_spark.functions.gbhash import (
+        hash64_lower_utf8,
+    )
+
+    got = _est_map(estimate_and_cardinality(
+        spark, sk_index, ["alpha", "beta"], conf=SK_CONF))
+    rd = IndexReader(spark, sk_index, SK_CONF)
+    tids = [hash64_lower_utf8("alpha") & ((1 << 48) - 1),
+            hash64_lower_utf8("beta") & ((1 << 48) - 1)]
+    est = rd.sketch_intersection_estimate(tids)
+    assert est is not None
+    assert abs(est - got["alpha&beta"][1]) < 1e-6
+    # cached second call, same value
+    assert rd.sketch_intersection_estimate(tids) == est
+
+
+GATE_CONF = EngineConf(n_buckets=4, n_salts=2, salt_df_threshold=50,
+                       term_sketch_p=8)
+
+G_SET = set(range(0, 250))        # 'gamma' docs
+D_SET = set(range(245, 495))      # 'delta' docs: |G ∩ D| = 5
+
+
+def _gate_corpus(spark):
+    rows = []
+    for d in range(500):
+        words = ["filler"]
+        if d in G_SET:
+            words.append("gamma")
+        if d in D_SET:
+            words.append("delta")
+        body = " ".join(words)
+        rows.append({
+            "url": f"http://s{d % 5}.example/p/{d}.html",
+            "warc_ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=d),
+            "html": f"<html><body><p>{body}</p></body></html>".encode(),
+            "text": body, "lang": "en", "doc_id": d,
+        })
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.fixture(scope="module")
+def gate_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gateidx"))
+    build_index(spark, _gate_corpus(spark), d, conf=GATE_CONF, gen=0)
+    return d
+
+
+def test_sketch_gate_routes_tiny_intersections_selective(spark,
+                                                         gate_index):
+    """Flat-df conjunction (df 250 vs 250 — the ratio heuristic keeps
+    WAND) with a near-empty intersection: the sketch gate reroutes to
+    the rarest-first candidate plan, and the results are identical to
+    the ungated WAND plan."""
+    import dataclasses
+
+    from open_source_search_engine_spark.query import executor as ex
+    from open_source_search_engine_spark.query.executor import search
+
+    got = {(r["doc_id"]) for r in
+           search(spark, gate_index, "gamma delta", k=10,
+                  conf=GATE_CONF).collect()}
+    assert ex.PLANNER_LAST["path"] == "selective"
+    assert ex.PLANNER_LAST["sketch_est"] <= \
+        GATE_CONF.planner_selective_max_est
+    assert got == (G_SET & D_SET)
+
+    off = dataclasses.replace(GATE_CONF, planner_sketch_gate=False)
+    got_wand = {(r["doc_id"]) for r in
+                search(spark, gate_index, "gamma delta", k=10,
+                       conf=off).collect()}
+    assert ex.PLANNER_LAST["path"] == "wand"
+    assert "sketch_est" not in ex.PLANNER_LAST
+    assert got_wand == got
+
+    # a LARGE estimated intersection stays on WAND even with the gate
+    # on: gamma ⊆ filler, so the gamma∧filler estimate is ~|gamma|
+    tight = dataclasses.replace(GATE_CONF,
+                                planner_selective_max_est=25.0)
+    search(spark, gate_index, "gamma filler", k=10,
+           conf=tight).collect()
+    assert ex.PLANNER_LAST["path"] == "wand"
+    assert ex.PLANNER_LAST["sketch_est"] > 25.0
