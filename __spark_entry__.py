@@ -1771,6 +1771,30 @@ def q_gopher_filter(spark, sf_dir):
         "ok_stops", "ok_ellipsis", "ok_bullets", "keep")
 
 
+def q_cocite_related(spark, sf_dir):
+    """Related sites by co-citation (ops.graph.cocitation_related —
+    Dean & Henzinger 1999 §4 over the linkdb analog) on a
+    deterministic synthetic link graph the oracle re-derives
+    identically: doc u cites sites (u + j*37) mod 61 for
+    j = 1..(2 + u%3); top-5 related per site by shared-linker count
+    with in-linker-set jaccard."""
+    from open_source_search_engine_spark.ops.graph import (
+        cocitation_related,
+    )
+
+    docs = _docs(spark, sf_dir)
+    links = (docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.sequence(F.lit(1), F.lit(2) + F.col("doc_id") % 3))
+        .alias("j"))
+        .select("src", ((F.col("src") + F.col("j") * 37) % 61)
+                .alias("dst")))
+    return cocitation_related(links, k=5, min_common=2).select(
+        F.col("site").cast("long"), F.col("related").cast("long"),
+        F.col("n_common").cast("long"), "jaccard",
+        F.col("rank").cast("int"))
+
+
 def q_curate_pipeline(spark, sf_dir):
     """Composed training-corpus curation chain
     (ops.pipeline.curate_training_corpus): langid -> Gopher quality ->
@@ -1873,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_tfidf": q_keywords_tfidf,
         "gopher_filter": q_gopher_filter,
         "curate_pipeline": q_curate_pipeline,
+        "cocite_related": q_cocite_related,
         "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
@@ -2769,6 +2794,32 @@ select *,
 from sig
 """.replace("__STOPS__", stops),
         "curate_pipeline": curate_sql,
+        "cocite_related": """
+with srcj as (select doc_id as s, unnest(range(1, 3 + doc_id % 3)) as j
+              from documents),
+e0 as (select distinct s as src, (s + j * 37) % 61 as dst from srcj),
+deg as (select src from e0 group by src having count(*) <= 100),
+e as (select e0.* from e0 join deg using (src)),
+indeg as (select dst, count(*)::bigint as n_in from e group by dst),
+pairs as (select l.dst as a, r.dst as b, count(*)::bigint as n_common
+          from e l join e r on l.src = r.src and l.dst < r.dst
+          group by 1, 2 having count(*) >= 2),
+sym as (select a, b, n_common from pairs
+        union all select b, a, n_common from pairs),
+scored as (select sym.a, sym.b, sym.n_common,
+             round(sym.n_common::double
+                   / (ia.n_in + ib.n_in - sym.n_common)::double, 4)
+               as jaccard
+           from sym join indeg ia on sym.a = ia.dst
+                    join indeg ib on sym.b = ib.dst),
+ranked as (select *, row_number() over (
+             partition by a
+             order by n_common desc, jaccard desc, b asc) as rank
+           from scored)
+select a::bigint as site, b::bigint as related, n_common, jaccard,
+       rank::int as rank
+from ranked where rank <= 5
+""",
         "keywords_tfidf": """
 with tok as (select doc_id, unnest(string_split(text, ' ')) as term
              from documents),

@@ -163,3 +163,71 @@ def label_propagation(edges: DataFrame, n_iter: int = 5,
                           F.coalesce(F.col("new"), F.col("community"))
                           .alias("community")))
     return labels
+
+
+def cocitation_related(links: DataFrame, k: int = 10,
+                       min_common: int = 2,
+                       max_out: int | None = 100) -> DataFrame:
+    """Related sites by co-citation (Small 1973; Dean & Henzinger 1999
+    §4's cocitation algorithm for related-page finding): two link
+    targets are related when many common linkers cite both. This is
+    the corpus-scale realization of the related-results feature the
+    Gigablast lineage built its linkdb for (Linkdb.h:90-110 keys every
+    (linkee site, linker) pair precisely so 'who links here' is one
+    range scan; the Privacore fork kept the store but dropped the
+    related-pages UI) — here the linkee-keyed pair join IS that range
+    scan, run for every site at once.
+
+    Input ``links``: (src, dst) edges, any types (linker doc/site ->
+    linked site). Returns ``(site, related, n_common, jaccard, rank)``
+    — for each dst, the top-k other dsts by shared in-linker count,
+    ties (n_common DESC, jaccard DESC, related ASC); ``jaccard`` is
+    over the two in-linker sets, rounded to 4. Pairs below
+    ``min_common`` shared linkers are noise and dropped before
+    ranking.
+
+    Scale shape: dedup, then a src-keyed self-join — the pair fanout
+    per linker is C(out-degree, 2), so the ``max_out`` guard drops
+    linkers citing more than that many sites BEFORE the join
+    (navigational mega-hubs: quadratic pairs, near-zero signal — the
+    standard cocitation skew guard; None keeps every linker). After
+    the guard the join is bounded by max_out * |links|; counts and
+    in-degrees aggregate with map-side partials, the final top-k is
+    one window per site over the surviving (filtered) pair frame."""
+    e = links.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    if max_out is not None:
+        deg = (e.groupBy("src").agg(F.count("*").alias("outd"))
+               .where(F.col("outd") <= int(max_out)).select("src"))
+        e = e.join(deg, "src")
+    indeg = e.groupBy("dst").agg(F.count("*").alias("n_in"))
+    l, r = e.alias("l"), e.alias("r")
+    pairs = (l.join(r, (F.col("l.src") == F.col("r.src"))
+                    & (F.col("l.dst") < F.col("r.dst")))
+             .groupBy(F.col("l.dst").alias("a"),
+                      F.col("r.dst").alias("b"))
+             .agg(F.count("*").alias("n_common"))
+             .where(F.col("n_common") >= int(min_common)))
+    both = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                     "n_common"))
+    scored = (both
+              .join(indeg.withColumnRenamed("dst", "a")
+                    .withColumnRenamed("n_in", "in_a"), "a")
+              .join(indeg.withColumnRenamed("dst", "b")
+                    .withColumnRenamed("n_in", "in_b"), "b")
+              .withColumn(
+                  "jaccard",
+                  F.round(F.col("n_common").cast("double")
+                          / (F.col("in_a") + F.col("in_b")
+                             - F.col("n_common")).cast("double"), 4)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("a").orderBy(
+        F.col("n_common").desc(), F.col("jaccard").desc(),
+        F.col("b").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(k))
+            .select(F.col("a").alias("site"),
+                    F.col("b").alias("related"),
+                    F.col("n_common").cast("long").alias("n_common"),
+                    "jaccard", F.col("rank").cast("int").alias("rank")))

@@ -1720,3 +1720,43 @@ def test_site_table_rollup(spark):
     assert a["last_ts"] - a["first_ts"] == 120
     assert (b["n_docs"], b["main_lang_id"]) == (2, 1)  # tie -> min id
     assert (c["n_docs"], c["main_lang_id"], c["n_langs"]) == (1, 7, 1)
+
+
+def test_cocitation_related_hand_traced(spark):
+    """Dean-Henzinger cocitation over a hand-traced link graph:
+    linkers 1,2 -> {a,b}; 3 -> {a,c}; 4 -> {b,c}; 5 -> {a,b,c}.
+    common(a,b)=3 (1,2,5), common(a,c)=2 (3,5), common(b,c)=2 (4,5);
+    in-degrees a=4, b=4, c=3 -> jaccard ab=3/5, ac=bc=2/5. c's two
+    candidates tie on (n_common, jaccard) and break related-ASC."""
+    from open_source_search_engine_spark.ops.graph import (
+        cocitation_related,
+    )
+
+    edges = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+             (3, "c"), (4, "b"), (4, "c"), (5, "a"), (5, "b"),
+             (5, "c")]
+    links = spark.createDataFrame(edges, "src long, dst string")
+    rows = cocitation_related(links, k=10, min_common=2).collect()
+    got = {(r["site"], r["rank"]): (r["related"], r["n_common"],
+                                    r["jaccard"]) for r in rows}
+    assert got[("a", 1)] == ("b", 3, 0.6)
+    assert got[("a", 2)] == ("c", 2, 0.4)
+    assert got[("b", 1)] == ("a", 3, 0.6)
+    assert got[("b", 2)] == ("c", 2, 0.4)
+    assert got[("c", 1)] == ("a", 2, 0.4)   # tie with b -> asc
+    assert got[("c", 2)] == ("b", 2, 0.4)
+
+    # min_common drops the 2-linker pairs
+    rows3 = cocitation_related(links, k=10, min_common=3).collect()
+    assert {(r["site"], r["related"]) for r in rows3} == {
+        ("a", "b"), ("b", "a")}
+
+    # max_out guard: a navigational hub linking 5 sites is excluded
+    # from pair counting AND from in-degrees when max_out < 5
+    hub = edges + [(9, x) for x in ("a", "b", "c", "d", "e")]
+    links_h = spark.createDataFrame(hub, "src long, dst string")
+    guarded = cocitation_related(links_h, k=10, min_common=2,
+                                 max_out=4).collect()
+    assert {(r["site"], r["rank"]): (r["related"], r["n_common"],
+                                     r["jaccard"]) for r in guarded} \
+        == got
