@@ -48,10 +48,13 @@ def _index_dir(sf_dir: str, flavor: str) -> str:
 
     # wrapper version: bump when webtext_from_documents changes the
     # rendered url/html grammar (cache must not serve pre-change indexes)
+    from open_source_search_engine_spark.config import DEFAULT_CONF
+
     wrapper_v = 2
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{flavor}:v{CODEC_VERSION}"
-        f".{INDEX_FORMAT_VERSION}.w{wrapper_v}".encode()
+        f".{INDEX_FORMAT_VERSION}.w{wrapper_v}"
+        f".c{DEFAULT_CONF.docid_codec}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp", f"osse_idx_{flavor}_{key}")
 

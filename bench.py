@@ -276,6 +276,36 @@ def main() -> int:
 
     timed("op_site_stats", lambda: site_table(rd.docs()).count())
 
+    # composed training-corpus curation chain (langid -> gopher ->
+    # exact dedup -> 13-gram decontaminate -> PII+tokens; no shuffle
+    # carries text)
+    from open_source_search_engine_spark.ops.pipeline import (
+        curate_training_corpus,
+    )
+
+    def _curate():
+        ev = docs.where(F.col("doc_id") % 20 == 0)
+        tr = docs.where(F.col("doc_id") % 20 != 0)
+        return curate_training_corpus(tr, ev).count()
+    timed("op_curate_pipeline", _curate)
+
+    # co-citation related sites over a synthetic link graph (src-keyed
+    # pair join with the max_out skew guard)
+    from open_source_search_engine_spark.ops.graph import (
+        cocitation_related,
+    )
+
+    def _cocite():
+        links = (docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.sequence(F.lit(1),
+                                 F.lit(2) + F.col("doc_id") % 3))
+            .alias("j"))
+            .select("src",
+                    ((F.col("src") + F.col("j") * 37) % 61).alias("dst")))
+        return cocitation_related(links, k=5, min_common=2).count()
+    timed("op_cocite", _cocite)
+
     total = time.time() - t_all
     out = {
         "metric": ("index-build docs/sec + query latency "

@@ -20,15 +20,17 @@ class EngineConf:
     b: float = 0.75
     # scorer mode: "bm25" | "reference" (SURVEY.md §4.6)
     scorer: str = "bm25"
-    # posting-stream codec: "varint" (codec v3, default) | "pfor"
-    # (codec v4, FOR-bitpacked docs streams; 2.5-6% smaller blobs,
-    # decode faster than varint) | "pfor_all" (codec v5, docs +
-    # tf/dl/rank + position streams all FOR-bitpacked; ~20% smaller
-    # blobs, full decode ~8% slower, header decode ~45% slower — see
-    # functions/codec.py encode_postings docstring for the measured
-    # trade). Readers handle all versions transparently, including
+    # posting-stream codec: "pfor" (codec v4, default since the
+    # windowed-gather decode landed: FOR-bitpacked docs streams,
+    # 2.5-6% smaller blobs, full decode ~12% FASTER than varint and
+    # header decode ~20% faster) | "varint" (codec v3, the previous
+    # default) | "pfor_all" (codec v5, docs + tf/dl/rank + positions
+    # + ctx all FOR-bitpacked: 21-28% smaller blobs at decode parity
+    # and ~1.5x encode cost — the pick when segment bytes dominate;
+    # see functions/codec.py encode_postings docstring for measured
+    # numbers). Readers handle all versions transparently, including
     # mixed-version indexes across generations.
-    docid_codec: str = "varint"
+    docid_codec: str = "pfor"
     # reference-scorer two-pass candidate plan kicks in when the summed
     # query-term df reaches this (below it the extra fixed-cost Spark
     # job outweighs the decode saved); tests lower it to force the path

@@ -109,17 +109,27 @@ def _for_unpack_ragged(buf: np.ndarray, offs: np.ndarray,
     within = np.arange(total, dtype=np.int64) - np.repeat(cstart, counts)
     vstart = (np.repeat((offs.astype(np.int64) + 1) * 8, counts)
               + within * vw)                        # first bit per value
-    if int(w.max()) <= 57:
-        # fast path: every value's bits fit an 8-byte little-endian
-        # window starting at its byte ((vstart & 7) + w <= 64), so one
-        # fancy-gather of 8 bytes per value + a u64 view + shift/mask
-        # decodes everything — no per-bit arrays. All streams qualify
-        # (positions <= 18 bits, docid deltas <= 38, dl <= ~20).
+    w_max = int(w.max())
+    if w_max <= 57:
+        # fast path: every value's bits fit a word-sized little-endian
+        # window starting at its byte ((vstart & 7) + w <= 32/64), so
+        # one fancy-gather of 4 or 8 bytes per value + an int view +
+        # shift/mask decodes everything — no per-bit arrays. All
+        # streams qualify (tf/rank <= 10, positions <= 18, ctx <= 23,
+        # dl <= ~20 -> the half-traffic 4-byte window; docid deltas
+        # <= 38 -> the 8-byte one).
+        win = 4 if w_max <= 25 else 8
         byte0 = vstart >> 3
-        end = int(byte0.max()) + 8
-        b = np.concatenate([buf, np.zeros(8, dtype=np.uint8)]) \
+        end = int(byte0.max()) + win
+        b = np.concatenate([buf, np.zeros(win, dtype=np.uint8)]) \
             if end > len(buf) else buf
-        mat = b[byte0[:, None] + np.arange(8, dtype=np.int64)]
+        mat = b[byte0[:, None] + np.arange(win, dtype=np.int64)]
+        if win == 4:
+            u = np.ascontiguousarray(mat).view("<u4").ravel()
+            mask = ((np.uint32(1) << vw.astype(np.uint32))
+                    - np.uint32(1))
+            return ((u >> (vstart & 7).astype(np.uint32)) & mask) \
+                .astype(np.uint64)
         u = np.ascontiguousarray(mat).view("<u8").ravel()
         mask = (np.uint64(1) << vw.astype(np.uint64)) - np.uint64(1)
         return (u >> (vstart & 7).astype(np.uint64)) & mask
@@ -160,7 +170,8 @@ def _for_pack_many(deltas: np.ndarray, blk_start: np.ndarray,
     construction so no bits cross block boundaries."""
     nd = len(deltas)
     nblk = len(blk_start)
-    mx = np.maximum.reduceat(deltas.astype(np.uint64), blk_start)
+    v64 = deltas.astype(np.uint64)
+    mx = np.maximum.reduceat(v64, blk_start)
     w = np.maximum(_bitlen_u64(mx), 1)
     nbytes = 1 + (blk_count * w + 7) // 8
     boff = np.zeros(nblk + 1, dtype=np.int64)
@@ -171,11 +182,35 @@ def _for_pack_many(deltas: np.ndarray, blk_start: np.ndarray,
     within = np.arange(nd, dtype=np.int64) - np.repeat(blk_start,
                                                        blk_count)
     base_bit = (np.repeat(boff[:-1], blk_count) + 1) * 8 + within * wd
+    if int(w.max()) <= 57:
+        # byte-contribution fast path (inverse of the windowed-gather
+        # unpack): shift each value to its in-byte offset, split into
+        # its <= ceil((7+w)/8) covered bytes, and OR the per-byte
+        # contributions grouped by byte index — the (value, byte)
+        # sequence is globally non-decreasing in byte index, so the
+        # grouping is one reduceat at change points. ~8x less
+        # intermediate traffic than the per-bit scatter it replaces.
+        sval = v64 << (base_bit & 7).astype(np.uint64)
+        nby = ((base_bit & 7) + wd + 7) // 8
+        nbc = np.cumsum(nby)
+        tot = int(nbc[-1])
+        intra = np.arange(tot, dtype=np.int64) - np.repeat(nbc - nby,
+                                                           nby)
+        byte_idx = np.repeat(base_bit >> 3, nby) + intra
+        vals8 = ((np.repeat(sval, nby)
+                  >> (8 * intra).astype(np.uint64))
+                 & np.uint64(0xFF)).astype(np.uint8)
+        first = np.empty(tot, dtype=bool)
+        first[0] = True
+        first[1:] = byte_idx[1:] != byte_idx[:-1]
+        starts = np.flatnonzero(first)
+        out[byte_idx[starts]] |= np.bitwise_or.reduceat(vals8, starts)
+        return out, nbytes.astype(np.uint64)
     tot_bits = int(wd.sum())
     intra = (np.arange(tot_bits, dtype=np.int64)
              - np.repeat(np.cumsum(wd) - wd, wd))
     bit_idx = np.repeat(base_bit, wd) + intra
-    vals = ((np.repeat(deltas.astype(np.uint64), wd)
+    vals = ((np.repeat(v64, wd)
              >> intra.astype(np.uint64)) & np.uint64(1)).astype(np.uint8)
     bits = np.zeros(len(out) * 8, dtype=np.uint8)
     bits[bit_idx] = vals
@@ -318,17 +353,18 @@ def encode_postings(
     FOR-bitpacks the tf/dl/rank spans (three packs per block,
     [w][tf*][w][dl*][w][rk*], each sub-stream with its own width —
     tf needs 1-2 bits, dl 10-12, rank 4, so one shared width would
-    waste most of the saving) and the position-delta span (one pack
-    per block; blocks with no positions contribute NO bytes). Meta
-    layout is unchanged. Measured on the same 500k-doc termlist: v5
-    is 20.5% smaller than varint (5.20 vs 6.54 MB) at full decode
-    192 vs 178 ms and header decode 137 vs 91 ms — the per-value
-    8-byte-window gather costs more than the varint continuation
-    scan on narrow values, buying 20% less segment I/O/shuffle. The
-    default writer stays varint for byte-stability of the deployed
-    format; flip per index via EngineConf(docid_codec=...) where
-    storage/scan bytes dominate (they do at 100 TB: the blobs ARE
-    the index)."""
+    waste most of the saving), the position-delta span, and the ctx
+    span (one pack each per block; blocks with no positions
+    contribute NO bytes to either). v5 meta carries an 11th
+    per-block array: the packed ctx span's byte size (pre-v5 ctx is
+    fixed 3 bytes/posting and needs none). Measured on a 500k-doc
+    tf≈1.5 termlist with realistic ctx values: v5 is 27.5% smaller
+    than varint (4.74 vs 6.54 MB) at full-decode parity (170 vs
+    175 ms) and ~1.5x bulk-encode cost. Function-level defaults stay
+    varint so explicit callers are byte-stable; EngineConf defaults
+    to "pfor" (strictly smaller AND faster), with "pfor_all" the
+    pick where segment bytes dominate (they do at 100 TB: the blobs
+    ARE the index)."""
     use_pfor_all = docid_codec == "pfor_all"
     use_pfor = docid_codec == "pfor" or use_pfor_all
     nd = len(doc_ids)
@@ -392,14 +428,19 @@ def encode_postings(
         tfdl_parts = [np.concatenate([
             _for_pack(tfs[s:e]), _for_pack(doclens[s:e]),
             _for_pack(ranks[s:e])]) for s, e in zip(bstarts, bends)]
-        pos_parts = []
+        pos_parts, ctx_parts = [], []
         pos_bytes_v5 = np.zeros(nb, dtype=np.uint64)
+        ctx_bytes_v5 = np.zeros(nb, dtype=np.uint64)
+        ctx64 = ctxs.astype(np.uint64)
         for bi, (s, e) in enumerate(zip(bstarts, bends)):
             ps, pe = int(pos_cum[s]), int(pos_cum[e])
             if pe > ps:  # empty-position blocks contribute NO bytes
                 p = _for_pack(pdelta[ps:pe])
                 pos_parts.append(p)
                 pos_bytes_v5[bi] = len(p)
+                c5 = _for_pack(ctx64[ps:pe])
+                ctx_parts.append(c5)
+                ctx_bytes_v5[bi] = len(c5)
         stream_vals = pdelta[:0]  # nothing varint-coded but the meta
         s_len = None
         doc_bytes = np.array([len(p) for p in doc_parts],
@@ -466,19 +507,23 @@ def encode_postings(
                             np.maximum.reduceat(pos, pstarts),
                             0).astype(np.uint64)
 
-    meta_vals = np.concatenate([
+    meta_arrays = [
         block_base.astype(np.uint64), bmax_tf.astype(np.uint64),
         bmin_dl.astype(np.uint64), doc_bytes, tfdl_bytes, pos_bytes,
-        npos_blk, bctx, bmin_pos, bmax_pos])
+        npos_blk, bctx, bmin_pos, bmax_pos]
+    if use_pfor_all:
+        meta_arrays.append(ctx_bytes_v5)  # 11th array: FOR-packed ctx
+    meta_vals = np.concatenate(meta_arrays)
     parts.append(_varint_encode(meta_vals))
     if use_pfor:
         parts.extend(doc_parts)
     if use_pfor_all:
         parts.extend(tfdl_parts)
         parts.extend(pos_parts)
+        parts.extend(ctx_parts)
     else:
         parts.append(_varint_encode(stream_vals))
-    if npos_total:
+    if npos_total and not use_pfor_all:
         c = ctxs.astype(np.uint32)
         cb = np.empty((len(c), 3), dtype=np.uint8)
         cb[:, 0] = c & 0xFF
@@ -607,11 +652,14 @@ def encode_postings_many(
         enc_t, len_t = _varint_encode_len(tfdl_vals)
         enc_p, len_p = _varint_encode_len(pdelta)
     c = ctxs.astype(np.uint32)
-    cb = np.empty((len(c), 3), dtype=np.uint8)
-    cb[:, 0] = c & 0xFF
-    cb[:, 1] = (c >> 8) & 0xFF
-    cb[:, 2] = (c >> 16) & 0xFF
-    enc_c = cb.ravel()
+    if use_pfor_all:
+        enc_c = np.empty(0, dtype=np.uint8)  # packed once npos known
+    else:
+        cb = np.empty((len(c), 3), dtype=np.uint8)
+        cb[:, 0] = c & 0xFF
+        cb[:, 1] = (c >> 8) & 0xFF
+        cb[:, 2] = (c >> 16) & 0xFF
+        enc_c = cb.ravel()
 
     # per-block stats + byte spans
     bmax_tf = np.maximum.reduceat(tfs, blk_start)
@@ -626,16 +674,21 @@ def encode_postings_many(
     bmin_pos = np.zeros(nblk, dtype=np.uint64)
     bmax_pos = np.zeros(nblk, dtype=np.uint64)
     pos_bytes_blk = np.zeros(nblk, dtype=np.uint64)
+    ctx_bytes_blk = np.zeros(nblk, dtype=np.uint64)
     if npos_total:
         pstarts = np.minimum(blk_pos_start, npos_total - 1)
         nonempty = npos_blk > 0
         if use_pfor_all:
-            # v5 positions: ragged FOR pack of the nonempty pos blocks
-            # (empty blocks contribute NO bytes, like encode_postings)
-            enc_p, sp = _for_pack_many(
-                pdelta, blk_pos_start[nonempty].astype(np.int64),
-                npos_blk[nonempty].astype(np.int64))
+            # v5 positions + ctx: ragged FOR packs of the nonempty pos
+            # blocks (empty blocks contribute NO bytes, like
+            # encode_postings)
+            ne_starts = blk_pos_start[nonempty].astype(np.int64)
+            ne_counts = npos_blk[nonempty].astype(np.int64)
+            enc_p, sp = _for_pack_many(pdelta, ne_starts, ne_counts)
             pos_bytes_blk[nonempty] = sp
+            enc_c, sc = _for_pack_many(ctxs.astype(np.uint64),
+                                       ne_starts, ne_counts)
+            ctx_bytes_blk[nonempty] = sc
         else:
             pos_bytes_blk = np.where(
                 nonempty, np.add.reduceat(len_p, pstarts),
@@ -664,15 +717,18 @@ def encode_postings_many(
     # encode_postings): varint(nd) | base*nb | bmax_tf*nb | ... — built
     # as ONE scatter-filled array so a single varint encode covers all
     # runs' headers
-    meta_vals = np.empty(nrun + 10 * nblk, dtype=np.uint64)
-    run_base = blk_before * 10 + np.arange(nrun, dtype=np.int64)
+    meta_arrays = (
+        block_base, bmax_tf.astype(np.uint64),
+        bmin_dl.astype(np.uint64), doc_bytes_blk, tfdl_bytes_blk,
+        pos_bytes_blk, npos_blk, bctx, bmin_pos, bmax_pos) \
+        + ((ctx_bytes_blk,) if use_pfor_all else ())
+    n_meta = len(meta_arrays)
+    meta_vals = np.empty(nrun + n_meta * nblk, dtype=np.uint64)
+    run_base = blk_before * n_meta + np.arange(nrun, dtype=np.int64)
     meta_vals[run_base] = run_nd.astype(np.uint64)
     blk_base_ix = run_base[blk_run] + 1 + blk_within
     run_nb_blk = run_nb[blk_run]
-    for j, arr in enumerate((
-            block_base, bmax_tf.astype(np.uint64),
-            bmin_dl.astype(np.uint64), doc_bytes_blk, tfdl_bytes_blk,
-            pos_bytes_blk, npos_blk, bctx, bmin_pos, bmax_pos)):
+    for j, arr in enumerate(meta_arrays):
         meta_vals[blk_base_ix + j * run_nb_blk] = arr
     enc_m, len_m = _varint_encode_len(meta_vals)
     m_bytes = np.add.reduceat(len_m, run_base)
@@ -704,7 +760,8 @@ def encode_postings_many(
     do = offsets(doc_bytes_run)
     to = offsets(tfdl_bytes_run)
     po = offsets(pos_bytes_run)
-    co = offsets(run_npos * 3)
+    co = offsets(np.add.reduceat(ctx_bytes_blk, blk_before)
+                 .astype(np.int64) if use_pfor_all else run_npos * 3)
 
     ver = bytes([PFOR_ALL_VERSION if use_pfor_all
                  else PFOR_VERSION if use_pfor else CODEC_VERSION])
@@ -731,7 +788,7 @@ class BlockMeta:
 
     __slots__ = ("n_docs", "nblocks", "block_base", "bmax_tf", "bmin_dl",
                  "doc_bytes", "tfdl_bytes", "pos_bytes", "npos",
-                 "bctx", "bmin_pos", "bmax_pos", "version",
+                 "bctx", "bmin_pos", "bmax_pos", "ctx_bytes", "version",
                  "streams_off", "buf")
 
     def __init__(self, blob: bytes):
@@ -749,6 +806,7 @@ class BlockMeta:
             self.block_base = self.bmax_tf = self.bmin_dl = z
             self.doc_bytes = self.tfdl_bytes = self.pos_bytes = self.npos = z
             self.bctx = self.bmin_pos = self.bmax_pos = z
+            self.ctx_bytes = z
             self.streams_off = off
             return
         nb = (self.n_docs + BLOCK - 1) // BLOCK
@@ -758,7 +816,8 @@ class BlockMeta:
         # call re-scans continuation bits and pays numpy fixed costs,
         # which dominated the build's multi-blob merge loop (2.5M tiny
         # BlockMeta constructions at 200k docs)
-        n_arrays = 10 if self.version >= 3 else 7
+        n_arrays = (11 if self.version >= PFOR_ALL_VERSION
+                    else 10 if self.version >= 3 else 7)
         flat, off = _varint_decode(buf, n_arrays * nb, off)
         (self.block_base, self.bmax_tf, self.bmin_dl, self.doc_bytes,
          self.tfdl_bytes, self.pos_bytes, self.npos) = (
@@ -769,6 +828,10 @@ class BlockMeta:
             self.bmax_pos = flat[9 * nb:10 * nb]
         else:  # v2: readers treat the bounds as unavailable
             self.bctx = self.bmin_pos = self.bmax_pos = None
+        # v5: per-block byte size of the FOR-packed ctx span (pre-v5
+        # ctx is fixed 3 bytes/posting, derivable from npos)
+        self.ctx_bytes = (flat[10 * nb:11 * nb]
+                          if self.version >= PFOR_ALL_VERSION else None)
         self.streams_off = off
 
     def block_doc_count(self, bi: int) -> int:
@@ -804,6 +867,11 @@ def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
     pos_off[1:] = np.cumsum(m.pos_bytes).astype(np.int64)
     npos_off = np.zeros(m.nblocks + 1, dtype=np.int64)
     npos_off[1:] = np.cumsum(m.npos).astype(np.int64)
+    if m.version >= PFOR_ALL_VERSION:
+        ctx_off = np.zeros(m.nblocks + 1, dtype=np.int64)
+        ctx_off[1:] = np.cumsum(m.ctx_bytes).astype(np.int64)
+    else:
+        ctx_off = None
 
     docs_base = m.streams_off
     tfdl_base = docs_base + int(doc_off[-1])
@@ -884,10 +952,16 @@ def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
                 base = np.repeat(np.arange(nd), tf.astype(np.int64))
                 start_csum = csum[dstarts[base]] - pd_all[dstarts[base]]
                 out["positions"] = csum - start_csum
-            cb = buf[ctx_base: ctx_base + 3 * npos_total] \
-                .reshape(npos_total, 3).astype(np.uint32)
-            out["ctxs"] = (cb[:, 0] | (cb[:, 1] << 8)
-                           | (cb[:, 2] << 16)).astype(np.uint64)
+            if m.version >= PFOR_ALL_VERSION:
+                ne = m.npos.astype(np.int64) > 0
+                out["ctxs"] = _for_unpack_ragged(
+                    buf, (ctx_base + ctx_off[:-1]).astype(np.int64)[ne],
+                    m.npos.astype(np.int64)[ne])
+            else:
+                cb = buf[ctx_base: ctx_base + 3 * npos_total] \
+                    .reshape(npos_total, 3).astype(np.uint32)
+                out["ctxs"] = (cb[:, 0] | (cb[:, 1] << 8)
+                               | (cb[:, 2] << 16)).astype(np.uint64)
         return out
 
     out_docs, out_tfs, out_dls, out_rks = [], [], [], []
@@ -933,9 +1007,17 @@ def decode_blocks(blob: bytes, block_idx=None, with_positions: bool = False,
             base = np.repeat(np.arange(cnt), tf.astype(np.int64))
             start_csum = csum[starts[base]] - pd[starts[base]]
             out_pos.append(csum - start_csum)
-            cs = ctx_base + 3 * int(npos_off[bi])
-            cb = buf[cs: cs + 3 * npos].reshape(npos, 3).astype(np.uint32)
-            out_ctx.append(cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16))
+            if m.version >= PFOR_ALL_VERSION:
+                out_ctx.append(
+                    _for_unpack(buf, ctx_base + int(ctx_off[bi]), npos)
+                    .astype(np.uint32)
+                    if npos else np.empty(0, dtype=np.uint32))
+            else:
+                cs = ctx_base + 3 * int(npos_off[bi])
+                cb = buf[cs: cs + 3 * npos].reshape(npos, 3) \
+                    .astype(np.uint32)
+                out_ctx.append(cb[:, 0] | (cb[:, 1] << 8)
+                               | (cb[:, 2] << 16))
     cat = (lambda lst, dt=np.uint64: np.concatenate(lst)
            if lst else np.empty(0, dtype=dt))
     return {
