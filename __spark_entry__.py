@@ -1774,6 +1774,26 @@ def q_gopher_filter(spark, sf_dir):
         "ok_stops", "ok_ellipsis", "ok_bullets", "keep")
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+vector retrieval (query/hybrid.py): BM25 'key
+    value' leg fused with the embedding-cosine leg (query vector =
+    vec_id 0, vec_id IS the doc_id) by reciprocal-rank fusion
+    (Cormack et al. 2009), rrf_k=60, top-25. k_each exceeds the
+    corpus so both legs rank their full candidate sets — rank
+    assignment (rounded leg score, doc_id asc) is then deterministic
+    on both engines with no cutoff boundary."""
+    from open_source_search_engine_spark.query.hybrid import (
+        hybrid_search,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return hybrid_search(
+        spark, d, "key value", _query_vec(spark, sf_dir),
+        _emb(spark, sf_dir), k=25, k_each=1_000_000).select(
+        F.col("doc_id").cast("long"), "rrf",
+        F.col("n_legs").cast("int"))
+
+
 def q_cocite_related(spark, sf_dir):
     """Related sites by co-citation (ops.graph.cocitation_related —
     Dean & Henzinger 1999 §4 over the linkdb analog) on a
@@ -1901,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "curate_pipeline": q_curate_pipeline,
         "cocite_related": q_cocite_related,
+        "hybrid_search": q_hybrid_search,
         "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
@@ -2797,6 +2818,38 @@ select *,
 from sig
 """.replace("__STOPS__", stops),
         "curate_pipeline": curate_sql,
+        "hybrid_search": f"""{_bm25_cte()},
+b as (
+  select tf.doc_id, round(sum({_bm25_score()}), 6) as s
+  from tf join stats on stats.tok = tf.tok
+          join dl on dl.doc_id = tf.doc_id
+          cross join corpus
+  where tf.tok in ('key', 'value')
+  group by tf.doc_id
+  having count(distinct tf.tok) = 2),
+br as (select doc_id,
+              row_number() over (order by s desc, doc_id asc) as r
+       from b),
+qv as (select embedding::double[] as q from embeddings where vec_id = 0),
+c as (select vec_id as doc_id,
+        round(list_dot_product(e.embedding::double[], qv.q)
+              / (sqrt(list_dot_product(e.embedding::double[],
+                                       e.embedding::double[]))
+                 * sqrt(list_dot_product(qv.q, qv.q))), 4) as cos
+      from embeddings e cross join qv),
+cr as (select doc_id,
+              row_number() over (order by cos desc, doc_id asc) as r
+       from c),
+f as (select coalesce(br.doc_id, cr.doc_id) as doc_id,
+        round(coalesce(1.0 / (60 + br.r), 0)
+              + coalesce(1.0 / (60 + cr.r), 0), 6) as rrf,
+        ((br.r is not null)::int + (cr.r is not null)::int) as n_legs
+      from br full outer join cr on br.doc_id = cr.doc_id)
+select doc_id::bigint as doc_id, rrf, n_legs::int as n_legs
+from (select *, row_number() over (order by rrf desc, doc_id asc) as rk
+      from f)
+where rk <= 25
+""",
         "cocite_related": """
 with srcj as (select doc_id as s, unnest(range(1, 3 + doc_id % 3)) as j
               from documents),

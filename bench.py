@@ -295,6 +295,21 @@ def main() -> int:
         cocitation_related,
     )
 
+    # hybrid lexical+vector retrieval (BM25 leg + brute cosine leg,
+    # reciprocal-rank fusion)
+    from open_source_search_engine_spark.query.hybrid import (
+        hybrid_search,
+    )
+
+    def _hybrid():
+        emb = spark.read.parquet(os.path.join(sf_dir,
+                                              "embeddings.parquet"))
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return hybrid_search(spark, idx_dir, "key value", qv, emb,
+                             k=10, k_each=50, reader=rd).collect()
+    timed("q_hybrid", _hybrid)
+
     def _cocite():
         links = (docs.select(
             F.col("doc_id").alias("src"),
