@@ -1774,6 +1774,23 @@ def q_gopher_filter(spark, sf_dir):
         "ok_stops", "ok_ellipsis", "ok_bullets", "keep")
 
 
+def q_search_facets_numeric(spark, sf_dir):
+    """Numeric range facets over the full match set
+    (executor.search_facets_numeric — original Gigablast's
+    gbfacetint/gbfacetfloat family, fork residue Query.cpp:1791):
+    doc-length buckets of every doc matching 'key', equal integer
+    width over the match set's min/max, 8 buckets."""
+    from open_source_search_engine_spark.query.executor import (
+        search_facets_numeric,
+    )
+
+    d = _ensure_base_index(spark, sf_dir)
+    return search_facets_numeric(spark, d, "key", col="n_tokens",
+                                 n_buckets=8).select(
+        F.col("bucket").cast("int"), F.col("lo").cast("long"),
+        F.col("hi").cast("long"), F.col("n_docs").cast("long"))
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid lexical+vector retrieval (query/hybrid.py): BM25 'key
     value' leg fused with the embedding-cosine leg (query vector =
@@ -1922,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pipeline": q_curate_pipeline,
         "cocite_related": q_cocite_related,
         "hybrid_search": q_hybrid_search,
+        "search_facets_numeric": q_search_facets_numeric,
         "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
@@ -2818,6 +2836,22 @@ select *,
 from sig
 """.replace("__STOPS__", stops),
         "curate_pipeline": curate_sql,
+        "search_facets_numeric": f"""
+with tok as ({_TOK}),
+ids as (select distinct doc_id from tok where tok = 'key'),
+vals as (select len(string_split(d.text, ' '))::bigint as v
+         from documents d join ids using (doc_id)),
+b as (select min(v) as lo0, max(v) as hi0,
+             greatest(1, (max(v) - min(v) + 8) // 8) as w
+      from vals),
+bk as (select (v - b.lo0) // b.w as bucket, b.lo0, b.w
+       from vals cross join b)
+select bucket::int as bucket,
+       (lo0 + bucket * w)::bigint as lo,
+       (lo0 + (bucket + 1) * w - 1)::bigint as hi,
+       count(*)::bigint as n_docs
+from bk group by bucket, lo0, w
+""",
         "hybrid_search": f"""{_bm25_cte()},
 b as (
   select tf.doc_id, round(sum({_bm25_score()}), 6) as s

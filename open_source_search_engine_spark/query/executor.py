@@ -2339,6 +2339,60 @@ def search_facets(spark: SparkSession, index_dir: str, query: str,
             .limit(k))
 
 
+def search_facets_numeric(spark: SparkSession, index_dir: str,
+                          query: str, col: str = "n_tokens",
+                          n_buckets: int = 10,
+                          conf: EngineConf = DEFAULT_CONF,
+                          reader: IndexReader | None = None) -> DataFrame:
+    """(bucket, lo, hi, n_docs) — equal-width integer range facets of a
+    numeric doc attribute over a query's FULL match set: the numeric
+    side of original Gigablast's gbfacet family (gbfacetint:price /
+    gbfacetfloat:, with range buckets in the serp facet tables; the
+    Privacore fork kept only the residue, Query.cpp:1791 — the string
+    side is ``search_facets``). ``col`` is a docs-view column
+    (titledb-analog metadata): ``n_tokens``, ``site_rank``, or
+    ``warc_ts`` (bucketed on floor-epoch seconds).
+
+    Bucket math is all-integer and therefore engine-reproducible:
+    bounds are the match set's min/max, width = ceil((hi-lo+1)/n) —
+    computed driver-side from one scalar aggregate — and bucket i
+    covers [lo + i*width, lo + (i+1)*width - 1]. Empty buckets are
+    omitted.
+
+    Scale shape: membership from the same single-decode the search
+    paths use; one docs join on doc_id, ONE scalar min/max aggregate,
+    one groupBy(bucket) with map-side partials. Cost scales with the
+    match set, like any facet over a posting list."""
+    rd = reader or IndexReader(spark, index_dir, conf)
+    ids = search_all(spark, index_dir, query, conf=conf,
+                     reader=rd).select("doc_id")
+    if col == "warc_ts":
+        v = F.unix_timestamp(F.col("warc_ts")).cast("long")
+    elif col in ("n_tokens", "site_rank", "lang_id", "site_id"):
+        v = F.col(col).cast("long")
+    else:
+        raise ValueError(f"unsupported numeric facet column {col!r}")
+    vals = ids.join(rd.docs(), "doc_id").select(v.alias("v"))
+    bounds = vals.agg(F.min("v").alias("lo"),
+                      F.max("v").alias("hi")).collect()[0]
+    if bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], "bucket int, lo long, hi long, n_docs long")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = (hi - lo + int(n_buckets)) // int(n_buckets)
+    width = max(1, width)
+    b = F.expr(f"(v - {lo}) div {width}")  # integer div, no float step
+    return (vals.groupBy(b.alias("bucket"))
+            .agg(F.count("*").alias("n_docs"))
+            .select(F.col("bucket").cast("int"),
+                    (F.lit(lo) + F.col("bucket") * F.lit(width))
+                    .cast("long").alias("lo"),
+                    (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width) - 1)
+                    .cast("long").alias("hi"),
+                    F.col("n_docs").cast("long"))
+            .orderBy("bucket"))
+
+
 def estimate_and_cardinality(spark: SparkSession, index_dir: str,
                              terms: list[str],
                              conf: EngineConf = DEFAULT_CONF,

@@ -1159,3 +1159,39 @@ def test_pfor_all_index_end_to_end(spark, small_conf, tmp_path):
     got = {r["doc_id"] for r in
            search_all(spark, d_p5, "spark", conf=pconf).collect()}
     assert 2 not in got and got
+
+
+def test_search_facets_numeric(built, spark, small_conf):
+    """gbfacetint-style equal-width integer range buckets over the
+    full match set. 'spark' matches docs 1,2,3,7 with doc lengths
+    4,4,5,2 -> lo=2 hi=5 width=ceil(4/2)=2: bucket 0 [2,3] holds doc
+    7, bucket 1 [4,5] the other three."""
+    from open_source_search_engine_spark.query.executor import (
+        search_facets_numeric,
+    )
+
+    rows = search_facets_numeric(spark, built, "spark", col="n_tokens",
+                                 n_buckets=2, conf=small_conf).collect()
+    assert [(r["bucket"], r["lo"], r["hi"], r["n_docs"])
+            for r in rows] == [(0, 2, 3, 1), (1, 4, 5, 3)]
+
+    # warc_ts buckets on floor-epoch seconds: 'ranking' matches docs
+    # 3,5,8 at base+180/300/480s -> width ceil(301/3)=101 -> one doc
+    # per bucket
+    rows = search_facets_numeric(spark, built, "ranking",
+                                 col="warc_ts", n_buckets=3,
+                                 conf=small_conf).collect()
+    assert [r["n_docs"] for r in rows] == [1, 1, 1]
+    assert [r["bucket"] for r in rows] == [0, 1, 2]
+    assert rows[0]["hi"] - rows[0]["lo"] == 100
+
+    # empty match set -> empty frame with the contract schema
+    empty = search_facets_numeric(spark, built, "zzznothing",
+                                  conf=small_conf)
+    assert empty.count() == 0
+    assert empty.columns == ["bucket", "lo", "hi", "n_docs"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        search_facets_numeric(spark, built, "spark", col="title",
+                              conf=small_conf)
