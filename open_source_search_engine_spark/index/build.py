@@ -1589,6 +1589,150 @@ def compact_index(spark: SparkSession, index_dir: str,
     return meta
 
 
+def merge_indexes(spark: SparkSession, in_dirs: list[str],
+                  out_dir: str, conf: EngineConf = DEFAULT_CONF,
+                  check_disjoint: bool = True) -> dict:
+    """Consolidate independently built indexes over DISJOINT docId
+    sets into one new index — the multi-crawl/shard consolidation the
+    reference performs by copying RdbBase file sets between
+    collections and letting the next merge fold them (RdbBase.h:193
+    file-set merge; collections share nothing else). At corpus scale
+    this is how monthly crawl indexes or per-partition shard builds
+    become one servable snapshot WITHOUT re-parsing a byte of HTML:
+    only posting blobs move.
+
+    Preconditions (validated): every input is a single-generation
+    snapshot with no tombstones (compact first — newest-wins
+    resolution across UNRELATED indexes is undefined), and all inputs
+    share the bucket/salt layout (n_buckets, n_salts). DocId sets
+    must be disjoint; ``check_disjoint`` verifies with one
+    aggregation (skippable when the sharding scheme guarantees it).
+
+    Scale shape: the exact compaction dataflow with an empty event
+    map — one (term_id, salt)-keyed shuffle of segment rows + the
+    vectorized multi-blob merge, one docs/lexicon union, stats
+    recomputed from the merged segments (one row per blob, never
+    per posting). Term sketches max-merge when every input carries
+    them at the same precision (HLL union is elementwise max).
+    """
+    if len(in_dirs) < 2:
+        raise ValueError("need at least two input indexes")
+    in_paths, in_metas, in_gens = [], [], []
+    for d in in_dirs:
+        p = IndexPaths(d)
+        with open(p.meta) as f:
+            m = json.load(f)
+        gens = m.get("gens", [0])
+        if len(gens) != 1:
+            raise ValueError(
+                f"{d}: multi-generation input (gens={gens}) — run "
+                "compact_index first")
+        if os.path.exists(p.gen("tombstones", gens[0])):
+            raise ValueError(f"{d}: has tombstones — compact first")
+        in_paths.append(p)
+        in_metas.append(m)
+        in_gens.append(gens[0])
+    c0 = in_metas[0].get("conf", {})
+    for d, m in zip(in_dirs[1:], in_metas[1:]):
+        ci = m.get("conf", {})
+        for key in ("n_buckets", "n_salts"):
+            if ci.get(key) != c0.get(key):
+                raise ValueError(
+                    f"{d}: conf.{key}={ci.get(key)} != {c0.get(key)} "
+                    "— inputs must share the bucket/salt layout")
+
+    docs_frames = [spark.read.parquet(p.gen("docs", g))
+                   for p, g in zip(in_paths, in_gens)]
+    docs_all = docs_frames[0]
+    for f in docs_frames[1:]:
+        docs_all = docs_all.unionByName(f, allowMissingColumns=True)
+    if check_disjoint:
+        dup = (docs_all.groupBy("doc_id")
+               .agg(F.count("*").alias("n")).where(F.col("n") > 1))
+        clash = dup.limit(1).collect()
+        if clash:
+            raise ValueError(
+                f"doc_id {clash[0]['doc_id']} appears in more than one "
+                "input — merge_indexes requires disjoint docId sets")
+
+    out_paths = IndexPaths(out_dir)
+    os.makedirs(out_paths.manifests, exist_ok=True)
+    docs_all.write.mode("overwrite").parquet(out_paths.gen("docs", 0))
+
+    seg = None
+    for i, (p, g) in enumerate(zip(in_paths, in_gens)):
+        s = (spark.read.parquet(p.gen("segments", g))
+             .withColumn("gen", F.lit(i)))
+        seg = s if seg is None else seg.unionByName(s)
+    empty = np.empty(0, dtype=np.uint64)
+    (
+        seg.repartition(F.col("term_id"), F.col("salt"))
+        .sortWithinPartitions("term_id", "salt", "gen")
+        .mapInPandas(make_compact_merge(empty,
+                                        empty.astype(np.int64),
+                                        conf.docid_codec),
+                     schema=SEGMENT_SCHEMA)
+        .repartition("bucket")
+        .sortWithinPartitions("term_id", "salt")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_paths.gen("segments", 0))
+    )
+    (
+        spark.read.parquet(out_paths.gen("segments", 0))
+        .groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .write.mode("overwrite")
+        .parquet(out_paths.gen("term_stats", 0))
+    )
+    (
+        spark.read.parquet(*[p.gen("lexicon", g)
+                             for p, g in zip(in_paths, in_gens)])
+        .distinct()
+        .write.mode("overwrite").parquet(out_paths.gen("lexicon", 0))
+    )
+    sk_ps = {m.get("conf", {}).get("term_sketch_p") for m in in_metas}
+    sketch_p = sk_ps.pop() if len(sk_ps) == 1 else None
+    if sketch_p and all(os.path.exists(p.gen("term_sketches", g))
+                        for p, g in zip(in_paths, in_gens)):
+        (
+            spark.read.parquet(*[p.gen("term_sketches", g)
+                                 for p, g in zip(in_paths, in_gens)])
+            .groupBy("term_id", "bucket")
+            .agg(F.max("register").alias("register"))
+            .write.mode("overwrite")
+            .parquet(out_paths.gen("term_sketches", 0))
+        )
+    else:
+        sketch_p = None
+
+    n_docs = docs_all.count()
+    meta = {
+        "n_docs": int(n_docs),
+        "n_terms": int(spark.read.parquet(
+            out_paths.gen("term_stats", 0)).count()),
+        "conf": {
+            "n_buckets": c0.get("n_buckets"),
+            "n_salts": c0.get("n_salts"),
+            "salt_df_threshold": c0.get("salt_df_threshold"),
+            "term_sketch_p": sketch_p,
+            # worth-it gate only — row-level salt layout declarations
+            # stay sound for any mix, so the conservative max applies
+            "salt_scheme": {
+                "version": 2,
+                "min_df": max(int((m.get("conf", {})
+                                   .get("salt_scheme") or {})
+                                  .get("min_df", 0))
+                              for m in in_metas)},
+        },
+        "gens": [0],
+        "merged_from": [os.path.abspath(d) for d in in_dirs],
+    }
+    with open(out_paths.meta, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def compute_doc_events(spark: SparkSession, paths: IndexPaths,
                        gens: list[int]) -> DataFrame | None:
     """(doc_id, keep_gen) for every doc touched after the base generation:
