@@ -1835,6 +1835,24 @@ def q_cocite_related(spark, sf_dir):
         F.col("rank").cast("int"))
 
 
+def q_source_keywords(spark, sf_dir):
+    """Per-source characteristic terms (ops.textstats
+    group_keywords_tfidf): tf-idf at corpus-source granularity —
+    tf = term count in the source's text, df = number of sources
+    containing the term, idf = ln(n_sources/df); top-5 per source,
+    ties (tfidf DESC, term ASC). The contrastive corpus-profiling op
+    for training-data mixture QA."""
+    from open_source_search_engine_spark.ops.textstats import (
+        group_keywords_tfidf,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_keywords_tfidf(docs, group_col="source",
+                                top_k=5).select(
+        "group", "term", F.col("tf").cast("long"),
+        F.col("df").cast("long"), "tfidf", F.col("rank").cast("int"))
+
+
 def q_curate_pipeline(spark, sf_dir):
     """Composed training-corpus curation chain
     (ops.pipeline.curate_training_corpus): langid -> Gopher quality ->
@@ -1940,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocite_related": q_cocite_related,
         "hybrid_search": q_hybrid_search,
         "search_facets_numeric": q_search_facets_numeric,
+        "source_keywords": q_source_keywords,
         "c4_filter": q_c4_filter,
         "split_assign": q_split_assign,
         "simhash": q_simhash,
@@ -2836,6 +2855,22 @@ select *,
 from sig
 """.replace("__STOPS__", stops),
         "curate_pipeline": curate_sql,
+        "source_keywords": """
+with tok as (select source as "group", unnest(string_split(text, ' ')) as term
+             from documents),
+tf as (select "group", term, count(*)::bigint as tf
+       from tok group by 1, 2),
+dfc as (select term, count(*)::bigint as df from tf group by 1),
+ng as (select count(distinct "group")::double as n from tf)
+select "group", term, tf, df, round(tf * ln(n / df), 6) as tfidf,
+       rank::int as rank
+from (
+  select tf."group", tf.term, tf.tf, dfc.df, ng.n,
+         row_number() over (partition by tf."group"
+             order by tf.tf * ln(ng.n / dfc.df) desc, tf.term asc) as rank
+  from tf join dfc using (term), ng) t
+where rank <= 5
+""",
         "search_facets_numeric": f"""
 with tok as ({_TOK}),
 ids as (select distinct doc_id from tok where tok = 'key'),

@@ -935,3 +935,46 @@ def textrank_keywords(docs: DataFrame, top_k: int = 3,
             .where(F.col("rank") <= top_k)
             .select("doc_id", "term", "rank_fp",
                     F.col("rank").cast("int")))
+
+
+def group_keywords_tfidf(docs: DataFrame, group_col: str = "source",
+                         top_k: int = 5) -> DataFrame:
+    """Top-k characteristic terms PER GROUP (corpus source, site,
+    language, ...) by tf-idf at group granularity: tf = term count in
+    the group's concatenated text, df = number of GROUPS containing
+    the term, idf = ln(n_groups / df) — the standard contrastive
+    corpus-profiling op for training-data mixture QA ("what
+    distinguishes source A's text from the rest"); a term appearing
+    in every group scores zero, exactly the boilerplate-suppression
+    tf-idf gives at doc granularity (keywords_tfidf, same arithmetic,
+    same rounding). Ties (tfidf DESC, term ASC).
+    Returns ``(group, term, tf, df, tfidf, rank)``.
+
+    Scale shape: identical to keywords_tfidf with the group key
+    substituted for doc_id — one explode + (group, term) count
+    aggregation, one term-df aggregation (both map-side partial), one
+    join on term, one per-group top-k window over the
+    groups-x-vocabulary frame (far smaller than the corpus)."""
+    from pyspark.sql import Window
+
+    g = F.col(group_col).alias("group")
+    tf = (spread(docs)
+          .select(g, F.explode(tokens_col(F.col("text"))).alias("term"))
+          .groupBy("group", "term")
+          .agg(F.count("*").alias("tf")))
+    n_groups = tf.select("group").distinct().count()
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("group").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (tf.join(dfc, "term")
+            .withColumn("tfidf",
+                        F.round(F.col("tf")
+                                * F.log(F.lit(float(n_groups))
+                                        / F.col("df")), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("group", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("df").cast("long").alias("df"),
+                    "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

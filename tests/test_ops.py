@@ -1760,3 +1760,30 @@ def test_cocitation_related_hand_traced(spark):
     assert {(r["site"], r["rank"]): (r["related"], r["n_common"],
                                      r["jaccard"]) for r in guarded} \
         == got
+
+
+def test_group_keywords_tfidf(spark):
+    """Per-group contrastive terms: a term in every group gets idf 0;
+    a group-exclusive term tops that group's list."""
+    from open_source_search_engine_spark.ops.textstats import (
+        group_keywords_tfidf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha shared", "a"),
+         (2, "alpha shared", "a"),
+         (3, "beta shared beta beta", "b"),
+         (4, "gamma shared", "c")],
+        "doc_id long, text string, source string")
+    rows = group_keywords_tfidf(docs, group_col="source",
+                                top_k=2).collect()
+    top = {r["group"]: r["term"] for r in rows if r["rank"] == 1}
+    assert top == {"a": "alpha", "b": "beta", "c": "gamma"}
+    by = {(r["group"], r["term"]): r for r in rows}
+    import math
+    assert by[("a", "alpha")]["tf"] == 3
+    assert by[("a", "alpha")]["df"] == 1
+    assert by[("a", "alpha")]["tfidf"] == round(3 * math.log(3.0), 6)
+    # 'shared' appears in all 3 groups -> idf ln(3/3) = 0
+    shared = [r for r in rows if r["term"] == "shared"]
+    assert all(r["tfidf"] == 0.0 for r in shared)
