@@ -1078,7 +1078,14 @@ def merge_disjoint_blobs(blobs: list[bytes],
     partitions): duplicate docs are combined — tf summed, positions
     re-sorted ascending within the doc (the reference's mini-merge keeps
     each docId's positions sorted, PosdbTable.cpp:2879)."""
-    decoded = [decode_postings(b) for b in blobs]
+    decoded = [d for d in (decode_postings(b) for b in blobs)
+               if len(d["doc_ids"])]
+    if not decoded:
+        # nothing to merge (no blobs, or every blob decoded empty):
+        # a well-formed empty blob, not a concatenate ValueError
+        z = np.empty(0, dtype=np.uint64)
+        return encode_postings(z, z, z, z, z, z,
+                               docid_codec=docid_codec)
     docs = np.concatenate([d["doc_ids"] for d in decoded])
     tfs = np.concatenate([d["tfs"] for d in decoded]).astype(np.int64)
     dls = np.concatenate([d["doclens"] for d in decoded])

@@ -105,10 +105,17 @@ def fsck_index(spark: SparkSession, index_dir: str,
     from ..query.executor import IndexReader
 
     rd = IndexReader(spark, index_dir, conf)
+    # layout contracts are checked against the layout the index was
+    # BUILT with (recorded in _index_meta.json), not the caller's conf
+    # — fsck with a default conf on a non-default-layout index must not
+    # report false corruption (ADVICE r4)
+    built = rd.meta.get("conf") or {}
+    n_buckets = int(built.get("n_buckets", conf.n_buckets))
+    n_salts = int(built.get("n_salts", conf.n_salts))
     segs = rd._read_gens("segments")
     blob = (segs.select("term_id", "salt", "df", "cf", "max_tf",
                         "n_bytes", "bucket", "postings")
-            .mapInPandas(_blob_check_udf(conf.n_buckets, conf.n_salts),
+            .mapInPandas(_blob_check_udf(n_buckets, n_salts),
                          schema="check string, n_checked long, n_bad long")
             .groupBy("check")
             .agg(F.sum("n_checked").alias("n_checked"),

@@ -68,13 +68,34 @@ class QueryCache:
         write = uc != 0  # m_wcache default follows m_useCache (:462-466)
         return read, write
 
+    # every EngineConf field that can change a result row or its rank —
+    # NOT just the bm25 trio: the reference-scorer weight knobs, lang
+    # boost, page temperature and the hf-shortcut approximation all
+    # alter scores, so two sessions sharing a cache_dir with different
+    # values must never share entries (ADVICE r4). Build-time and
+    # plan-only knobs (codec, salting, planner gates) are excluded on
+    # purpose: they are results-identical by contract.
+    _SCORE_FIELDS = (
+        "k1", "b", "scorer", "hashgroup_weights",
+        "density_weight_min", "density_weight_max",
+        "diversity_weight_min", "diversity_weight_max",
+        "termfreq_min", "termfreq_max",
+        "termfreq_weight_min", "termfreq_weight_max", "syn_weight",
+        "query_lang", "same_lang_weight", "unknown_lang_weight",
+        "use_page_temperature", "page_temp_weight_min",
+        "page_temp_weight_max", "page_temp_default",
+        "use_hf_shortcuts",
+    )
+
     def _key(self, index_dir: str, query: str, k, conf: EngineConf) -> str:
         with open(os.path.join(index_dir, "_index_meta.json")) as f:
             meta = json.load(f)
         snap = {"gens": meta.get("gens"), "n_docs": meta.get("n_docs")}
+        scoring = [list(v) if isinstance(
+            v := getattr(conf, fld), tuple) else v
+            for fld in self._SCORE_FIELDS]
         raw = json.dumps([os.path.abspath(index_dir), snap, query, k,
-                          conf.scorer, conf.k1, conf.b],
-                         sort_keys=True)
+                          scoring], sort_keys=True)
         return hashlib.md5(raw.encode()).hexdigest()
 
     def search(self, spark: SparkSession, index_dir: str, query: str,

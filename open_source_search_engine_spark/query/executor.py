@@ -2432,9 +2432,23 @@ def estimate_and_cardinality(spark: SparkSession, index_dir: str,
     present = {r["key"] for r in keyed.select("key").distinct().collect()}
     missing = [w for w in words if w not in present]
     if missing:
-        # a term with NO registers has df == 0, so the conjunction is
-        # provably empty — report 0 instead of silently estimating
-        # over the present subset (which would overestimate)
+        # register-less terms are only provably df==0 when the exact
+        # stats agree: sketches enabled mid-history (term_sketch_p on a
+        # later incremental build) leave earlier-gen terms with df>0
+        # but no registers, and declaring the conjunction empty then
+        # would be wrong (ADVICE r4) — refuse with the coverage gap
+        # named instead of returning a confident 0
+        dfs = rd.df_of([tid for tid, w in id2w.items() if w in missing])
+        covered_gap = [id2w[t] for t, d in dfs.items() if d > 0]
+        if covered_gap:
+            raise ValueError(
+                "partial sketch coverage: term(s) "
+                f"{sorted(covered_gap)} have df>0 but no HLL registers "
+                "(sketches were enabled after their generation was "
+                "built) — rebuild or re-sketch before estimating")
+        # a term with NO registers AND df==0 is provably absent, so
+        # the conjunction is provably empty — report 0 instead of
+        # silently estimating over the present subset
         rows = [(w, 1, 0.0) for w in missing] +                [("&".join(words), len(words), 0.0)]
         zero = spark.createDataFrame(
             rows, "subset string, n_keys int, estimate double")
@@ -2503,10 +2517,15 @@ def snapshot_diff(spark: SparkSession, index_dir: str,
                          F.col("content_hash").alias("_hb"),
                          F.col("warc_ts").alias("_tb"))
     j = a.join(b, "doc_id", "full")
+    # added/removed key off content_hash presence (never NULL for a
+    # visible doc); the updated test must be NULL-SAFE — warc_ts MAY be
+    # NULL, and `_ta != _tb` is SQL NULL when one side is, silently
+    # demoting a NULL→value recrawl to 'unchanged' (ADVICE r4)
     change = (F.when(F.col("_ha").isNull(), F.lit("added"))
               .when(F.col("_hb").isNull(), F.lit("removed"))
-              .when((F.col("_ha") != F.col("_hb"))
-                    | (F.col("_ta") != F.col("_tb")), F.lit("updated"))
+              .when(~F.col("_ha").eqNullSafe(F.col("_hb"))
+                    | ~F.col("_ta").eqNullSafe(F.col("_tb")),
+                    F.lit("updated"))
               .otherwise(F.lit("unchanged")))
     out = j.select("doc_id", change.alias("change"))
     if not include_unchanged:

@@ -566,3 +566,35 @@ def test_pfor_all_bulk_encode_byte_parity():
     for blob, (d, t, dl, p, c, r) in zip(blobs, runs):
         assert blob == encode_postings(d, t, dl, p, c, r,
                                        docid_codec="pfor_all")
+
+
+def test_merge_empty_blob_lists():
+    """ADVICE r4: merging no blobs (or only empty blobs) returns a
+    well-formed empty blob instead of a numpy concatenate ValueError —
+    both the per-group and the batched merge."""
+    from open_source_search_engine_spark.functions.codec import (
+        decode_postings,
+        encode_postings,
+        merge_disjoint_blobs,
+        merge_disjoint_blobs_many,
+    )
+
+    z = np.empty(0, dtype=np.uint64)
+    empty_blob = encode_postings(z, z, z, z, z, z)
+
+    for blobs in ([], [empty_blob], [empty_blob, empty_blob]):
+        out = merge_disjoint_blobs(blobs)
+        assert len(decode_postings(out)["doc_ids"]) == 0
+
+    blobs, df, cf, mtf = merge_disjoint_blobs_many([[], [empty_blob]])
+    assert list(df) == [0, 0] and list(cf) == [0, 0]
+    assert all(len(decode_postings(b)["doc_ids"]) == 0 for b in blobs)
+
+    # mixed: one real group + one all-empty group still round-trips
+    rng = np.random.default_rng(7)
+    d, t, dl, p, c, r = make_postings(rng, 5)
+    real = encode_postings(d, t, dl, p, c, r)
+    blobs, df, cf, mtf = merge_disjoint_blobs_many([[real], []])
+    assert list(df) == [5, 0]
+    assert np.array_equal(decode_postings(blobs[0])["doc_ids"], d)
+    assert len(decode_postings(blobs[1])["doc_ids"]) == 0

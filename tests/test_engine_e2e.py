@@ -1195,3 +1195,28 @@ def test_search_facets_numeric(built, spark, small_conf):
     with _pytest.raises(ValueError):
         search_facets_numeric(spark, built, "spark", col="title",
                               conf=small_conf)
+
+
+def test_snapshot_diff_null_ts_recrawl(spark, small_conf, tmp_index):
+    """ADVICE r4: the 'updated' test is null-safe — a doc whose
+    warc_ts goes NULL -> value (content hash unchanged) is 'updated',
+    not silently 'unchanged' through SQL three-valued logic."""
+    from open_source_search_engine_spark.query.executor import (
+        snapshot_diff,
+    )
+
+    def one(ts):
+        return spark.createDataFrame(
+            pd.DataFrame([{
+                "url": "http://s0.example/p/1.html",
+                "warc_ts": ts,
+                "html": b"<html><body><p>same text</p></body></html>",
+                "text": "same text", "lang": "en", "doc_id": 1,
+            }]).astype({"warc_ts": "datetime64[us]"}))
+
+    build_index(spark, one(pd.NaT), tmp_index, conf=small_conf, gen=0)
+    build_index(spark, one(dt.datetime(2024, 6, 1)), tmp_index,
+                conf=small_conf, gen=1)
+    got = {r["doc_id"]: r["change"] for r in
+           snapshot_diff(spark, tmp_index, 0, conf=small_conf).collect()}
+    assert got == {1: "updated"}

@@ -139,3 +139,17 @@ def test_fsck_green_pfor_all(spark, tmp_index):
     build_index(spark, _df(spark, range(1, 21)), tmp_index,
                 conf=conf, gen=0)
     _assert_clean(fsck_index(spark, tmp_index, conf).collect())
+
+
+def test_fsck_reads_layout_from_index_meta(spark, small_conf, tmp_index):
+    """ADVICE r4: the bucket/salt layout contracts come from the conf
+    the index was BUILT with (_index_meta.json), not the caller's —
+    fsck with the DEFAULT_CONF layout (64 buckets / 16 salts) on a
+    4-bucket/2-salt index must stay all-green."""
+    from open_source_search_engine_spark.config import DEFAULT_CONF
+
+    build_index(spark, _df(spark, range(1, 21)), tmp_index,
+                conf=small_conf, gen=0)
+    assert (DEFAULT_CONF.n_buckets != small_conf.n_buckets
+            and DEFAULT_CONF.n_salts != small_conf.n_salts)
+    _assert_clean(fsck_index(spark, tmp_index, DEFAULT_CONF).collect())

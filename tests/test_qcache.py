@@ -98,3 +98,40 @@ def test_cache_policy_chain(spark, small_conf, tmp_index, tmp_path):
     qc4.search(spark, tmp_index, "spark", conf=small_conf).collect()
     qc4.search(spark, tmp_index, "spark", conf=small_conf).collect()
     assert (qc4.hits, qc4.misses) == (0, 2)
+
+
+def test_cache_key_fingerprints_all_score_conf(tmp_path):
+    """ADVICE r4: ANY result-affecting conf change must change the
+    cache key (two sessions sharing a cache_dir with different scoring
+    knobs never share entries); plan-only knobs must NOT (a codec or
+    planner flip keeps the cache warm)."""
+    import dataclasses
+    import json
+
+    from open_source_search_engine_spark.config import EngineConf
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    json.dump({"gens": [0], "n_docs": 10},
+              open(os.path.join(idx, "_index_meta.json"), "w"))
+    qc = QueryCache(str(tmp_path / "qc"))
+    base = EngineConf()
+    k0 = qc._key(idx, "spark", 10, base)
+
+    score_variants = dict(
+        k1=2.0, b=0.5, scorer="reference",
+        hashgroup_weights=tuple(
+            w * 2 for w in base.hashgroup_weights),
+        density_weight_min=0.5, syn_weight=0.5, termfreq_max=0.9,
+        query_lang=1, same_lang_weight=5.0,
+        use_page_temperature=True, use_hf_shortcuts=True,
+    )
+    for fld, val in score_variants.items():
+        conf = dataclasses.replace(base, **{fld: val})
+        assert qc._key(idx, "spark", 10, conf) != k0, fld
+
+    for fld, val in dict(docid_codec="pfor_all", n_buckets=8,
+                         planner_sketch_gate=False,
+                         ref_two_pass_min_postings=5).items():
+        conf = dataclasses.replace(base, **{fld: val})
+        assert qc._key(idx, "spark", 10, conf) == k0, fld

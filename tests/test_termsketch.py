@@ -262,3 +262,37 @@ def test_sketch_gate_routes_tiny_intersections_selective(spark,
            conf=tight).collect()
     assert ex.PLANNER_LAST["path"] == "wand"
     assert ex.PLANNER_LAST["sketch_est"] > 25.0
+
+
+def test_partial_sketch_coverage_refuses(spark, tmp_path_factory):
+    """ADVICE r4: a register-less term is only provably df==0 when the
+    exact stats agree. Sketches enabled on a LATER incremental build
+    leave earlier-gen terms with df>0 but no registers — the estimator
+    must refuse with the gap named, not report a confident 0; a term
+    that is truly absent everywhere still estimates 0."""
+    d = str(tmp_path_factory.mktemp("skpart"))
+    plain = EngineConf(n_buckets=4, n_salts=2, salt_df_threshold=10_000)
+    # gen0 (no sketches) is the only generation holding 'gamma'
+    rows = [{"url": f"http://a.example/{i}.html",
+             "warc_ts": dt.datetime(2024, 1, 1),
+             "html": b"<html><body><p>gamma filler</p></body></html>",
+             "text": "gamma filler", "lang": "en", "doc_id": i}
+            for i in range(10)]
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)),
+                d, conf=plain, gen=0)
+    rows1 = [{"url": f"http://a.example/n{i}.html",
+              "warc_ts": dt.datetime(2024, 2, 1),
+              "html": b"<html><body><p>alpha filler</p></body></html>",
+              "text": "alpha filler", "lang": "en", "doc_id": 100 + i}
+             for i in range(10)]
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows1)),
+                d, conf=SK_CONF, gen=1)
+
+    with pytest.raises(ValueError, match="partial sketch coverage"):
+        estimate_and_cardinality(spark, d, ["gamma", "alpha"],
+                                 conf=SK_CONF).collect()
+
+    got = _est_map(estimate_and_cardinality(
+        spark, d, ["alpha", "zzznotaword"], conf=SK_CONF))
+    assert got["zzznotaword"] == (1, 0.0)
+    assert got["alpha&zzznotaword"][1] == 0.0
