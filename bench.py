@@ -75,13 +75,24 @@ def main() -> int:
     rd = IndexReader(spark, idx_dir)
     rd.avgdl  # warm the docs-side stats once (real serving would cache)
 
-    # ---- query latency: steady-state (2 runs, report the warm one; a
-    # serving deployment keeps plans + workers hot) ----
+    # ---- query latency: steady-state — one discarded warm run, then
+    # median of OSSE_BENCH_REPS (default 3) timed runs. The median (not
+    # the single warm run r1-r4 reported) is what makes round-over-round
+    # deltas signal on a shared box: the documented run-to-run spread
+    # here is +/-40%, and one unlucky GC or noisy-neighbor burst used to
+    # masquerade as a 30% regression (VERDICT r4 bench-hygiene item) ----
+    import statistics
+
+    reps = max(1, int(os.environ.get("OSSE_BENCH_REPS", "3")))
+
     def timed(name, fn):
-        fn()
-        t = time.time()
-        fn()
-        timings[name] = round(time.time() - t, 4)
+        fn()  # warm: plans compiled, workers up, page cache hot
+        samples = []
+        for _ in range(reps):
+            t = time.time()
+            fn()
+            samples.append(time.time() - t)
+        timings[name] = round(statistics.median(samples), 4)
 
     timed("q_and_top10",
           lambda: search(spark, idx_dir, "key window stream", k=10,
