@@ -1152,16 +1152,37 @@ def q_sketch_intersect(spark, sf_dir):
 
 
 def q_percolate(spark, sf_dir):
-    """Stored-query percolation (prospective search): four registered
-    queries (AND / negation / phrase) matched against every document —
-    queries inverted into broadcast term tables, corpus side one
-    explode + one (doc, query) groupBy, phrase verify on candidates
-    only. Oracle recomputes each stored query with LIKE membership."""
+    """Stored-query percolation (prospective search): nine registered
+    queries covering the full r5 grammar — AND / negation / phrase,
+    boolean OR/NOT trees (incl. a default-match pure-NOT arm),
+    site:/gblang: field constraints evaluated against the incoming
+    row, and a gbmin: numeric range over the derived token count
+    (VERDICT r4 item 4: percolation parity with the serving
+    compiler). Queries inverted into broadcast term tables, corpus
+    side one explode + one (doc, query) groupBy, tree masks bit_or'd
+    per candidate, phrase verify on candidates only. The url column
+    is attached via the standard synthetic grammar (host =
+    site{doc_id%%97:04d}.example) so the oracle can re-derive the
+    site: constraint from doc_id."""
     from open_source_search_engine_spark.query.percolate import percolate
 
-    stored = [(1, "key window"), (2, "stream -customer"),
-              (3, '"key value"'), (4, "batch -key")]
-    return percolate(spark, _docs(spark, sf_dir), stored).select(
+    stored = [
+        (1, "key window"), (2, "stream -customer"),
+        (3, '"key value"'), (4, "batch -key"),
+        (5, "key AND (window OR stream)"),       # boolean tree
+        (6, "window OR NOT key"),                # default-match arm
+        (7, "stream gblang:en"),                 # field: language
+        (8, "key site:site0001.example"),        # field: url host
+        (9, "gbmin:n_tokens:60 key"),            # numeric range
+    ]
+    docs = _docs(spark, sf_dir).withColumn(
+        "url",
+        F.concat(F.lit("http://site"),
+                 F.lpad((F.col("doc_id") % 97).cast("string"), 4, "0"),
+                 F.lit(".example/p/"),
+                 F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+                 F.lit(".html")))
+    return percolate(spark, docs, stored).select(
         "query_id", F.col("doc_id").cast("long"))
 
 
@@ -3664,7 +3685,7 @@ from (select doc_id, lang, dist,
 where rn = 1
 """,
         "index_fsck": """
-select * from (values ('blob_decodes', 0), ('block_max_dominates', 0), ('bucket_matches', 0), ('cf_matches', 0), ('df_matches', 0), ('docids_sorted', 0), ('docs_unique_per_gen', 0), ('max_tf_matches', 0), ('n_bytes_matches', 0), ('salt_residue', 0), ('term_stats_consistent', 0))
+select * from (values ('blob_decodes', 0), ('block_max_dominates', 0), ('bucket_matches', 0), ('cf_matches', 0), ('df_matches', 0), ('docids_sorted', 0), ('docs_unique_per_gen', 0), ('frontier_matches', 0), ('max_tf_matches', 0), ('n_bytes_matches', 0), ('salt_residue', 0), ('term_stats_consistent', 0))
   as t("check", n_bad) order by "check"
 """,
         "nb_quality": """
@@ -3707,6 +3728,25 @@ union all
 select 4, doc_id::bigint from documents
 where (' '||text||' ') like '% batch %'
   and (' '||text||' ') not like '% key %'
+union all
+select 5, doc_id::bigint from documents
+where (' '||text||' ') like '% key %'
+  and ((' '||text||' ') like '% window %'
+       or (' '||text||' ') like '% stream %')
+union all
+select 6, doc_id::bigint from documents
+where (' '||text||' ') like '% window %'
+   or (' '||text||' ') not like '% key %'
+union all
+select 7, doc_id::bigint from documents
+where (' '||text||' ') like '% stream %' and lower(lang) = 'en'
+union all
+select 8, doc_id::bigint from documents
+where (' '||text||' ') like '% key %' and doc_id % 97 = 1
+union all
+select 9, doc_id::bigint from documents
+where (' '||text||' ') like '% key %'
+  and len(string_split(text, ' ')) >= 60
 """,
         "textrank": _textrank_sql(),
         "label_prop": _label_prop_sql(),

@@ -31,6 +31,11 @@ reading whole files. Our equivalent (SURVEY.md §1.2, §7) is one blob per
                    position slot (Posdb.h:165-176), so these are value
                    ranges: gbmin/gbmax probes skip non-overlapping
                    blocks without stream decode
+      bdl_tf2/4/8  (version flag 0x40, r5) min doclen among block docs
+                   with tf >= 2/4/8 (0 = none) — the tf-band -> min-dl
+                   Pareto frontier the BM25 block bound walks, so
+                   flat-tf termlists still prune on doclen variance
+                   (see bm25_block_ubs)
     streams (per block, concatenated in block order):
       docs:     delta varints, first delta of each block relative to
                 block_base (so any block decodes standalone)
@@ -55,9 +60,34 @@ import numpy as np
 CODEC_VERSION = 3
 PFOR_VERSION = 4  # opt-in: docs stream FOR-bitpacked instead of varint
 PFOR_ALL_VERSION = 5  # opt-in: docs + tf/dl/rank + positions FOR-bitpacked
+# version-byte flag (orthogonal to the stream codec): the block meta
+# carries 3 extra arrays — the per-block (tf >= {2,4,8}) -> min-doclen
+# Pareto frontier. The plain (bmax_tf, bmin_dl) bound pairs the max tf
+# with the min dl of DIFFERENT docs, which barely prunes on flat-tf
+# termlists (tf ≈ 1-2 everywhere: measured 541/546 blocks decoded on a
+# 500k mid-df list); the frontier caps each tf band with the min dl a
+# doc of that band actually has, so the block bound tracks real docs
+# (PosdbTable.cpp:4494 getMaxPossibleScore reads per-doc rank fields
+# for the same reason). Readers treat flag-less blobs as frontier-free.
+FRONTIER_FLAG = 0x40
+_FRONTIER_THRESHOLDS = (2, 4, 8)   # tf bands: [1,1] [2,3] [4,7] [8,inf)
 _MIN_READ_VERSION = 2  # v2 blobs (no bctx/pos-range arrays) still decode
 _MAX_READ_VERSION = PFOR_ALL_VERSION
 BLOCK = 128  # docs per block
+
+
+def _frontier_arrays(tfs: np.ndarray, doclens: np.ndarray,
+                     bstarts: np.ndarray) -> list[np.ndarray]:
+    """Per-block min doclen among docs with tf >= {2,4,8} (0 = no such
+    doc in the block) — the Pareto frontier the BM25 block bound walks."""
+    out = []
+    sentinel = np.uint64(1) << np.uint64(62)
+    dl = doclens.astype(np.uint64)
+    for thr in _FRONTIER_THRESHOLDS:
+        masked = np.where(tfs >= thr, dl, sentinel)
+        m = np.minimum.reduceat(masked, bstarts)
+        out.append(np.where(m == sentinel, 0, m).astype(np.uint64))
+    return out
 
 
 def _for_pack(vals: np.ndarray) -> np.ndarray:
@@ -336,9 +366,14 @@ def encode_postings(
     ctxs: np.ndarray,
     ranks: np.ndarray,
     docid_codec: str = "varint",
+    frontier: bool = True,
 ) -> bytes:
     """Encode one term's postings (inputs as in the module docstring;
     doc_ids ascending, positions ascending within each doc).
+
+    frontier=False emits a legacy flag-less blob (no per-block tf->dl
+    Pareto arrays) — read-compat tests only; new builds always carry
+    the frontier.
 
     docid_codec="pfor" writes a version-4 blob whose DOCS stream is
     FOR-bitpacked per block (the north-star's "varint/PFOR" option);
@@ -374,6 +409,8 @@ def encode_postings(
     ranks = ranks.astype(np.uint64)
     version = (PFOR_ALL_VERSION if use_pfor_all
                else PFOR_VERSION if use_pfor else CODEC_VERSION)
+    if frontier:
+        version |= FRONTIER_FLAG
     parts = [np.frombuffer(bytes([version]), dtype=np.uint8),
              _varint_encode(np.array([nd], dtype=np.uint64))]
     if nd == 0:
@@ -513,6 +550,8 @@ def encode_postings(
         npos_blk, bctx, bmin_pos, bmax_pos]
     if use_pfor_all:
         meta_arrays.append(ctx_bytes_v5)  # 11th array: FOR-packed ctx
+    if frontier:
+        meta_arrays.extend(_frontier_arrays(tfs, doclens, bstarts))
     meta_vals = np.concatenate(meta_arrays)
     parts.append(_varint_encode(meta_vals))
     if use_pfor:
@@ -542,6 +581,7 @@ def encode_postings_many(
     positions: np.ndarray,
     ctxs: np.ndarray,
     docid_codec: str = "varint",
+    frontier: bool = True,
 ) -> list[bytes]:
     """Bulk encoder for MANY runs of ANY length at once, byte-identical
     to calling ``encode_postings`` per run but fully vectorized across
@@ -721,7 +761,9 @@ def encode_postings_many(
         block_base, bmax_tf.astype(np.uint64),
         bmin_dl.astype(np.uint64), doc_bytes_blk, tfdl_bytes_blk,
         pos_bytes_blk, npos_blk, bctx, bmin_pos, bmax_pos) \
-        + ((ctx_bytes_blk,) if use_pfor_all else ())
+        + ((ctx_bytes_blk,) if use_pfor_all else ()) \
+        + (tuple(_frontier_arrays(tfs, doclens, blk_start))
+           if frontier else ())
     n_meta = len(meta_arrays)
     meta_vals = np.empty(nrun + n_meta * nblk, dtype=np.uint64)
     run_base = blk_before * n_meta + np.arange(nrun, dtype=np.int64)
@@ -763,8 +805,11 @@ def encode_postings_many(
     co = offsets(np.add.reduceat(ctx_bytes_blk, blk_before)
                  .astype(np.int64) if use_pfor_all else run_npos * 3)
 
-    ver = bytes([PFOR_ALL_VERSION if use_pfor_all
-                 else PFOR_VERSION if use_pfor else CODEC_VERSION])
+    ver_num = (PFOR_ALL_VERSION if use_pfor_all
+               else PFOR_VERSION if use_pfor else CODEC_VERSION)
+    if frontier:
+        ver_num |= FRONTIER_FLAG
+    ver = bytes([ver_num])
     bm = memoryview(enc_m.tobytes())
     bd = memoryview(enc_d.tobytes())
     bt = memoryview(enc_t.tobytes())
@@ -789,13 +834,17 @@ class BlockMeta:
     __slots__ = ("n_docs", "nblocks", "block_base", "bmax_tf", "bmin_dl",
                  "doc_bytes", "tfdl_bytes", "pos_bytes", "npos",
                  "bctx", "bmin_pos", "bmax_pos", "ctx_bytes", "version",
+                 "frontier", "bdl_tf2", "bdl_tf4", "bdl_tf8",
                  "streams_off", "buf")
 
     def __init__(self, blob: bytes):
         buf = np.frombuffer(blob, dtype=np.uint8)
-        if not (_MIN_READ_VERSION <= buf[0] <= _MAX_READ_VERSION):
-            raise ValueError(f"bad codec version {buf[0]}")
-        self.version = int(buf[0])
+        raw = int(buf[0])
+        self.frontier = bool(raw & FRONTIER_FLAG)
+        v = raw & ~FRONTIER_FLAG
+        if not (_MIN_READ_VERSION <= v <= _MAX_READ_VERSION):
+            raise ValueError(f"bad codec version {raw}")
+        self.version = v
         off = 1
         nd_arr, off = _varint_decode(buf, 1, off)
         self.n_docs = int(nd_arr[0])
@@ -807,6 +856,7 @@ class BlockMeta:
             self.doc_bytes = self.tfdl_bytes = self.pos_bytes = self.npos = z
             self.bctx = self.bmin_pos = self.bmax_pos = z
             self.ctx_bytes = z
+            self.bdl_tf2 = self.bdl_tf4 = self.bdl_tf8 = z
             self.streams_off = off
             return
         nb = (self.n_docs + BLOCK - 1) // BLOCK
@@ -818,6 +868,9 @@ class BlockMeta:
         # BlockMeta constructions at 200k docs)
         n_arrays = (11 if self.version >= PFOR_ALL_VERSION
                     else 10 if self.version >= 3 else 7)
+        base_arrays = n_arrays
+        if self.frontier:
+            n_arrays += 3
         flat, off = _varint_decode(buf, n_arrays * nb, off)
         (self.block_base, self.bmax_tf, self.bmin_dl, self.doc_bytes,
          self.tfdl_bytes, self.pos_bytes, self.npos) = (
@@ -832,6 +885,13 @@ class BlockMeta:
         # ctx is fixed 3 bytes/posting, derivable from npos)
         self.ctx_bytes = (flat[10 * nb:11 * nb]
                           if self.version >= PFOR_ALL_VERSION else None)
+        if self.frontier:
+            fb = base_arrays * nb
+            self.bdl_tf2 = flat[fb:fb + nb]
+            self.bdl_tf4 = flat[fb + nb:fb + 2 * nb]
+            self.bdl_tf8 = flat[fb + 2 * nb:fb + 3 * nb]
+        else:
+            self.bdl_tf2 = self.bdl_tf4 = self.bdl_tf8 = None
         self.streams_off = off
 
     def block_doc_count(self, bi: int) -> int:
@@ -1054,18 +1114,53 @@ def blocks_for_candidates(meta: BlockMeta, candidates: np.ndarray) -> np.ndarray
     return np.flatnonzero(hi > lo)
 
 
+def bm25_block_ubs(meta: BlockMeta, idf: float, k1: float, b: float,
+                   avgdl: float) -> np.ndarray:
+    """Per-block BM25 upper bounds (PosdbTable.cpp:4494
+    getMaxPossibleScore analog).
+
+    Without the frontier: kernel(bmax_tf, bmin_dl) — sound (monotone up
+    in tf, down in dl) but it pairs the max tf with the min dl of
+    DIFFERENT docs, so on flat-tf termlists every block bounds the
+    same and nothing prunes.
+
+    With the frontier (r5): max over tf bands of kernel(band_tf_cap,
+    band_min_dl), where band_min_dl is the min dl among docs whose tf
+    reaches the band threshold — each band's entry dominates every doc
+    in that band (its tf <= cap, its dl >= the band min), and every
+    doc falls in some band, so the max is a sound per-doc bound that
+    tracks (tf, dl) pairs real docs achieve."""
+
+    def kern(tf, dl):
+        return (idf * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+
+    tf_max = meta.bmax_tf.astype(np.float64)
+    dl_min = meta.bmin_dl.astype(np.float64)
+    if not meta.frontier:
+        return kern(tf_max, dl_min)
+    # band [1,1]: tf-1 docs (dl >= block min); bands [2,3] [4,7]
+    # [8,inf): capped tf with the band's own min dl (0 = band empty)
+    ub = kern(np.minimum(tf_max, 1.0), dl_min)
+    for cap, arr in ((3.0, meta.bdl_tf2), (7.0, meta.bdl_tf4),
+                     (None, meta.bdl_tf8)):
+        dl_b = arr.astype(np.float64)
+        have = dl_b > 0
+        if not have.any():
+            continue
+        tf_b = tf_max if cap is None else np.minimum(tf_max, cap)
+        ub = np.where(have, np.maximum(ub, kern(tf_b, dl_b)), ub)
+    return ub
+
+
 def wand_prune_blocks(meta: BlockMeta, idf: float, k1: float, b: float,
                       avgdl: float, threshold: float) -> np.ndarray:
     """Block-max WAND pruning: indices of blocks whose BM25 upper bound
-    (bmax_tf with bmin_dl — monotone up in tf, down in dl, so a valid
-    bound for every doc in the block) reaches `threshold`
-    (PosdbTable.cpp:4494 getMaxPossibleScore analog)."""
+    reaches `threshold` (frontier-aware, see bm25_block_ubs)."""
     if meta.nblocks == 0:
         return np.empty(0, dtype=np.int64)
-    tf = meta.bmax_tf.astype(np.float64)
-    dl = meta.bmin_dl.astype(np.float64)
-    ub = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    return np.flatnonzero(ub >= threshold)
+    return np.flatnonzero(
+        bm25_block_ubs(meta, idf, k1, b, avgdl) >= threshold)
 
 
 def merge_disjoint_blobs(blobs: list[bytes],

@@ -173,7 +173,7 @@ CUSTOM_META_TAGS = ("author", "subject", "abstract", "news_keywords")
 # r3: codec v3 block bounds (v9); non-body position continuation via
 # the shared m_dist cursor (v10); threshold salting with SALT_SHARED
 # cold runs + layout-general WAND (v11)
-INDEX_FORMAT_VERSION = 12
+INDEX_FORMAT_VERSION = 13  # r5: block-meta tf->min-dl frontier arrays
 
 
 def _effective_salt_min_df(conf, n_docs: int) -> int:

@@ -40,7 +40,7 @@ from ..functions.codec import BlockMeta, decode_postings
 _BLOB_CHECKS = [
     "blob_decodes", "docids_sorted", "df_matches", "cf_matches",
     "max_tf_matches", "n_bytes_matches", "bucket_matches",
-    "salt_residue", "block_max_dominates",
+    "salt_residue", "block_max_dominates", "frontier_matches",
 ]
 
 
@@ -92,6 +92,22 @@ def _blob_check_udf(n_buckets: int, n_salts: int):
                     if not bool(np.all(tfs.astype(np.int64)
                                        <= bounds[:len(tfs)])):
                         bad["block_max_dominates"] += 1
+                if meta.nblocks and meta.frontier:
+                    # the tf-band -> min-dl frontier must equal a
+                    # re-derivation from the decoded postings (r5
+                    # WAND bound input; a drifted frontier silently
+                    # over-prunes)
+                    from ..functions.codec import _frontier_arrays
+
+                    bstarts = np.arange(0, len(docs), 128,
+                                        dtype=np.int64)
+                    want = _frontier_arrays(
+                        tfs.astype(np.uint64),
+                        d["doclens"].astype(np.uint64), bstarts)
+                    got = (meta.bdl_tf2, meta.bdl_tf4, meta.bdl_tf8)
+                    if not all(np.array_equal(w, g.astype(np.uint64))
+                               for w, g in zip(want, got)):
+                        bad["frontier_matches"] += 1
             yield pd.DataFrame(
                 {"check": _BLOB_CHECKS,
                  "n_checked": [checked[c] for c in _BLOB_CHECKS],

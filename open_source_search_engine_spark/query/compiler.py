@@ -122,6 +122,11 @@ class CompiledQuery:
     # {numeric termId: [min, max]} with None = unbounded
     sort_spec: tuple | None = None
     num_filters: dict = field(default_factory=dict)
+    # numeric termId -> the user-visible field name it hashed from
+    # (gbmin:FIELD:v): serving execution needs only the termId, but the
+    # percolator evaluates the constraint against the INCOMING doc's
+    # columns and needs the name back (query/percolate.py)
+    num_filter_fields: dict = field(default_factory=dict)
     # gbdocid:<N> — restrict to one docId (Query.h:33-83 field list;
     # PageGet /get docid lookup path)
     docid_filter: int | None = None
@@ -276,6 +281,7 @@ def compile_query(q: str, synonyms: bool = False) -> CompiledQuery:
                     # never crash on user input (fuzz-pinned)
                     continue
                 tid = _numeric_tid(fld, fl.endswith("int"))
+                cq.num_filter_fields[tid] = fld.lower()
                 lohi = cq.num_filters.setdefault(tid, [None, None])
                 # gbequal[int]: exact match == degenerate [v, v] range
                 # (FIELD_GBNUMBEREQUALFLOAT/INT, Query.h:94-99)

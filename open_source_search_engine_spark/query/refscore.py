@@ -248,6 +248,57 @@ def slot_bound_rows(pre: dict, row_of_post: np.ndarray,
     return out
 
 
+def exact_single_rows(pre: dict, row_of_post: np.ndarray, n_rows: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT ``single_term_score`` ctx sums (before the tfw² scaling),
+    vectorized over many (term, doc) rows at once — byte-identical to
+    the sequential path for rows with no INLINKTEXT postings and at
+    most MAX_TOP distinct modified hashgroups (the overwhelming case).
+
+    Returns ``(sums_f32, ok_mask)``: rows with ``ok`` False carry
+    INLINKTEXT slots or overflow MAX_TOP and must take the sequential
+    ``single_term_score`` path (its eviction order is stateful).
+
+    Exactness argument: per slot (distinct mhg) the kept score is the
+    strict-first max — equal-valued ties pick the same float either
+    way, so a grouped max matches. Slots sum in creation order (first
+    occurrence of the mhg in posting order, which is position order —
+    the ctx stream stores positions ascending), each add rounded to
+    float32: the loop below adds slot-rank p of EVERY row in one
+    vectorized f32 add per rank, preserving the engine's sequential
+    f32 op order per row (getBestScoreSumForSingleTerm
+    PosdbTable.cpp:233-268)."""
+    s = pre["s_single"]
+    is_link = pre["hg"] == HASHGROUP_INLINKTEXT
+    link_rows = np.zeros(n_rows, dtype=bool)
+    if is_link.any():
+        link_rows[row_of_post[is_link]] = True
+    key = row_of_post * 16 + pre["mhg"]
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+    gmax = np.maximum.reduceat(s[order], starts)
+    slot_row = (ks[starts] // 16).astype(np.int64)
+    first_ix = order[starts]  # stable sort: earliest posting per slot
+    nslots = np.bincount(slot_row, minlength=n_rows)
+    ok = (~link_rows) & (nslots <= MAX_TOP)
+    o2 = np.lexsort((first_ix, slot_row))
+    rows2 = slot_row[o2]
+    vals = gmax[o2].astype(np.float32, copy=False)
+    # slot rank within its row (creation order)
+    row_breaks = np.concatenate(([True], rows2[1:] != rows2[:-1]))
+    run_starts = np.flatnonzero(row_breaks)
+    rank_in_row = np.arange(len(rows2)) - np.repeat(
+        run_starts, np.diff(np.append(run_starts, len(rows2))))
+    tot = np.zeros(n_rows, dtype=np.float32)
+    max_rank = int(rank_in_row.max()) if len(rank_in_row) else -1
+    for p in range(max_rank + 1):
+        m = rank_in_row == p
+        r = rows2[m]
+        tot[r] = tot[r] + vals[m]  # f32 + f32 -> one rounded f32 add
+    return tot, ok
+
+
 def pair_factor_rows(pre: dict, row_of_post: np.ndarray, n_rows: int
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-row factors for a sound PAIR-score upper bound. Every pair

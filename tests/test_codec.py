@@ -447,7 +447,11 @@ def test_pfor_docid_codec_parity():
     b3 = encode_postings(docs, tfs, dls, pos, ctx, rks)
     b4 = encode_postings(docs, tfs, dls, pos, ctx, rks,
                          docid_codec="pfor")
-    assert b4[0] == 4 and b3[0] == 3
+    from open_source_search_engine_spark.functions.codec import (
+        FRONTIER_FLAG,
+    )
+
+    assert b4[0] == (4 | FRONTIER_FLAG) and b3[0] == (3 | FRONTIER_FLAG)
     d3 = decode_blocks(b3, with_positions=True)
     d4 = decode_blocks(b4, with_positions=True)
     for k in ("doc_ids", "tfs", "doclens", "ranks", "positions",
@@ -489,7 +493,11 @@ def test_pfor_all_codec_parity():
     b3 = encode_postings(doc_ids, tfs, doclens, pos, ctx, ranks)
     b5 = encode_postings(doc_ids, tfs, doclens, pos, ctx, ranks,
                          docid_codec="pfor_all")
-    assert b5[0] == 5 and b3[0] == 3
+    from open_source_search_engine_spark.functions.codec import (
+        FRONTIER_FLAG,
+    )
+
+    assert b5[0] == (5 | FRONTIER_FLAG) and b3[0] == (3 | FRONTIER_FLAG)
     assert len(b5) < len(b3)  # the whole point
     d3 = decode_blocks(b3, with_positions=True)
     d5 = decode_blocks(b5, with_positions=True)
@@ -531,11 +539,15 @@ def test_pfor_all_mixed_version_merge():
     for (d, t, dl, p, c, r), off, codec in zip(thirds, offs, codecs):
         blobs.append(encode_postings((d + off).astype(np.uint64),
                                      t, dl, p, c, r, docid_codec=codec))
+    from open_source_search_engine_spark.functions.codec import (
+        FRONTIER_FLAG,
+    )
+
     for out_codec, ver in (("varint", 3), ("pfor_all", 5)):
         m1 = merge_disjoint_blobs(blobs, docid_codec=out_codec)
         (m2,), _, _, _ = merge_disjoint_blobs_many(
             [blobs], docid_codec=out_codec)
-        assert m1 == m2 and m1[0] == ver
+        assert m1 == m2 and m1[0] == (ver | FRONTIER_FLAG)
         d = decode_postings(m1)
         assert len(d["doc_ids"]) == 270
         assert np.array_equal(

@@ -984,7 +984,12 @@ def test_pfor_index_end_to_end(spark, small_conf, tmp_path):
 
     segs = spark.read.parquet(os.path.join(d_pf, "segments")) \
         .select("postings").collect()
-    assert segs and all(bytes(r["postings"])[:1] == b"\x04" for r in segs)
+    from open_source_search_engine_spark.functions.codec import (
+        FRONTIER_FLAG,
+    )
+
+    assert segs and all(
+        bytes(r["postings"])[0] == (4 | FRONTIER_FLAG) for r in segs)
 
     for q in ["spark", "spark merge", '"posting merge"',
               "spark AND (merge OR engine)", "engine -query"]:
@@ -1005,8 +1010,8 @@ def test_pfor_index_end_to_end(spark, small_conf, tmp_path):
     compact_index(spark, d_pf, conf=pconf)
     segs2 = spark.read.parquet(os.path.join(d_pf, "segments")) \
         .select("postings").collect()
-    assert segs2 and all(bytes(r["postings"])[:1] == b"\x04"
-                         for r in segs2)
+    assert segs2 and all(
+        bytes(r["postings"])[0] == (4 | FRONTIER_FLAG) for r in segs2)
     got = {r["doc_id"] for r in
            search_all(spark, d_pf, "spark", conf=pconf).collect()}
     assert 2 not in got and got

@@ -50,13 +50,19 @@ def test_percolate_batch_semantics(spark):
     assert got == EXPECT
 
 
-def test_percolate_rejects_non_conjunctive(spark):
-    with pytest.raises(ValueError):
-        compile_stored_queries(spark, [(1, "key AND (a OR b)")])
-    with pytest.raises(ValueError):
-        compile_stored_queries(spark, [(1, "site:s1.example key")])
-    with pytest.raises(ValueError):
+def test_percolate_rejects_uncoverable(spark):
+    """r5 narrows the rejection set to the shapes the incoming row
+    genuinely cannot answer: sort order, identity probes, unsupported
+    fields, and phrases/fields inside boolean trees."""
+    with pytest.raises(ValueError, match="gbdocid"):
         compile_stored_queries(spark, [(1, "gbdocid:3")])
+    with pytest.raises(ValueError, match="gbsortby"):
+        compile_stored_queries(spark, [(1, "gbsortby:n_tokens key")])
+    with pytest.raises(ValueError, match="not percolatable"):
+        compile_stored_queries(spark, [(1, "ip:1.2.3.4 key")])
+    with pytest.raises(ValueError, match="boolean trees"):
+        compile_stored_queries(
+            spark, [(1, "key AND (site:a.example OR b)")])
 
 
 def test_percolate_precompiled_reuse(spark):
@@ -113,3 +119,108 @@ def test_percolate_case_insensitive(spark):
                                    (2, "stream -CUSTOMER"),
                                    (3, '"key Window"')]).collect()}
     assert got == {(1, 1), (3, 1)}
+
+
+# ---------------------------------------------------------------------------
+# r5: serving-compiler parity — fields, boolean trees, numeric ranges
+# (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+DOCS_ATTR = [
+    # (doc_id, url, text, lang)
+    (1, "http://a.example/p/1.html", "key window stream", "en"),
+    (2, "http://b.example/p/2.pdf", "key window", "en"),
+    (3, "http://a.example/p/3.html", "stream customer", "da"),
+    (4, "http://a.example/deep/", "key lonely words here five", None),
+    (5, "http://b.example/x.html", "spam spam key", "en"),
+]
+
+
+def _attr_docs(spark):
+    return spark.createDataFrame(
+        DOCS_ATTR, "doc_id long, url string, text string, lang string")
+
+
+def test_percolate_field_constraints(spark):
+    qs = [
+        (1, "key site:a.example"),        # host equality
+        (2, "key ext:pdf"),               # url extension
+        (3, "stream gblang:da"),          # language
+        (4, "key -site:b.example"),       # negated field
+        (5, "gblang:xx"),                 # attribute-only (lang None)
+    ]
+    got = {(r["query_id"], r["doc_id"]) for r in
+           percolate(spark, _attr_docs(spark), qs).collect()}
+    assert got == {
+        (1, 1), (1, 4),
+        (2, 2),
+        (3, 3),
+        (4, 1), (4, 4),
+        (5, 4),
+    }
+
+
+def test_percolate_boolean_trees(spark):
+    qs = [
+        (1, "key AND (stream OR customer)"),
+        (2, "window OR NOT key"),          # default-match arm
+        (3, "(key AND NOT spam) OR customer"),
+    ]
+    got = {(r["query_id"], r["doc_id"]) for r in
+           percolate(spark, _attr_docs(spark), qs).collect()}
+    assert got == {
+        (1, 1),
+        (2, 1), (2, 2), (2, 3),            # window docs + docs w/o key
+        (3, 1), (3, 2), (3, 3), (3, 4),    # key-not-spam or customer
+    }
+
+
+def test_percolate_numeric_ranges(spark):
+    qs = [
+        (1, "key gbmin:n_tokens:4"),
+        (2, "gbmax:n_tokens:2 key"),
+        (3, "gbequal:n_tokens:3"),
+    ]
+    got = {(r["query_id"], r["doc_id"]) for r in
+           percolate(spark, _attr_docs(spark), qs).collect()}
+    # n_tokens: d1=3 d2=2 d3=2 d4=5 d5=3
+    assert got == {(1, 4), (2, 2), (3, 1), (3, 5)}
+
+
+def test_percolate_missing_column_raises(spark):
+    docs = spark.createDataFrame([(1, "key")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no 'url' column"):
+        percolate(spark, docs, [(1, "key site:a.example")]).collect()
+    with pytest.raises(ValueError, match="no such column"):
+        percolate(spark, docs, [(1, "key gbmin:site_rank:3")]).collect()
+
+
+def test_percolate_extended_streaming_matches_batch(spark, tmp_path):
+    """Streamed percolation over the EXTENDED grammar (boolean tree +
+    field + numeric stored queries) must equal the batch run on the
+    same rows (exactly-once per micro-batch)."""
+    from open_source_search_engine_spark.streaming.percolate import (
+        alerts_output,
+        streaming_percolate,
+    )
+
+    qs = [(1, "key AND (stream OR customer)"),
+          (2, "key site:a.example"),
+          (3, "gbmin:n_tokens:4")]
+    recs = [{"url": u, "warc_ts": dt.datetime(2024, 1, 1),
+             "html": b"x", "text": t, "lang": lg, "doc_id": d}
+            for d, u, t, lg in DOCS_ATTR]
+    wt = spark.createDataFrame(pd.DataFrame(recs))
+    batch = {(r["query_id"], r["doc_id"]) for r in
+             percolate(spark, wt, qs).collect()}
+    assert batch  # the fixture must exercise all three query shapes
+
+    inp = str(tmp_path / "xin")
+    ckpt = str(tmp_path / "xck")
+    out = str(tmp_path / "xout")
+    os.makedirs(inp, exist_ok=True)
+    wt.coalesce(1).write.mode("append").parquet(inp)
+    streaming_percolate(spark, inp, ckpt, out, qs)
+    streamed = {(r["query_id"], r["doc_id"]) for r in
+                alerts_output(spark, out).collect()}
+    assert streamed == batch

@@ -693,3 +693,102 @@ def test_candidate_bound_dominates_exact_score(doc):
         return  # doc skipped by the reference (minScore <= 0)
     bound = _batch_style_bound(terms, tfws, sr)
     assert bound >= exact, (terms, tfws, sr, exact, bound)
+
+
+# ---------------------------------------------------------------------------
+# single-term ctx-only exact path (r5: no position decode for one-slot
+# queries — minPairScore stays -1 so the score reads only ctx weights)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_anchor_index(spark, small_conf, tmp_path_factory):
+    """Corpus with titles (second modified hashgroup), heavy repetition
+    (word-spam ranks fire), an in-corpus link whose anchor text carries
+    the query term (INLINKTEXT postings -> the sequential fallback and
+    the inlinker-siterank adjustment), and a doc matching ONLY via the
+    anchor."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from open_source_search_engine_spark.index.build import build_index
+
+    rows = []
+    for did in range(1, 31):
+        body = ("apple " * (1 + did % 5)
+                + "filler words vary here " * (did % 4)
+                + "apple apple apple " * (did % 3))  # spam shapes
+        if did == 7:
+            body = "no fruit in this body at all"
+        links = ""
+        if did == 3:
+            # linker: anchor text 'apple orchard' targets doc 7
+            links = ('<a href="http://s7.example/p/7.html">apple '
+                     "orchard</a>")
+        html = (f"<html><head><title>page {did} apple</title></head>"
+                f"<body><p>{body}</p>{links}</body></html>")
+        rows.append({
+            "url": f"http://s{did}.example/p/{did}.html",
+            "warc_ts": dt.datetime(2024, 1, 1),
+            "html": html.encode(), "text": body, "lang": "en",
+            "doc_id": did,
+        })
+    d = str(tmp_path_factory.mktemp("refanchor"))
+    build_index(spark, spark.createDataFrame(pd.DataFrame(rows)), d,
+                conf=small_conf, gen=0)
+    return d
+
+
+@pytest.mark.parametrize("q", ["apple", "apple -filler"])
+def test_single_term_ctx_only_path(ref_anchor_index, spark, small_conf,
+                                   q):
+    """The ctx-only single-term plan must be byte-identical to the
+    position-decoding general plan — across title+body slot ordering,
+    spammed occurrences, INLINKTEXT fallback rows (incl. the inlinker
+    siterank adjustment), and negative terms."""
+    import open_source_search_engine_spark.query.executor as ex
+
+    conf = _ref_conf(small_conf)
+    rd = ex.IndexReader(spark, ref_anchor_index, conf)
+    cq = ex.compile_query(q)
+    tids = [int(g.term_ids[0]) for g in cq.positive_groups]
+    dfs = rd.df_of(tids)
+    old = sorted(
+        ex._reference_exact(spark, rd, cq, None, conf, dfs).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]))
+    new = sorted(
+        ex._reference_single_term(spark, rd, cq, None, conf,
+                                  dfs).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]))
+    assert [(r["doc_id"], r["score"]) for r in new] \
+        == [(r["doc_id"], r["score"]) for r in old]
+    if q == "apple":
+        # the anchor-only doc must be present (INLINKTEXT fallback ran);
+        # under -filler it is negated away in BOTH plans — its
+        # neighborhood postings (linker text around the anchor) carry
+        # 'filler'
+        assert 7 in {r["doc_id"] for r in new}
+
+
+def test_single_term_routes_to_ctx_only(ref_anchor_index, spark,
+                                        small_conf, monkeypatch):
+    """search() on a plain single-term reference query takes the
+    ctx-only plan (and multi-term queries do not)."""
+    import open_source_search_engine_spark.query.executor as ex
+
+    calls = []
+    orig = ex._reference_single_term
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ex, "_reference_single_term", spy)
+    conf = _ref_conf(small_conf)
+    got = ex.search(spark, ref_anchor_index, "apple", k=5,
+                    conf=conf).collect()
+    assert len(got) == 5 and calls == [1]
+    ex.search(spark, ref_anchor_index, "apple filler", k=5,
+              conf=conf).collect()
+    assert calls == [1]  # multi-term stayed on the general plan
