@@ -337,6 +337,44 @@ def q_search_bool_reference(spark, sf_dir):
     )
 
 
+def _ensure_qdel_index(spark: SparkSession, sf_dir: str) -> str:
+    """gen0 = full corpus; then a query-driven delete
+    (Msg1c::reindexQuery force-del analog, PageReindex.h:9-38) of the
+    result set of 'stream window' — every doc containing BOTH terms is
+    tombstoned at gen1 through the serving executor itself."""
+    from open_source_search_engine_spark.index.build import build_index
+    from open_source_search_engine_spark.index.reindex import (
+        reindex_query,
+    )
+    from open_source_search_engine_spark.sources.webtext import (
+        webtext_from_documents,
+    )
+
+    d = _index_dir(sf_dir, "qdel")
+    done_marker = os.path.join(d, "_qdel_complete.json")
+    if not os.path.exists(done_marker):
+        wt0 = webtext_from_documents(spark, sf_dir, body_only=True)
+        build_index(spark, wt0, d, gen=0)
+        res = reindex_query(spark, d, "stream window", force_del=True)
+        with open(done_marker, "w") as f:
+            json.dump({"deleted": int(res["n_docs"]),
+                       "gen": res["gen"]}, f)
+    return d
+
+
+def q_search_after_query_delete(spark, sf_dir):
+    """Delete-by-query (the /admin/reindex forceDel lever the reference
+    exposes, Msg1c::reindexQuery): after tombstoning the result set of
+    'stream window', a 'stream' search returns exactly the stream docs
+    that do NOT also contain window. Oracle re-derives the surviving
+    membership with LIKE."""
+    from open_source_search_engine_spark.query.executor import search_all
+
+    d = _ensure_qdel_index(spark, sf_dir)
+    return (search_all(spark, d, "stream")
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+
+
 def q_search_incremental(spark, sf_dir):
     """Docs matching the re-crawl-only token on the generational index
     (gen1 re-crawl visible, newest-wins)."""
@@ -1930,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_site_clustered": q_search_site_clustered,
         "search_family_filter": q_search_family_filter,
         "search_incremental": q_search_incremental,
+        "search_after_query_delete": q_search_after_query_delete,
         "search_asof": q_search_asof,
         "snapshot_diff": q_snapshot_diff,
         "search_cached": q_search_cached,
@@ -2722,6 +2761,14 @@ qualify row_number() over (partition by doc_id % 97
         "search_incremental": """
 select doc_id::bigint as doc_id from documents
 where doc_id % 10 = 0 and doc_id % 100 != 0
+""",
+        # delete-by-query 'stream window' tombstoned every doc holding
+        # BOTH terms; the survivors of a 'stream' search are stream
+        # docs without window
+        "search_after_query_delete": """
+select doc_id::bigint as doc_id from documents
+where (' ' || text || ' ') like '% stream %'
+  and (' ' || text || ' ') not like '% window %'
 """,
         # site host re-derived from the wrapper url grammar
         # (webtext_from_documents: site = doc_id % 97)
