@@ -98,6 +98,21 @@ def main() -> int:
         "blocks_total": int(wst["blocks_total"].iloc[0]),
         "blocks_decoded": int(wst["blocks_decoded"].iloc[0]),
     }
+    # single-term WAND on a tf-varied stopword list: the r5 tf-band ->
+    # min-dl frontier prunes hard here (~86% of 'the' blocks at 500k);
+    # the topicNN counter above is at the block-bound information limit
+    # instead (all-tf-1 lists, random dl order: the IDEAL same-doc
+    # block bound prunes 0/176 pivot blocks — BENCH.md §9; that shape
+    # belongs to the sketch-gated reroute, see and3_middf's latency)
+    from open_source_search_engine_spark.query.executor import (
+        single_wand_stats,
+    )
+
+    sst = single_wand_stats(spark, idx, "the", k=10)
+    wand_evidence_single = {
+        "blocks_total": int(sst["blocks_total"].iloc[0]),
+        "blocks_decoded": int(sst["blocks_decoded"].iloc[0]),
+    }
 
     # stopword-containing boolean (VERDICT r2 #4 done-criterion:
     # within 2x of the AND path) — rarest arm seeds candidate pruning
@@ -216,6 +231,7 @@ def main() -> int:
                         zip(("the", "of", "and", "topic01", "topic02",
                              "topic03"), dfs.values())},
            "middf_wand_blocks": wand_evidence,
+           "single_wand_blocks": wand_evidence_single,
            "numeric_block_skip": numeric_evidence}
     print(json.dumps(out))
     spark.stop()
