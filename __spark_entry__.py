@@ -1919,11 +1919,16 @@ def q_source_keywords(spark, sf_dir):
 def q_curate_pipeline(spark, sf_dir):
     """Composed training-corpus curation chain
     (ops.pipeline.curate_training_corpus): langid -> Gopher quality ->
-    exact dedup (min-doc_id keeper) -> 13-gram eval decontamination ->
+    exact dedup (min-doc_id keeper) -> MinHash-LSH fuzzy dedup at
+    Jaccard 0.5 (r5: the GPT-3 appendix-A near-dup stage; verified
+    pairs drop the larger doc_id) -> 13-gram eval decontamination ->
     PII redact + token count, with docs doc_id % 20 == 0 standing in
     for the eval set (same split as the decontaminate entries). One
     audit row per training doc: stage verdicts, first-failing
-    drop_stage, and the kept docs' redacted-text metrics."""
+    drop_stage, and the kept docs' redacted-text metrics. The oracle
+    re-derives the fuzzy stage with exact 3-shingle Jaccard — valid
+    because LSH recall is 100% on this corpus at threshold 0.5 (the
+    invariant the dedup_minhash_lsh entry already pins)."""
     from open_source_search_engine_spark.ops.pipeline import (
         curate_training_corpus,
     )
@@ -1931,10 +1936,10 @@ def q_curate_pipeline(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 20 == 0)
     tr = docs.where(F.col("doc_id") % 20 != 0)
-    return curate_training_corpus(tr, ev).select(
+    return curate_training_corpus(tr, ev, fuzzy_threshold=0.5).select(
         F.col("doc_id").cast("long"), "pred_lang", "lang_ok",
-        "quality_ok", "exact_dup", "contaminated", "drop_stage",
-        "kept", F.col("n_tokens").cast("long"),
+        "quality_ok", "exact_dup", "fuzzy_dup", "contaminated",
+        "drop_stage", "kept", F.col("n_tokens").cast("long"),
         F.col("n_pii").cast("long"), "clean_md5")
 
 
@@ -2603,6 +2608,22 @@ exf as (select b.doc_id,
           coalesce(b.lang_ok and b.quality_ok
                    and b.doc_id != k.keep_id, false) as exact_dup
         from base b left join keepers k on md5(b.text) = k.m),
+pex as (select s.doc_id, s.text from surv s
+        join exf x using (doc_id) where not x.exact_dup),
+ftoks as (select doc_id, string_split(text, ' ') as ts from pex),
+fsh as (select doc_id,
+          unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                  for i in range(1, len(ts) - 1)])) as shingle
+        from ftoks where len(ts) >= 3),
+fsizes as (select doc_id, count(*)::bigint as sz from fsh group by 1),
+finter as (select x.doc_id as a, y.doc_id as b, count(*)::bigint as i
+           from fsh x join fsh y
+             on x.shingle = y.shingle and x.doc_id < y.doc_id
+           group by 1, 2),
+fdup as (select distinct b as doc_id from finter
+         join fsizes sa on sa.doc_id = finter.a
+         join fsizes sb on sb.doc_id = finter.b
+         where i::double / (sa.sz + sb.sz - i) >= 0.5),
 stoks as (select doc_id, string_split(text, ' ') as ts from surv),
 sh as (select doc_id, {sh13} as shingle from stoks where len(ts) >= 13),
 evt as (select doc_id, string_split(text, ' ') as ts
@@ -2621,16 +2642,19 @@ pii as (select doc_id, regexp_replace(t2, '{ph_re}', '<PHONE>', 'g') as t3,
         from p1),
 staged as (
   select b.doc_id, b.pred_lang, b.lang_ok, b.quality_ok, x.exact_dup,
+         coalesce(f.doc_id is not null, false) as fuzzy_dup,
          coalesce(c.doc_id is not null, false) as contaminated,
          case when not b.lang_ok then 'lang'
               when not b.quality_ok then 'quality'
               when x.exact_dup then 'exact_dup'
+              when f.doc_id is not null then 'fuzzy_dup'
               when c.doc_id is not null then 'contaminated'
               else 'kept' end as drop_stage
   from base b join exf x using (doc_id)
+  left join fdup f on b.doc_id = f.doc_id
   left join contam c on b.doc_id = c.doc_id)
 select s.doc_id::bigint as doc_id, s.pred_lang, s.lang_ok, s.quality_ok,
-       s.exact_dup, s.contaminated, s.drop_stage,
+       s.exact_dup, s.fuzzy_dup, s.contaminated, s.drop_stage,
        (s.drop_stage = 'kept') as kept,
        case when s.drop_stage = 'kept'
             then len(string_split(p.t3, ' '))::bigint end as n_tokens,

@@ -39,13 +39,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import decontaminate
+from .dedup import decontaminate, minhash_lsh_pairs
 from .textstats import gopher_cols, lang_pred_col, pii_cols, tokens_col
 
 __all__ = ["curate_training_corpus", "training_corpus", "STAGES"]
 
 #: audit drop_stage values, in pipeline order
-STAGES = ("lang", "quality", "exact_dup", "contaminated", "kept")
+STAGES = ("lang", "quality", "exact_dup", "fuzzy_dup", "contaminated",
+          "kept")
 
 
 def curate_training_corpus(
@@ -53,6 +54,7 @@ def curate_training_corpus(
     eval_docs: DataFrame,
     target_langs: tuple[str, ...] = ("en",),
     n_shingle: int = 13,
+    fuzzy_threshold: float | None = None,
 ) -> DataFrame:
     """Run the full curation chain and return the AUDIT frame: one row
     per input doc recording every stage verdict and, for kept docs,
@@ -67,6 +69,18 @@ def curate_training_corpus(
                        survivors; the smallest doc_id of each text
                        group is the keeper (CCNet keeps one copy, not
                        zero).
+    3b. ``fuzzy_dup`` — (``fuzzy_threshold`` set; r5, VERDICT r4 #10)
+                       MinHash-LSH near-dup pass among post-exact
+                       survivors (GPT-3 appendix A fuzzy dedup): a doc
+                       drops when a VERIFIED pair (3-shingle Jaccard
+                       >= threshold, ops.dedup.minhash_lsh_pairs)
+                       links it to a smaller surviving doc_id — the
+                       pair rule, deterministic and order-free (the
+                       chain a<b<c with pairs (a,b),(b,c) drops both
+                       b and c). The stage's exchanges carry band
+                       buckets and shingle hashes, never text — the
+                       pipeline's zero-corpus-text-shuffle claim
+                       holds with the stage on.
     4. ``contaminated`` — GPT-3 appendix-C overlap test: drop any doc
                        sharing >= 1 word ``n_shingle``-gram with
                        ``eval_docs``.
@@ -74,15 +88,15 @@ def curate_training_corpus(
        placeholder tokens) and token-counted.
 
     Returns ``(doc_id, pred_lang, lang_ok, quality_ok, exact_dup,
-    contaminated, drop_stage, kept, n_tokens, n_pii, clean_md5)``.
-    ``drop_stage`` is the FIRST failing stage ('kept' when none).
-    ``exact_dup`` and ``contaminated`` are evaluated among the
-    lang+quality survivors and False for docs dropped earlier (an
-    exact-dup doc shares its keeper's text, hence its contamination
-    verdict, so evaluating stage 4 on the pre-dedup survivor set is
-    value-identical to strict sequencing — and lets both flags come
-    off the same projection). ``n_tokens``/``n_pii``/``clean_md5``
-    are NULL for dropped docs.
+    fuzzy_dup, contaminated, drop_stage, kept, n_tokens, n_pii,
+    clean_md5)``. ``drop_stage`` is the FIRST failing stage ('kept'
+    when none). ``exact_dup``/``fuzzy_dup``/``contaminated`` are
+    evaluated among the lang+quality survivors and False for docs
+    dropped earlier (an exact-dup doc shares its keeper's text, hence
+    its contamination verdict, so evaluating stage 4 on the pre-dedup
+    survivor set is value-identical to strict sequencing — and lets
+    the flags come off the same projection). ``n_tokens``/``n_pii``/
+    ``clean_md5`` are NULL for dropped docs.
     """
     surv = F.col("lang_ok") & F.col("quality_ok")
     g = gopher_cols(F.col("text"))
@@ -108,10 +122,26 @@ def curate_training_corpus(
     ex = (row0.join(keepers, "text_md5", "left")
           .withColumn("exact_dup",
                       surv & (F.col("doc_id") != F.col("keep_id"))))
-    # stage 4: shingle probe against the broadcast eval set, over the
-    # survivor texts (second scan, column-pruned to doc_id+text)
+    # stage 3b (optional): MinHash-LSH near-dups among post-exact
+    # survivors; the pair rule drops the larger id of every verified
+    # pair. Exchanges carry (band-hash, doc_id) and shingle-hash rows
+    # only — no text attribute in any shuffle.
     surv_docs = (docs.select("doc_id", "text")
                  .join(row0.where(surv).select("doc_id"), "doc_id"))
+    if fuzzy_threshold is not None:
+        post_exact = (surv_docs.join(
+            ex.where(~F.col("exact_dup")).select("doc_id"), "doc_id"))
+        fz = (minhash_lsh_pairs(post_exact,
+                                threshold=float(fuzzy_threshold))
+              .select(F.col("doc_b").alias("doc_id")).distinct()
+              .withColumn("fuzzy_dup", F.lit(True)))
+        ex = (ex.join(fz, "doc_id", "left")
+              .withColumn("fuzzy_dup",
+                          surv & ~F.col("exact_dup")
+                          & F.coalesce(F.col("fuzzy_dup"),
+                                       F.lit(False))))
+    else:
+        ex = ex.withColumn("fuzzy_dup", F.lit(False))
     contam_ids = (decontaminate(surv_docs, eval_docs, n=n_shingle)
                   .select("doc_id").distinct()
                   .withColumn("contaminated", F.lit(True)))
@@ -122,6 +152,7 @@ def curate_training_corpus(
         F.when(~F.col("lang_ok"), "lang")
         .when(~F.col("quality_ok"), "quality")
         .when(F.col("exact_dup"), "exact_dup")
+        .when(F.col("fuzzy_dup"), "fuzzy_dup")
         .when(F.col("contaminated"), "contaminated")
         .otherwise("kept")
     )
@@ -129,7 +160,7 @@ def curate_training_corpus(
     return audit.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "pred_lang", "lang_ok", "quality_ok", "exact_dup",
-        "contaminated",
+        "fuzzy_dup", "contaminated",
         drop_stage.alias("drop_stage"),
         kept.alias("kept"),
         F.when(kept, F.col("n_tokens")).alias("n_tokens"),
@@ -143,6 +174,7 @@ def training_corpus(
     eval_docs: DataFrame,
     target_langs: tuple[str, ...] = ("en",),
     n_shingle: int = 13,
+    fuzzy_threshold: float | None = None,
 ) -> DataFrame:
     """The deliverable corpus: ``(doc_id, clean_text, n_tokens)`` of
     the docs :func:`curate_training_corpus` keeps, with the
@@ -151,7 +183,7 @@ def training_corpus(
     (text still never shuffles redacted — the join exchanges the raw
     rows once, same as any corpus write would)."""
     kept = (curate_training_corpus(docs, eval_docs, target_langs,
-                                   n_shingle)
+                                   n_shingle, fuzzy_threshold)
             .where("kept").select("doc_id"))
     pii = pii_cols(F.col("text"))
     return (docs.select("doc_id", "text").join(kept, "doc_id")

@@ -124,3 +124,63 @@ def test_deliverable_matches_audit(spark):
         assert by_id[i]["n_tokens"] == aud[i]["n_tokens"]
         assert (hashlib.md5(by_id[i]["clean_text"].encode()).hexdigest()
                 == aud[i]["clean_md5"])
+
+
+# ---------------------------------------------------------------------------
+# r5: optional MinHash-LSH fuzzy-dedup stage (VERDICT r4 item 10)
+# ---------------------------------------------------------------------------
+
+# near-identical variants of GOOD: one word appended/substituted, so
+# md5 differs but 3-shingle Jaccard stays >= 0.5
+NEAR_A = GOOD + " epilogue"
+NEAR_B = GOOD.replace("lazy dog", "lazy cat", 1)
+
+
+# a second quality-passing text sharing NO 3-shingles with GOOD
+OTHER = " ".join(["many small boats sail near the old stone pier and "
+                  "gulls circle above it to watch the calm grey water"] * 3)
+
+
+def _fuzzy_docs(spark):
+    rows = [
+        (1, GOOD),     # keeper
+        (2, NEAR_A),   # fuzzy dup of 1 (not exact)
+        (3, NEAR_B),   # fuzzy dup of 1
+        (4, OTHER),    # distinct kept doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fuzzy_stage_off_by_default(spark):
+    out = {r["doc_id"]: r for r in curate_training_corpus(
+        _fuzzy_docs(spark), _eval_distinct(spark)).collect()}
+    assert all(not r["fuzzy_dup"] for r in out.values())
+    assert out[2]["drop_stage"] == "kept"  # near-dup survives w/o stage
+
+
+def test_fuzzy_stage_drops_near_dups(spark):
+    out = {r["doc_id"]: r for r in curate_training_corpus(
+        _fuzzy_docs(spark), _eval_distinct(spark),
+        fuzzy_threshold=0.5).collect()}
+    assert out[1]["drop_stage"] == "kept"          # smallest id kept
+    assert out[2]["drop_stage"] == "fuzzy_dup"
+    assert out[3]["drop_stage"] == "fuzzy_dup"
+    assert out[4]["drop_stage"] == "kept"          # distinct text kept
+    assert out[2]["fuzzy_dup"] and out[3]["fuzzy_dup"]
+    assert not out[1]["fuzzy_dup"] and not out[4]["fuzzy_dup"]
+    # deliverable matches the audit with the stage on
+    corpus = {r["doc_id"] for r in training_corpus(
+        _fuzzy_docs(spark), _eval_distinct(spark),
+        fuzzy_threshold=0.5).collect()}
+    assert corpus == {1, 4}
+
+
+def test_fuzzy_stage_after_exact(spark):
+    """Exact dups drop at the exact stage; only post-exact survivors
+    enter the fuzzy pass (an exact copy of a fuzzy-dup must say
+    exact_dup, not fuzzy_dup)."""
+    rows = [(1, GOOD), (2, NEAR_A), (3, NEAR_A)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["drop_stage"] for r in curate_training_corpus(
+        docs, _eval_distinct(spark), fuzzy_threshold=0.5).collect()}
+    assert out == {1: "kept", 2: "fuzzy_dup", 3: "exact_dup"}
