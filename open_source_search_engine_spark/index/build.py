@@ -87,6 +87,7 @@ from ..functions.posdb import (
 )
 from ..functions.adult import is_adult
 from ..functions.urlinfo import country_of_url, is_permalink_url, synth_ip
+from ..functions.sitegetter import get_site
 from ..functions.wordspam import word_spam_ranks
 from ..functions.tokenizer import (
     ALNUM,
@@ -350,13 +351,13 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     if sniffed in ("json", "xml"):
         if doc_id is None:
             doc_id = probable_doc_id(url)
-        host = url.split("://", 1)[-1].split("/", 1)[0]
+        site = get_site(url)  # path-aware (SiteGetter port, r5)
         if site_inlinks is None:
-            site_inlinks = gbhash.hash8(host.encode()) % 200
+            site_inlinks = gbhash.hash8(site.encode()) % 200
         return {
             "doc_id": doc_id,
             "url": url,
-            "site_id": hash64_lower_utf8(host) & TERMID_MASK,
+            "site_id": hash64_lower_utf8(site) & TERMID_MASK,
             "site_rank": site_rank_from_inlinks(site_inlinks),
             "lang_id": LANG_IDS.get((lang or "xx").lower(), 0),
             "title": "",
@@ -400,10 +401,14 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     if doc_id is None:
         doc_id = probable_doc_id(url)
     host = url.split("://", 1)[-1].split("/", 1)[0]
-    site_id = hash64_lower_utf8(host) & TERMID_MASK
+    # path-aware site (SiteGetter port, functions/sitegetter.py): on
+    # shared hosts ~user//users/ subtrees and homestead path prefixes
+    # define the site — site_id/site_rank/clustering key on it
+    site = get_site(url)
+    site_id = hash64_lower_utf8(site) & TERMID_MASK
     # deterministic synthetic inlink count when no link graph is given
     if site_inlinks is None:
-        site_inlinks = gbhash.hash8(host.encode()) % 200
+        site_inlinks = gbhash.hash8(site.encode()) % 200
     srank = site_rank_from_inlinks(site_inlinks)
     lang_id = LANG_IDS.get((lang or "xx").lower(), 0)
 
@@ -479,6 +484,16 @@ def parse_doc(url: str, html: bytes, text: str | None, lang: str | None,
     poss.append(0)
     ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK, MAXDIVERSITYRANK,
                          MAXWORDSPAMRANK, SYN_ORIGINAL))
+    if site != host.lower():
+        # path-defined site: an ADDITIONAL site: probe term so
+        # site:xyz.com/~fred/ selects the home dir while host-level
+        # site: queries keep matching (superset of the reference's
+        # single path-site term; SiteGetter.cpp:481-537)
+        terms.append(fielded_term_id(hash64_lower_utf8(site), PFX_SITE))
+        poss.append(0)
+        ctxs.append(pack_ctx(HASHGROUP_INURL, MAXDENSITYRANK,
+                             MAXDIVERSITYRANK, MAXWORDSPAMRANK,
+                             SYN_ORIGINAL))
     # url-extension probe term (ext: field, Query.h:33-83)
     last_seg = url.rstrip("/").rsplit("/", 1)[-1]
     if "." in last_seg and "://" not in last_seg:

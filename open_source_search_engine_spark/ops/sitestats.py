@@ -20,6 +20,7 @@ epoch seconds like unix_timestamp).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,9 +30,22 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:]+)"
 def site_table(docs: DataFrame, url_col: str = "url") -> DataFrame:
     """Roll the index docs view (IndexReader.docs()) up to one row per
     site. Works on any frame carrying (url, site_rank, lang_id,
-    n_tokens, warc_ts)."""
+    n_tokens, warc_ts). Since r5 the site key is PATH-AWARE (the
+    SiteGetter port): ~user//users/ subtrees and homestead path
+    prefixes roll up separately — a vectorized pandas UDF applies
+    functions.sitegetter.get_site per url (plain hosts are unchanged,
+    so the host-regex fast shape of earlier rounds is a special
+    case)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.sitegetter import get_site
+
+    @pandas_udf("string")
+    def _site_of(urls: pd.Series) -> pd.Series:
+        return urls.map(get_site)
+
     base = docs.select(
-        F.regexp_extract(url_col, _HOST_RE, 1).alias("site"),
+        _site_of(F.col(url_col)).alias("site"),
         "site_rank", "lang_id", "n_tokens", "warc_ts")
     lc = (base.groupBy("site", "lang_id")
           .agg(F.count("*").alias("c")))

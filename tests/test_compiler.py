@@ -262,3 +262,33 @@ def test_compile_query_never_crashes_fuzz():
         for syn in (False, True):
             cq = compile_query(q, synonyms=syn)
             assert cq is not None, repr(q)
+
+
+def test_default_synset_asset(spark=None):
+    """The shipped synset asset (data/synsets_en.txt) loads through the
+    standard synset-file path and drives real expansions — the
+    reference's system-test golden plus abbreviation/irregular-plural
+    groups — then restores the built-in table."""
+    from open_source_search_engine_spark.functions import synonyms as syn
+
+    saved = dict(syn._table)
+    try:
+        n = syn.load_default_synsets(replace=True)
+        assert n > 700  # words mapped (members x groups)
+        cq = compile_query("html", synonyms=True)
+        assert "Hypertext Markup Language" in cq.expanded_terms()
+        # abbreviation group: monday <-> mon
+        assert "mon" in syn.synonyms_of("monday")
+        assert "mondays" in syn.synonyms_of("mon")
+        # irregular plural the rule-based morphs miss
+        assert "children" in syn.synonyms_of("child")
+        # postal code
+        assert "texas" in syn.synonyms_of("tx")
+        # one-word kill stays a kill
+        assert syn.synonyms_of("advertisementless") == ()
+        # end-to-end: a query on the abbreviation matches via synonyms
+        cq2 = compile_query("monday", synonyms=True)
+        assert any("mon" == w for g in cq2.groups
+                   for w in g.syn_words)
+    finally:
+        syn.load_synonyms(saved, replace=True)
