@@ -1138,7 +1138,12 @@ def test_pfor_all_index_end_to_end(spark, small_conf, tmp_path):
 
     segs = spark.read.parquet(os.path.join(d_p5, "segments")) \
         .select("postings").collect()
-    assert segs and all(bytes(r["postings"])[:1] == b"\x05" for r in segs)
+    from open_source_search_engine_spark.functions.codec import (
+        FRONTIER_FLAG,
+    )
+
+    assert segs and all(
+        bytes(r["postings"])[0] == (5 | FRONTIER_FLAG) for r in segs)
 
     for q in ["spark", "spark merge", '"posting merge"',
               "spark AND (merge OR engine)", "engine -query"]:
@@ -1159,8 +1164,8 @@ def test_pfor_all_index_end_to_end(spark, small_conf, tmp_path):
     compact_index(spark, d_p5, conf=pconf)
     segs2 = spark.read.parquet(os.path.join(d_p5, "segments")) \
         .select("postings").collect()
-    assert segs2 and all(bytes(r["postings"])[:1] == b"\x05"
-                         for r in segs2)
+    assert segs2 and all(
+        bytes(r["postings"])[0] == (5 | FRONTIER_FLAG) for r in segs2)
     got = {r["doc_id"] for r in
            search_all(spark, d_p5, "spark", conf=pconf).collect()}
     assert 2 not in got and got
