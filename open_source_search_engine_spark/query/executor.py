@@ -1816,7 +1816,9 @@ def _reference_single_term(spark, rd: IndexReader, cq: CompiledQuery,
 
 def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
                                k: int, conf: EngineConf,
-                               dfs: dict[int, int]) -> DataFrame:
+                               dfs: dict[int, int],
+                               candidate_docs: np.ndarray | None = None,
+                               require_all: bool = True) -> DataFrame:
     # pass 1 runs ONCE per fetch level: it collects a deep ub prefix
     # (driver-side, 16B/row) so certificate failures widen the
     # candidate prefix without re-decoding every termlist — only the
@@ -1830,8 +1832,9 @@ def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
     best: list[tuple[float, int]] = []  # (score, doc_id), merged rounds
     scored_to = 0  # prefix length already exact-scored (delta rounds)
     while True:
-        cand_all, ub_all = _reference_candidates(spark, rd, cq, conf,
-                                                 dfs, fetch)
+        cand_all, ub_all = _reference_candidates(
+            spark, rd, cq, conf, dfs, fetch,
+            candidate_docs=candidate_docs, require_all=require_all)
         if len(cand_all) == 0:
             return spark.createDataFrame([], "doc_id long, score double")
         exhausted = len(cand_all) < fetch  # every covered doc fetched
@@ -1852,7 +1855,8 @@ def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
             delta = cand_all[scored_to:kprime]
             if len(delta):
                 rows = (_reference_exact(spark, rd, cq, k, conf, dfs,
-                                         candidate_docs=np.sort(delta))
+                                         candidate_docs=np.sort(delta),
+                                         require_all=require_all)
                         .collect())
                 best.extend((float(r["score"]), int(r["doc_id"]))
                             for r in rows)
@@ -1885,11 +1889,20 @@ def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
 
 def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                           conf: EngineConf, dfs: dict[int, int],
-                          fetch: int):
+                          fetch: int,
+                          candidate_docs: np.ndarray | None = None,
+                          require_all: bool = True):
     """Pass 1: the top-``fetch`` covered docs by per-doc upper bound.
     Returns (doc_ids desc-ub, ubs desc) as parallel numpy arrays —
     the caller prefixes them for the certificate loop; a result
-    shorter than ``fetch`` means every covered doc was fetched."""
+    shorter than ``fetch`` means every covered doc was fetched.
+
+    candidate_docs restricts the pass to a pre-computed membership set
+    (boolean-reference mode, r5): decode block-skips to candidate
+    blocks and require_all=False keeps every candidate with >= 1 slot
+    — the bound stays sound because every F.least/null-propagation
+    step below evaluates only the slots/pairs the doc actually has,
+    exactly the min-combine domain of score_doc on present slots."""
     from .refscore import (
         SITERANK_MULTIPLIER,
         WIKI_BIGRAM_WEIGHT,
@@ -1928,8 +1941,16 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
     par = spark.sparkContext.defaultParallelism
     seg = seg.repartition(par)
 
+    bc = (spark.sparkContext.broadcast(
+              candidate_docs.astype(np.uint64))
+          if candidate_docs is not None else None)
+
     def decode_u(iterator):
-        from ..functions.codec import decode_blocks
+        from ..functions.codec import (
+            BlockMeta,
+            blocks_for_candidates,
+            decode_blocks,
+        )
 
         for pdf in iterator:
             out = []
@@ -1939,11 +1960,25 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                                         gens_col):
                 # ctx-only decode: the bound needs per-posting ctx
                 # weights but no positions — skip the heaviest varint
-                # span in the blob
-                d = decode_blocks(bytes(blob), None, True, ctx_only=True)
+                # span in the blob; with a candidate set, skip-pointer
+                # straight to candidate blocks too
+                if bc is not None:
+                    meta = BlockMeta(bytes(blob))
+                    bsel = blocks_for_candidates(meta, bc.value)
+                    if len(bsel) == 0:
+                        continue
+                    d = decode_blocks(bytes(blob), bsel, True, meta,
+                                      ctx_only=True)
+                else:
+                    d = decode_blocks(bytes(blob), None, True,
+                                      ctx_only=True)
                 docs = d["doc_ids"]
                 if not len(docs):
                     continue
+                if bc is not None:
+                    cmask = np.isin(docs, bc.value)
+                    if not cmask.any():
+                        continue
                 tf64 = d["tfs"].astype(np.int64)
                 if len(d["positions"]):
                     pre = precompute_postings(
@@ -1962,7 +1997,7 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                 else:
                     u = np.zeros(len(docs), dtype=np.float64)
                     pf_s = pf_g = pf_l = u
-                out.append(pd.DataFrame({
+                frame = pd.DataFrame({
                     "term_id": np.full(len(docs), term_id, np.int64),
                     "doc_id": docs.astype(np.int64),
                     "rank": d["ranks"].astype(np.int32),
@@ -1971,7 +2006,10 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
                     "pf_g": pf_g,
                     "pf_l": pf_l,
                     "gen": np.full(len(docs), int(g), np.int32),
-                }))
+                })
+                if bc is not None:
+                    frame = frame[cmask]
+                out.append(frame)
             if out:
                 yield pd.concat(out, ignore_index=True)
 
@@ -2013,10 +2051,14 @@ def _reference_candidates(spark, rd: IndexReader, cq: CompiledQuery,
         .groupBy("doc_id")
         .agg(*aggs, F.first("rank").alias("rank"))
     )
-    covered = F.lit(True)
-    for s in range(n_req):
-        covered = covered & F.col(f"u{s}").isNotNull()
-    per_doc = per_doc.where(covered)
+    if require_all:
+        covered = F.lit(True)
+        for s in range(n_req):
+            covered = covered & F.col(f"u{s}").isNotNull()
+        per_doc = per_doc.where(covered)
+    # require_all=False (boolean mode): membership was decided by the
+    # vote buffer; every candidate with >= 1 slot stays and the null
+    # slots fall out of the least() chains below
     # ub0 = min(min-single bound, min-pair bound): the final score is
     # min(min_pair, min_single) × multipliers, and on proximity-flat
     # stopword docs min_pair binds — the single-only bound certified
@@ -2509,6 +2551,21 @@ def _search_boolean_reference(spark, rd: IndexReader, cq: CompiledQuery,
     if len(ids) == 0:
         return spark.createDataFrame([], "doc_id long, score double")
     cand = np.sort(ids.astype(np.uint64))
+    # top-k over a big membership set: the two-pass certificate plan
+    # (r5) — pass 1 ctx-only bounds restricted to the members, pass 2
+    # position-decodes only the certified prefix. Same exact kernel,
+    # byte-identical results (the pass-1 bound min-combines exactly
+    # the slots each member has — require_all=False nulls fall out of
+    # the least() chains). Small sets skip the extra job.
+    tids = [int(g.term_ids[0]) for g in cq.positive_groups]
+    if (k is not None and tids
+            and len(cand) >= getattr(conf,
+                                     "ref_two_pass_min_postings",
+                                     100_000) // 10):
+        dfs = rd.df_of(tids)
+        return _search_reference_two_pass(spark, rd, cq, k, conf, dfs,
+                                          candidate_docs=cand,
+                                          require_all=False)
     return _reference_exact(spark, rd, cq, k, conf,
                             candidate_docs=cand, require_all=False)
 

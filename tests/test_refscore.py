@@ -792,3 +792,39 @@ def test_single_term_routes_to_ctx_only(ref_anchor_index, spark,
     ex.search(spark, ref_anchor_index, "apple filler", k=5,
               conf=conf).collect()
     assert calls == [1]  # multi-term stayed on the general plan
+
+
+@pytest.mark.parametrize("q,k", [
+    ("apple AND (banana OR cherry)", 10),
+    ("(apple AND banana) OR mango", 15),
+    ("apple OR banana", 10),
+])
+def test_boolean_reference_two_pass_matches_exhaustive(
+        ref_two_pass_index, spark, small_conf, q, k):
+    """r5: boolean-reference top-k routes through the candidate-
+    restricted two-pass certificate plan (pass 1 ctx-only bounds over
+    the membership set, require_all=False) and must stay byte-identical
+    to the exhaustive k=None scoring."""
+    import open_source_search_engine_spark.query.executor as ex
+
+    conf = _two_pass_conf(small_conf)  # min_postings=1 -> always on
+    truth = sorted(
+        ex.search_all(spark, ref_two_pass_index, q, conf=conf).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]))[:k]
+    calls = []
+    orig = ex._search_reference_two_pass
+
+    def spy(*a, **kw):
+        calls.append(kw.get("require_all", a[-1] if len(a) > 7 else True))
+        return orig(*a, **kw)
+
+    ex_patch = ex._search_reference_two_pass
+    ex._search_reference_two_pass = spy
+    try:
+        got = ex.search(spark, ref_two_pass_index, q, k=k,
+                        conf=conf).collect()
+    finally:
+        ex._search_reference_two_pass = ex_patch
+    assert calls and calls[-1] is False  # the boolean plan engaged
+    assert [(r["doc_id"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["score"]) for r in truth]
