@@ -1431,6 +1431,12 @@ def build_index(
                  "salt_scheme": {"version": 2,
                                  "min_df": int(eff_thresh)}},
         "gens": [gen],
+        # r5: whether ANY generation carries incoming-link-text rows —
+        # anchors add postings for a LINKEE doc in the linker's gen, so
+        # a doc's (term, postings) can span gens only when this is set;
+        # readers use it to keep the ctx-only single-term plan on
+        # anchor-free multi-gen indexes (executor._search_reference)
+        "has_anchors": bool(has_links),
         "secs": {"parse": t_parse - t0, "stats": t_stats - t_parse,
                  "segments": t_seg - t_stats, "total": t_seg - t0},
         "docs_per_sec": n_docs / max(t_seg - t0, 1e-9),
@@ -1439,6 +1445,8 @@ def build_index(
         with open(paths.meta) as f:
             old = json.load(f)
         meta["gens"] = sorted(set(old.get("gens", [])) | {gen})
+        meta["has_anchors"] = bool(old.get("has_anchors", True)
+                                   or has_links)
     with open(paths.meta, "w") as f:
         json.dump(meta, f)
     _invalidate_derived(index_dir)

@@ -1672,15 +1672,20 @@ def _search_reference(spark, rd: IndexReader, cq: CompiledQuery,
     # performs the same ctx-only decode just to compute bounds).
     # Synonym-expanded groups keep the general path: variant sublists
     # merge in position order, which a ctx-only decode cannot
-    # reconstruct across sublists. Multi-gen indexes keep it too: a
-    # doc's body (gen g) and incoming-link-text (gen g+1) rows can
-    # both surface pre-compaction, and their exact merge is
-    # position-ordered (within one gen the build's _merge_runs already
-    # combined every (term, salt) into a single deduped blob).
+    # reconstruct across sublists. Multi-gen ANCHOR-CARRYING indexes
+    # keep it too: a doc's body (gen g) and incoming-link-text
+    # (gen g+1) rows can both surface pre-compaction, and their exact
+    # merge is position-ordered (within one gen the build's
+    # _merge_runs already combined every (term, salt) into a single
+    # deduped blob; without anchors a later gen only ever REPLACES a
+    # doc via newest-wins, so one row per (term, doc) is guaranteed —
+    # the meta's has_anchors flag records it, defaulting conservative
+    # for pre-r5 indexes).
     if (len({int(g.term_ids[0]) for g in pos_groups}) == 1
             and not cq.quoted_runs
             and not pos_groups[0].syn_term_ids
-            and len(rd.gens) <= 1):
+            and (len(rd.gens) <= 1
+                 or not rd.meta.get("has_anchors", True))):
         return _reference_single_term(spark, rd, cq, k, conf, dfs)
     if (k is not None and not cq.quoted_runs and not hf_substituted
             and sum(dfs.values())
@@ -1827,6 +1832,20 @@ def _search_reference_two_pass(spark, rd: IndexReader, cq: CompiledQuery,
     # the initial prefix starts at 32k rather than 8k (measured: 8k
     # reran on every degenerate 3-term query, doubling latency).
     kprime = max(256, 32 * k)
+    n_slots = len({int(g.term_ids[0]) for g in cq.positive_groups})
+    if n_slots == 2:
+        # 2-term shapes plateau hardest: the pair bound assumes the
+        # best-case distance divisor, so thousands of mid docs tie
+        # above the true kth and the certificate widened once on every
+        # 500k stopword pair (measured: rounds of 320 then 2533). A
+        # deeper FIRST prefix folds those into ONE pass-2 round — and
+        # each round pays a near-FULL termlist decode (candidates
+        # spread uniformly, so the block-restricted decode touches
+        # ~every block regardless of candidate count); the extra docs
+        # scored up front cost python time of the same order, so
+        # wall-clock lands within the box spread but the job count
+        # and decode volume drop deterministically.
+        kprime = max(kprime, 4096)
     fetch = max(65_536, 4 * kprime)  # deep: 16B/row driver-side, and a
     # deep prefix makes pass-1 refetches (full re-decode) rare
     best: list[tuple[float, int]] = []  # (score, doc_id), merged rounds

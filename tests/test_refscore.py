@@ -828,3 +828,65 @@ def test_boolean_reference_two_pass_matches_exhaustive(
     assert calls and calls[-1] is False  # the boolean plan engaged
     assert [(r["doc_id"], r["score"]) for r in got] \
         == [(r["doc_id"], r["score"]) for r in truth]
+
+
+def test_single_term_ctx_only_on_anchor_free_multi_gen(
+        spark, small_conf, tmp_path, monkeypatch):
+    """r5: anchor-free multi-gen indexes keep the ctx-only single-term
+    plan (newest-wins guarantees one row per (term, doc)); an
+    anchor-carrying index falls back to the general plan."""
+    import datetime as dt
+
+    import pandas as pd
+
+    import open_source_search_engine_spark.query.executor as ex
+    from open_source_search_engine_spark.index.build import build_index
+
+    def wt(rows):
+        recs = [{"url": f"http://s{d}.example/p/{d}.html",
+                 "warc_ts": dt.datetime(2024, 1, 1),
+                 "html": f"<html><body><p>{t}</p></body></html>".encode(),
+                 "text": t, "lang": "en", "doc_id": d}
+                for d, t in rows]
+        return spark.createDataFrame(pd.DataFrame(recs))
+
+    d = str(tmp_path / "nolinks")
+    build_index(spark, wt([(1, "apple pie"), (2, "apple tart")]), d,
+                conf=small_conf, gen=0)
+    build_index(spark, wt([(1, "apple strudel"), (3, "apple cake")]),
+                d, conf=small_conf, gen=1)
+
+    calls = []
+    orig = ex._reference_single_term
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ex, "_reference_single_term", spy)
+    conf = EngineConf(scorer="reference",
+                      n_buckets=small_conf.n_buckets,
+                      n_salts=small_conf.n_salts,
+                      salt_df_threshold=small_conf.salt_df_threshold)
+    got = sorted(r["doc_id"] for r in
+                 ex.search_all(spark, d, "apple", conf=conf).collect())
+    assert got == [1, 2, 3] and calls == [1]  # fast path on 2 gens
+
+    # anchor-carrying multi-gen index: the general plan
+    d2 = str(tmp_path / "links")
+    build_index(spark, wt([(1, "apple pie"), (2, "apple tart")]), d2,
+                conf=small_conf, gen=0)
+    linker = [{"url": "http://l.example/x.html",
+               "warc_ts": dt.datetime(2024, 1, 2),
+               "html": ('<html><body><p>linker apple '
+                        '<a href="http://s1.example/p/1.html">apple '
+                        "anchor</a></p></body></html>").encode(),
+               "text": "linker apple apple anchor",
+               "lang": "en", "doc_id": 9}]
+    import pandas as pd2  # noqa: F401
+    build_index(spark, spark.createDataFrame(pd.DataFrame(linker)), d2,
+                conf=small_conf, gen=1)
+    calls.clear()
+    got2 = {r["doc_id"] for r in
+            ex.search_all(spark, d2, "apple", conf=conf).collect()}
+    assert {1, 2, 9} <= got2 and calls == []  # general plan used
